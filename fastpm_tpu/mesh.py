@@ -1,0 +1,176 @@
+"""The particle-mesh object: geometry, k tables, FFT conventions.
+
+TPU-native replacement of the reference's PM/pmpfft engine
+(libfastpm/pmpfft.c, pmapi.c). A `PM` instance holds only static metadata
+(mesh shape, box size, precomputed 1D Fourier tables); fields are plain
+jax arrays with shapes:
+
+- real space: (Nx, Ny, Nz) float32
+- k space:    (Nx, Ny, Nz//2 + 1) complex64 (numpy rfftn layout; the last
+  axis is the halved hermitian axis, matching the reference's z-local
+  layout pmpfft.c:198-202)
+
+FFT normalization mirrors pm_r2c (pmpfft.c:370-399): r2c multiplies by
+1/Norm so the r2c . c2r round trip is unitary and delta_k amplitudes are
+volume-normalized the same way as the reference.
+
+All Fourier-space kernels are products/sums of per-dimension 1D tables
+(pm_create_k_factors, pmapi.c:224-275), which broadcast naturally.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["PM"]
+
+
+def _sinc(x: np.ndarray) -> np.ndarray:
+    """sin(x)/x with the reference's small-x series (pmapi.c:213-220)."""
+    x = np.asarray(x, dtype=np.float64)
+    small = np.abs(x) < 1e-5
+    xs = np.where(small, 1.0, x)
+    return np.where(small, 1.0 - x * x / 6.0 + x ** 4 / 120.0,
+                    np.sin(xs) / xs)
+
+
+def _diff_kernel(w: np.ndarray) -> np.ndarray:
+    """Order-1 super-Lanczos finite difference kernel in Fourier space,
+    same as GADGET (pmapi.c:222-232)."""
+    return 1.0 / 6.0 * (8 * np.sin(w) - np.sin(2 * w))
+
+
+class PM:
+    """Mesh geometry + Fourier tables (no field storage)."""
+
+    def __init__(self, Nmesh, BoxSize, dtype=jnp.float32):
+        if np.isscalar(Nmesh):
+            Nmesh = (int(Nmesh),) * 3
+        if np.isscalar(BoxSize):
+            BoxSize = (float(BoxSize),) * 3
+        self.Nmesh = tuple(int(n) for n in Nmesh)
+        self.BoxSize = tuple(float(b) for b in BoxSize)
+        for n in self.Nmesh:
+            if n % 2 != 0:
+                # pmpfft.c:143-145
+                raise ValueError("Nmesh must be even")
+        self.dtype = jnp.dtype(dtype)
+        self.cdtype = jnp.complex64 if self.dtype == jnp.float32 else jnp.complex128
+
+        self.Norm = float(np.prod(np.array(self.Nmesh, dtype=np.float64)))
+        self.Volume = float(np.prod(self.BoxSize))
+        self.CellSize = tuple(b / n for b, n in zip(self.BoxSize, self.Nmesh))
+        self.InvCellSize = tuple(1.0 / c for c in self.CellSize)
+
+        # shape of the hermitian-compressed k-space array
+        self.kshape = (self.Nmesh[0], self.Nmesh[1], self.Nmesh[2] // 2 + 1)
+        self.rshape = self.Nmesh
+
+    # ---- k tables (host, float64) ----
+
+    @cached_property
+    def _tables(self):
+        """Per-dimension 1D tables over the FULL mesh length; axis 2 is
+        sliced to the hermitian half when broadcast."""
+        k, k_finite, kk, kk_finite, kk_finite2 = [], [], [], [], []
+        for d in range(3):
+            n = self.Nmesh[d]
+            cell = self.CellSize[d]
+            i = np.arange(n)
+            ii = np.where(i >= n // 2, i - n, i)
+            kd = ii * (2 * np.pi / self.BoxSize[d])
+            w = kd * cell
+            ff1 = _sinc(0.5 * w)
+            ff2 = _sinc(w)
+            # match the reference: tables are stored at float32 precision
+            # (pmapi.c uses float arrays), kernels computed from them
+            kd32 = kd.astype(np.float32).astype(np.float64)
+            k.append(kd32)
+            k_finite.append((_diff_kernel(w) / cell).astype(np.float32).astype(np.float64))
+            kk.append((kd * kd).astype(np.float32).astype(np.float64))
+            kk_finite.append((kd * kd * ff1 * ff1).astype(np.float32).astype(np.float64))
+            kk_finite2.append((kd * kd * (4 / 3.0 * ff1 * ff1 - 1 / 3.0 * ff2 * ff2))
+                              .astype(np.float32).astype(np.float64))
+        return dict(k=k, k_finite=k_finite, kk=kk,
+                    kk_finite=kk_finite, kk_finite2=kk_finite2)
+
+    def table(self, name: str, d: int, half: bool = None) -> np.ndarray:
+        """1D table `name` along dimension d. By default axis 2 is sliced
+        to the hermitian half-length."""
+        t = self._tables[name][d]
+        if half is None:
+            half = (d == 2)
+        if half and d == 2:
+            return t[: self.Nmesh[2] // 2 + 1]
+        return t
+
+    def broadcast_table(self, name: str, d: int):
+        """Table as a jnp array shaped for broadcasting over k-space."""
+        t = self.table(name, d)
+        shape = [1, 1, 1]
+        shape[d] = len(t)
+        return jnp.asarray(t.reshape(shape), dtype=self.dtype)
+
+    @cached_property
+    def nyquist_mask(self):
+        """Boolean (kshape) mask of self-conjugate modes: every coordinate
+        is 0 or Nyquist (used to zero odd diff kernels, gravity.c:48-56)."""
+        masks = []
+        for d in range(3):
+            n = self.Nmesh[d]
+            i = np.arange(n if d < 2 else n // 2 + 1)
+            masks.append((i == (n - i) % n))
+        m = (masks[0][:, None, None] & masks[1][None, :, None]
+             & masks[2][None, None, :])
+        return jnp.asarray(m)
+
+    @cached_property
+    def hermitian_weights(self):
+        """Float (1,1,Nz/2+1) weights: 2 for modes whose conjugate lives
+        outside the compressed array, 1 on the kz=0 and kz=Nyquist planes
+        (powerspectrum.c:92-94, pm_compute_variance pmapi.c:290-308)."""
+        nz = self.Nmesh[2]
+        iz = np.arange(nz // 2 + 1)
+        w = np.where((iz == 0) | (iz == nz // 2), 1.0, 2.0)
+        return jnp.asarray(w[None, None, :], dtype=self.dtype)
+
+    @cached_property
+    def integer_kk(self):
+        """Integer |ik|^2 on the k grid (int32), for shell binning."""
+        out = 0
+        for d in range(3):
+            n = self.Nmesh[d]
+            i = np.arange(n if d < 2 else n // 2 + 1)
+            ii = np.where(i > n // 2, i - n, i).astype(np.int64)
+            shape = [1, 1, 1]
+            shape[d] = len(i)
+            out = out + (ii * ii).reshape(shape)
+        return jnp.asarray(out.astype(np.int32))
+
+    # ---- FFTs (pmpfft.c:370-399) ----
+
+    def r2c(self, x):
+        """Real -> complex with 1/Norm so the round trip is unitary."""
+        return (jnp.fft.rfftn(x) / self.Norm).astype(self.cdtype)
+
+    def c2r(self, k):
+        """Complex -> real, inverse of r2c."""
+        return jnp.fft.irfftn(k * self.Norm, s=self.Nmesh).astype(self.dtype)
+
+    # ---- diagnostics ----
+
+    def compute_variance(self, delta_k) -> float:
+        """sum of w |delta_k|^2 / Norm in float64 on host
+        (pm_compute_variance, pmapi.c:290-308)."""
+        dk = np.asarray(delta_k)
+        w = np.asarray(self.hermitian_weights, dtype=np.float64)
+        v = np.sum((dk.real.astype(np.float64) ** 2
+                    + dk.imag.astype(np.float64) ** 2) * w)
+        return float(v / self.Norm)
+
+    def __repr__(self):
+        return f"PM(Nmesh={self.Nmesh}, BoxSize={self.BoxSize})"

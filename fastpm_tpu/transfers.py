@@ -1,0 +1,158 @@
+"""Fourier-space transfer functions (reference: libfastpm/transfer.c).
+
+Every op is a pure function delta_k -> delta_k on the hermitian-compressed
+complex array, built from the PM's 1D per-dimension tables by broadcasting.
+They are jittable and fuse into surrounding computation under jit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .mesh import PM
+
+__all__ = [
+    "apply_smoothing", "apply_lowpass", "apply_decic", "apply_diff",
+    "apply_laplace", "apply_pot", "apply_grad", "apply_any",
+    "apply_c2r_weight", "apply_normalize", "set_mode", "get_mode",
+]
+
+
+def _sinc_np(x):
+    x = np.asarray(x, dtype=np.float64)
+    small = np.abs(x) < 1e-5
+    xs = np.where(small, 1.0, x)
+    return np.where(small, 1.0 - x * x / 6.0 + x ** 4 / 120.0, np.sin(xs) / xs)
+
+
+def apply_smoothing(pm: PM, dk, sml: float):
+    """Gaussian smoothing exp(-kk sml^2 / 2), separable (transfer.c:7-40)."""
+    out = dk
+    for d in range(3):
+        kk = pm.table("kk", d)
+        kern = np.exp(-0.5 * kk * sml * sml)
+        shape = [1, 1, 1]
+        shape[d] = len(kern)
+        out = out * jnp.asarray(kern.reshape(shape), dtype=pm.dtype)
+    return out
+
+
+def apply_lowpass(pm: PM, dk, kth: float):
+    """Sharp k-space lowpass at |k| = kth (transfer.c:42-65)."""
+    kk = sum(pm.broadcast_table("kk", d) for d in range(3))
+    return dk * (kk < kth * kth).astype(pm.dtype)
+
+
+def apply_decic(pm: PM, dk):
+    """Divide by the CIC window squared: per-axis 1/sinc^2(w/2)
+    (transfer.c:77-113)."""
+    out = dk
+    for d in range(3):
+        k = pm.table("k", d)
+        w = k * pm.BoxSize[d] / pm.Nmesh[d]
+        kern = 1.0 / _sinc_np(0.5 * w) ** 2
+        shape = [1, 1, 1]
+        shape[d] = len(kern)
+        out = out * jnp.asarray(kern.reshape(shape), dtype=pm.dtype)
+    return out
+
+
+def apply_diff(pm: PM, dk, dir: int, order: int, zero_nyquist: bool = True):
+    """i k[dir] (order 0) or i k_finite[dir] (order 1, the 4-point
+    super-Lanczos kernel). Self-conjugate (Nyquist) modes are zeroed so the
+    result stays the transform of a real field (gravity.c:34-64).
+    """
+    name = ["k", "k_finite"][order]
+    kd = pm.broadcast_table(name, dir)
+    out = dk * (1j * kd).astype(pm.cdtype)
+    if zero_nyquist:
+        out = jnp.where(pm.nyquist_mask, 0.0 + 0.0j, out)
+    return out
+
+
+def apply_laplace(pm: PM, dk, order: int):
+    """Inverse Laplacian 1/kk with finite-difference order 0/1/2
+    (transfer.c:153-186); the zero mode is zeroed."""
+    name = ["kk", "kk_finite", "kk_finite2"][order]
+    kk = sum(pm.broadcast_table(name, d) for d in range(3))
+    inv = jnp.where(kk != 0, 1.0 / jnp.where(kk != 0, kk, 1.0), 0.0)
+    return dk * inv.astype(pm.dtype)
+
+
+def apply_pot(pm: PM, dk, order: int):
+    """-1/kk: Poisson potential from overdensity (gravity.c:13-18)."""
+    return -apply_laplace(pm, dk, order)
+
+
+def apply_grad(pm: PM, dk, dir: int, order: int):
+    """Gradient of a potential field: i k (order per kernel type)
+    (gravity.c:20-64)."""
+    return apply_diff(pm, dk, dir, order, zero_nyquist=True)
+
+
+def apply_any(pm: PM, dk, fkfunc):
+    """Multiply by a scalar function of |k| evaluated on the host tables
+    (transfer.c:188-210). fkfunc: np.ndarray -> np.ndarray."""
+    kk = sum(np.reshape(pm.table("kk", d),
+                        [-1 if i == d else 1 for i in range(3)])
+             for d in range(3))
+    k = np.sqrt(kk)
+    kern = np.asarray(fkfunc(k), dtype=np.float64)
+    return dk * jnp.asarray(kern, dtype=pm.dtype)
+
+
+def apply_c2r_weight(pm: PM, dk):
+    """Weight each mode by its hermitian multiplicity (transfer.c:250-277)."""
+    return dk * pm.hermitian_weights
+
+
+def apply_normalize(pm: PM, dk):
+    """Divide by the DC mode (transfer.c:222-248)."""
+    dc = dk[0, 0, 0].real
+    return dk / dc
+
+
+def _conj_index(pm: PM, mode):
+    return tuple((pm.Nmesh[d] - mode[d]) % pm.Nmesh[d] for d in range(3))
+
+
+def set_mode(pm: PM, dk, mode, value: float, method: str = "override"):
+    """Set or add to a single mode (and its hermitian conjugate)
+    (transfer.c:285-337). mode = (ix, iy, iz, ri) with ri 0=real 1=imag."""
+    ix, iy, iz, ri = [int(m) for m in mode]
+    conj = _conj_index(pm, (ix, iy, iz))
+    self_conj = conj == (ix, iy, iz)
+    if self_conj and ri == 1:
+        # purely real mode; cannot set imaginary part
+        method = "override"
+        value = 0.0
+
+    def apply_at(dk, idx, val):
+        i, j, l = idx
+        if l > pm.Nmesh[2] // 2:
+            # lives on the conjugate side of the compressed axis;
+            # handled via its conjugate partner
+            return dk, False
+        cur = dk[i, j, l]
+        if ri == 0:
+            new = (val if method == "override" else cur.real + val) + 1j * cur.imag
+        else:
+            new = cur.real + 1j * (val if method == "override" else cur.imag + val)
+        return dk.at[i, j, l].set(new.astype(pm.cdtype)), True
+
+    dk, _ = apply_at(dk, (ix, iy, iz), value)
+    if not self_conj:
+        cval = value * (1 if ri == 0 else -1)
+        dk, _ = apply_at(dk, conj, cval)
+    return dk
+
+
+def get_mode(pm: PM, dk, mode) -> float:
+    ix, iy, iz, ri = [int(m) for m in mode]
+    if iz > pm.Nmesh[2] // 2:
+        ix, iy, iz = _conj_index(pm, (ix, iy, iz))
+        v = complex(dk[ix, iy, iz])
+        return float(v.real if ri == 0 else -v.imag)
+    v = complex(dk[ix, iy, iz])
+    return float(v.real if ri == 0 else v.imag)

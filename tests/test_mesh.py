@@ -1,0 +1,204 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fastpm_tpu.mesh import PM
+from fastpm_tpu import transfers
+from fastpm_tpu.painter import Painter
+from fastpm_tpu.powerspectrum import measure_power, FuncK, sigma_tophat
+
+
+@pytest.fixture(scope="module")
+def pm():
+    return PM(32, 64.0)
+
+
+def test_fft_round_trip(pm):
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.normal(size=pm.rshape).astype(np.float32))
+    dk = pm.r2c(x)
+    back = pm.c2r(dk)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fft_normalization(pm):
+    """A unit real field has delta_k DC mode == 1 (after 1/Norm)."""
+    x = jnp.ones(pm.rshape, dtype=jnp.float32)
+    dk = pm.r2c(x)
+    assert complex(dk[0, 0, 0]) == pytest.approx(1.0)
+    assert np.abs(np.asarray(dk)).sum() == pytest.approx(1.0, rel=1e-4)
+
+
+def test_white_noise_variance(pm):
+    """compute_variance is defined for unit-variance-MODE fields (the IC
+    white noise convention, initialcondition.c:236): by Parseval,
+    variance(r2c(x)) == mean(x^2) / Norm. The IC fast scheme compensates
+    by multiplying the real field by sqrt(Norm) before r2c."""
+    rng = np.random.RandomState(3)
+    x = rng.normal(size=pm.rshape).astype(np.float32)
+    dk = pm.r2c(jnp.asarray(x * np.sqrt(pm.Norm, dtype=np.float32)))
+    v = pm.compute_variance(dk)
+    np.testing.assert_allclose(v, np.mean(np.asarray(x, dtype=np.float64) ** 2),
+                               rtol=1e-4)
+
+
+def test_laplace_inverse_of_laplacian(pm):
+    """apply_laplace(order=0) followed by multiplying kk recovers input
+    away from the zero mode."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.normal(size=pm.rshape).astype(np.float32))
+    dk = pm.r2c(x)
+    pot = transfers.apply_laplace(pm, dk, order=0)
+    kk = sum(pm.broadcast_table("kk", d) for d in range(3))
+    rec = pot * kk
+    dk_np = np.array(dk)
+    rec_np = np.asarray(rec)
+    dk_np[0, 0, 0] = 0
+    np.testing.assert_allclose(rec_np, dk_np, rtol=1e-3, atol=1e-6)
+
+
+def test_diff_matches_spectral_derivative(pm):
+    """order=0 diff of sin(2 pi x / L) gives (2 pi / L) cos(2 pi x / L)."""
+    L = pm.BoxSize[0]
+    xg = np.arange(pm.Nmesh[0]) * pm.CellSize[0]
+    f = np.sin(2 * np.pi * xg / L)
+    field = jnp.asarray(np.broadcast_to(f[:, None, None], pm.rshape)
+                        .astype(np.float32))
+    dk = pm.r2c(field)
+    ddk = transfers.apply_diff(pm, dk, 0, order=0)
+    deriv = np.asarray(pm.c2r(ddk))
+    expected = 2 * np.pi / L * np.cos(2 * np.pi * xg / L)
+    np.testing.assert_allclose(deriv[:, 0, 0], expected, atol=1e-5)
+
+
+def test_diff_finite_lower_than_naive_at_high_k(pm):
+    """The 4-point kernel suppresses high-k derivatives: |k_finite| <= |k|
+    and k_finite(Nyquist) == 0."""
+    k = pm.table("k", 0)
+    kf = pm.table("k_finite", 0)
+    assert np.all(np.abs(kf) <= np.abs(k) + 1e-12)
+    assert kf[pm.Nmesh[0] // 2] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_decic_compensates_cic_window(pm):
+    """Painting a uniform grid of particles then deCIC-ing changes nothing
+    (the window only affects nonzero k); but a displaced lattice's power
+    is boosted by the inverse window^2... here check decic at the Nyquist
+    boosts amplitude by (pi/2)^2 per axis = sinc(pi/2)^-2 = (pi/2)^2."""
+    dk = jnp.ones(pm.kshape, dtype=jnp.complex64)
+    out = np.asarray(transfers.apply_decic(pm, dk))
+    nyq = pm.Nmesh[0] // 2
+    expected = (np.pi / 2) ** 2 / np.sinc(0.5) ** 0  # along one axis
+    assert out[nyq, 0, 0].real == pytest.approx((np.pi / 2) ** 2, rel=1e-5)
+    assert out[0, 0, 0].real == pytest.approx(1.0)
+
+
+def test_cic_paint_mass_conservation(pm):
+    rng = np.random.RandomState(5)
+    n = 1000
+    pos = jnp.asarray((rng.uniform(size=(n, 3)) * pm.BoxSize[0])
+                      .astype(np.float32))
+    p = Painter(pm, "cic")
+    canvas = p.paint(pos, mass=1.0)
+    assert float(jnp.sum(canvas)) == pytest.approx(n, rel=1e-5)
+    # particles exactly on grid points paint a single cell
+    pos0 = jnp.asarray(np.array([[4.0, 6.0, 8.0]]) * pm.CellSize[0],
+                       dtype=jnp.float32)
+    canvas0 = p.paint(pos0, mass=2.0)
+    assert float(canvas0[4, 6, 8]) == pytest.approx(2.0)
+    assert float(jnp.sum(canvas0)) == pytest.approx(2.0, rel=1e-6)
+
+
+def test_paint_periodic_wrap(pm):
+    p = Painter(pm, "cic")
+    # particle just below the box edge paints into cell N-1 and wraps to 0
+    eps = 0.5 * pm.CellSize[0]
+    pos = jnp.asarray([[pm.BoxSize[0] - eps, 0.0, 0.0]], dtype=jnp.float32)
+    canvas = p.paint(pos, mass=1.0)
+    assert float(canvas[pm.Nmesh[0] - 1, 0, 0]) == pytest.approx(0.5, rel=1e-5)
+    assert float(canvas[0, 0, 0]) == pytest.approx(0.5, rel=1e-5)
+
+
+def test_readout_inverse_of_paint_on_grid(pm):
+    """Readout of a smooth field at grid points returns the field."""
+    rng = np.random.RandomState(9)
+    x = rng.normal(size=pm.rshape).astype(np.float32)
+    canvas = jnp.asarray(x)
+    idx = rng.randint(0, pm.Nmesh[0], size=(50, 3))
+    pos = jnp.asarray(idx * pm.CellSize[0], dtype=jnp.float32)
+    p = Painter(pm, "cic")
+    vals = np.asarray(p.readout(canvas, pos))
+    np.testing.assert_allclose(vals, x[idx[:, 0], idx[:, 1], idx[:, 2]],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_quad_and_lanczos_mass_conservation(pm):
+    rng = np.random.RandomState(13)
+    n = 500
+    pos = jnp.asarray((rng.uniform(size=(n, 3)) * pm.BoxSize[0])
+                      .astype(np.float32))
+    for typ, support in (("quad", 3), ("lanczos", 4), ("lanczos", 6),
+                         ("linear", 4)):
+        p = Painter(pm, typ, support)
+        canvas = p.paint(pos, mass=1.0)
+        assert float(jnp.sum(canvas)) == pytest.approx(n, rel=1e-4), typ
+
+
+def test_power_spectrum_flat_for_white_noise(pm):
+    """P(k) of white noise with variance sigma^2 is V sigma^2 / Norm."""
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.normal(size=pm.rshape).astype(np.float32))
+    dk = pm.r2c(x)
+    ps = measure_power(pm, dk)
+    expected = pm.Volume / pm.Norm
+    # per-bin scatter ~ 1/sqrt(Nmodes); check the well-populated bins
+    sel = ps.Nmodes > 200
+    assert np.allclose(ps.p[sel], expected,
+                       rtol=4 / np.sqrt(ps.Nmodes[sel].min()))
+    # total modes = Norm - 1 (DC excluded)
+    assert ps.Nmodes.sum() <= pm.Norm - 1
+
+
+def test_power_spectrum_single_mode(pm):
+    """A pure cosine of amplitude A at mode m has P = V A^2 / 4 ... with
+    our delta_k normalization |delta_k| = A/2 at +-m, so
+    P = V <|d|^2> = V (A/2)^2 in its bin."""
+    L = pm.BoxSize[0]
+    A = 0.5
+    xg = np.arange(pm.Nmesh[0]) * pm.CellSize[0]
+    f = A * np.cos(2 * np.pi * 3 * xg / L)
+    field = jnp.asarray(np.broadcast_to(f[:, None, None], pm.rshape)
+                        .astype(np.float32))
+    dk = pm.r2c(field)
+    ps = measure_power(pm, dk)
+    assert ps.p[3] == pytest.approx(pm.Volume * (A / 2) ** 2 / ps.Nmodes[3] * 2,
+                                    rel=1e-3)
+
+
+def test_funck_loglog_interp():
+    f = FuncK([0.1, 1.0, 10.0], [100.0, 1.0, 0.01])
+    # power law P = k^-2: log-log interpolation is exact
+    assert f(0.5) == pytest.approx(4.0, rel=1e-12)
+    assert f(3.0) == pytest.approx(1.0 / 9.0, rel=1e-12)
+    assert f(0.0) == 1.0
+    # extrapolation uses the end segments
+    assert f(20.0) == pytest.approx(1.0 / 400.0, rel=1e-9)
+
+
+def test_sigma8_golden():
+    """Golden: sigma8 of tests/powerspec.txt is 0.815897
+    (run-test-nbodykit.sh:14)."""
+    f = FuncK.from_file("/root/reference/tests/powerspec.txt")
+    assert sigma_tophat(f, 8.0) == pytest.approx(0.815897, abs=2e-5)
+
+
+def test_set_get_mode(pm):
+    dk = jnp.zeros(pm.kshape, dtype=jnp.complex64)
+    dk = transfers.set_mode(pm, dk, (0, 1, 0, 0), 0.1, "add")
+    assert transfers.get_mode(pm, dk, (0, 1, 0, 0)) == pytest.approx(0.1)
+    # conjugate plane got the mirrored value
+    assert transfers.get_mode(pm, dk, (0, pm.Nmesh[1] - 1, 0, 0)) == pytest.approx(0.1)
+    # self-conjugate mode: imaginary part cannot be set
+    dk = transfers.set_mode(pm, dk, (0, 16, 0, 1), 0.5, "override")
+    assert transfers.get_mode(pm, dk, (0, 16, 0, 1)) == 0.0
