@@ -1,0 +1,158 @@
+"""Particle store: structure-of-arrays container (reference:
+libfastpm/store.c, api/fastpm/store.h).
+
+TPU-native shape: a registered-pytree dataclass of jax arrays, so a Store
+flows through jit/pjit directly. There is no arena allocator -- XLA buffer
+donation replaces it -- and no pack/unpack plans: sharding and collective
+permutes replace the MPI exchange.
+
+Column semantics follow the reference:
+- x   (N,3) f32  position in Mpc/h, timestamp meta.a_x
+- v   (N,3) f32  internal velocity a^2 dx/dt / H0 (Mpc/h), timestamp a_v
+- acc (N,3) f32  acceleration from the last force step
+- dx1/dx2/dv1 (N,3) f32  LPT displacements
+- id  (N,) u32/i64  raveled Lagrangian lattice index; q is recomputable
+  from it via the _q_* metadata (store.c:664-692)
+- rand (N,) f32  per-particle uniform for subsampling (store.c:695-720)
+- mask (N,) bool  selection mask (FOF active set, lightcone, ...)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mesh import PM
+from . import native
+
+__all__ = ["Store", "lattice_store"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Store:
+    """Particle columns as jax arrays (None = column not allocated)."""
+
+    x: jnp.ndarray
+    v: Optional[jnp.ndarray] = None
+    acc: Optional[jnp.ndarray] = None
+    dx1: Optional[jnp.ndarray] = None
+    dx2: Optional[jnp.ndarray] = None
+    dv1: Optional[jnp.ndarray] = None
+    id: Optional[jnp.ndarray] = None
+    rand: Optional[jnp.ndarray] = None
+    mask: Optional[jnp.ndarray] = None
+    potential: Optional[jnp.ndarray] = None
+    tidal: Optional[jnp.ndarray] = None
+    pgdc: Optional[jnp.ndarray] = None
+    mass: Optional[jnp.ndarray] = None
+    aemit: Optional[jnp.ndarray] = None
+
+    # metadata (static leaves)
+    a_x: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    a_v: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    M0: float = dataclasses.field(default=1.0, metadata=dict(static=True))
+    q_shift: tuple = dataclasses.field(default=(0.0, 0.0, 0.0),
+                                       metadata=dict(static=True))
+    q_scale: tuple = dataclasses.field(default=(1.0, 1.0, 1.0),
+                                       metadata=dict(static=True))
+    q_nc: tuple = dataclasses.field(default=(0, 0, 0),
+                                    metadata=dict(static=True))
+    name: str = dataclasses.field(default="1", metadata=dict(static=True))
+
+    @property
+    def np_local(self) -> int:
+        return self.x.shape[0]
+
+    def q_from_id(self, id=None):
+        """Recompute the Lagrangian position q from the particle id
+        (store.c:664-681)."""
+        if id is None:
+            id = self.id
+        n0, n1, n2 = self.q_nc
+        strides = (n1 * n2, n2, 1)
+        i0 = id // strides[0]
+        i1 = (id - i0 * strides[0]) // strides[1]
+        i2 = id - i0 * strides[0] - i1 * strides[1]
+        q = jnp.stack([i0, i1, i2], axis=-1).astype(jnp.float32)
+        scale = jnp.asarray(self.q_scale, dtype=jnp.float32)
+        shift = jnp.asarray(self.q_shift, dtype=jnp.float32)
+        return q * scale + shift
+
+    def wrap(self, boxsize) -> "Store":
+        """Periodic wrap of positions into [0, L) (store.c:447-475)."""
+        L = jnp.asarray(boxsize if not np.isscalar(boxsize)
+                        else (boxsize,) * 3, dtype=self.x.dtype)
+        x = self.x - jnp.floor(self.x / L) * L
+        return dataclasses.replace(self, x=x)
+
+    def replace(self, **kwargs) -> "Store":
+        return dataclasses.replace(self, **kwargs)
+
+    def summary(self, column: str):
+        """Per-component (min, std, mean, max) in float64 on host
+        (fastpm_store_summary, store.c:808+)."""
+        arr = np.asarray(getattr(self, column), dtype=np.float64)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        mean = arr.mean(axis=0)
+        std = np.sqrt((arr ** 2).mean(axis=0) - mean ** 2)
+        return arr.min(axis=0), std, mean, arr.max(axis=0)
+
+    def subsample_mask(self, fraction: float):
+        """Boolean keep-mask from the rand column (store.c:fill_subsample)."""
+        if fraction >= 1.0:
+            return jnp.ones(self.np_local, dtype=bool)
+        return self.rand < fraction
+
+
+def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand"),
+                  rand_seed: int = 1231584, M0: float = 1.0,
+                  name: str = "1") -> Store:
+    """Uniform Lagrangian lattice of Nc^3 particles (fastpm_store_fill,
+    store.c:723-805): id = raveled lattice index, x = q = id*scale+shift.
+    The rand column reproduces the reference's rank-0 ranlxd stream."""
+    if Nc is None:
+        Nc = pm.Nmesh
+    if np.isscalar(Nc):
+        Nc = (int(Nc),) * 3
+    if np.isscalar(shift):
+        shift = (float(shift),) * 3
+    n = int(np.prod(Nc))
+    scale = tuple(pm.BoxSize[d] / Nc[d] for d in range(3))
+
+    i0, i1, i2 = np.meshgrid(np.arange(Nc[0]), np.arange(Nc[1]),
+                             np.arange(Nc[2]), indexing="ij")
+    idx = np.stack([i0, i1, i2], axis=-1).reshape(-1, 3)
+    x = (idx * np.asarray(scale) + np.asarray(shift)).astype(np.float32)
+    dtype_id = np.uint32 if n < 2 ** 32 else np.int64
+    ids = (idx[:, 0].astype(np.int64) * (Nc[1] * Nc[2])
+           + idx[:, 1] * Nc[2] + idx[:, 2]).astype(dtype_id)
+
+    kw = dict(
+        x=jnp.asarray(x),
+        a_x=0.0, a_v=0.0, M0=M0,
+        q_shift=tuple(shift), q_scale=scale, q_nc=tuple(Nc), name=name,
+    )
+    if "v" in columns:
+        kw["v"] = jnp.zeros((n, 3), dtype=jnp.float32)
+    if "acc" in columns:
+        kw["acc"] = jnp.zeros((n, 3), dtype=jnp.float32)
+    if "id" in columns:
+        kw["id"] = jnp.asarray(ids)
+    if "rand" in columns:
+        # store.c:695-720 at rank 0: seed 1231584 directly
+        kw["rand"] = jnp.asarray(
+            native.ranlxd_uniform(rand_seed, n).astype(np.float32))
+    if "mask" in columns:
+        kw["mask"] = jnp.zeros(n, dtype=bool)
+    if "potential" in columns:
+        kw["potential"] = jnp.zeros(n, dtype=jnp.float32)
+    if "tidal" in columns:
+        kw["tidal"] = jnp.zeros((n, 6), dtype=jnp.float32)
+    return Store(**kw)
