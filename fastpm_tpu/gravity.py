@@ -1,0 +1,97 @@
+"""The PM force solver (reference: libfastpm/gravity.c).
+
+One force step is a single jittable array program:
+
+  paint mass (all species) -> delta = rho / mean - handled via total mass
+  -> r2c -> softening -> per-component {kernel transfer -> c2r -> readout}
+
+No ghosts, no reductions across ranks: painting/readout are global
+scatter/gather on the (optionally sharded) mesh; the total-mass Allreduce
+becomes a jnp.sum.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mesh import PM
+from .painter import Painter
+from .store import Store
+from . import kernels
+
+__all__ = ["paint_delta_k", "compute_force", "FORCE_FIELDS"]
+
+FORCE_FIELDS = ("acc", "potential", "tidal")
+
+
+def paint_delta_k(pm: PM, painter: Painter, stores: Sequence[Store]):
+    """Paint all species and return the overdensity transform delta_k
+    (_fastpm_solver_compute_delta_k, gravity.c:304-356).
+
+    Convention: paint mass per cell, divide by mean mass per cell -- the
+    canvas entering r2c is 1+delta.
+    """
+    canvas = jnp.zeros(pm.rshape, dtype=pm.dtype)
+    total_mass = 0.0
+    for p in stores:
+        mass = p.mass if p.mass is not None else jnp.float32(p.M0)
+        if p.mass is not None:
+            total_mass = total_mass + jnp.sum(mass)
+            canvas = painter.paint(p.x, mass, canvas)
+        else:
+            total_mass = total_mass + p.M0 * p.np_local
+            canvas = painter.paint(p.x, jnp.float32(p.M0), canvas)
+    mean_mass_per_cell = total_mass / pm.Norm
+    canvas = canvas / mean_mass_per_cell
+    return pm.r2c(canvas)
+
+
+def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
+                  kernel_type: str = "1_4", softening_type: str = "none",
+                  compute_potential: bool = False,
+                  compute_tidal: bool = False):
+    """Compute accelerations (and optional potential/tidal) for every
+    species (fastpm_solver_compute_force, gravity.c:457-529).
+
+    Returns (new_stores, delta_k) where delta_k has the softening applied
+    but NOT the deCIC compensation (the caller applies that for the power
+    spectrum event, solver.c:466-471).
+    """
+    delta_k = paint_delta_k(pm, painter, stores)
+    delta_k = kernels.apply_softening(pm, delta_k, softening_type)
+
+    acc_fields = []
+    for d in range(3):
+        fk = kernels.apply_kernel_transfer(pm, delta_k, kernel_type, "acc", d)
+        acc_fields.append(pm.c2r(fk))
+
+    pot_field = None
+    if compute_potential:
+        fk = kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
+                                           "potential")
+        pot_field = pm.c2r(fk)
+
+    tidal_fields = None
+    if compute_tidal:
+        tidal_fields = []
+        for m in range(6):
+            fk = kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
+                                               "tidal", m)
+            tidal_fields.append(pm.c2r(fk))
+
+    out = []
+    for p in stores:
+        acc = jnp.stack([painter.readout(f, p.x) for f in acc_fields],
+                        axis=-1)
+        updates = dict(acc=acc)
+        if compute_potential and p.potential is not None:
+            updates["potential"] = painter.readout(pot_field, p.x)
+        if compute_tidal and p.tidal is not None:
+            updates["tidal"] = jnp.stack(
+                [painter.readout(f, p.x) for f in tidal_fields], axis=-1)
+        out.append(p.replace(**updates))
+    return out, delta_k

@@ -1,0 +1,375 @@
+"""The FastPM solver: species, time evolution, events
+(reference: libfastpm/solver.c, vpm.c).
+
+The hot loop (paint -> FFT -> kernels -> iFFT x3-4 -> readout -> kick ->
+drift) runs as jitted array programs; events fire between jitted segments
+at step granularity, preserving the reference's event architecture.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .cosmology import Cosmology, FIDUCIAL
+from .kdk import KickFactor, DriftFactor
+from .timemachine import (StateTable, Transition, ACTION_FORCE, ACTION_KICK,
+                          ACTION_DRIFT)
+from .mesh import PM
+from .painter import Painter
+from .store import Store, lattice_store
+from .gravity import compute_force
+from .lpt import lpt_solve, lpt_evolve
+from . import transfers, events as ev
+from .units import RHO_CRIT, HUBBLE_CONSTANT, HUBBLE_DISTANCE
+
+__all__ = ["SolverConfig", "Solver", "CDM", "BARYON", "NCDM"]
+
+BARYON = "baryon"
+CDM = "cdm"
+NCDM = "ncdm"
+SPECIES_ORDER = (BARYON, CDM, NCDM)
+
+
+@dataclass
+class SolverConfig:
+    """Mirror of FastPMConfig (api/fastpm/solver.h) with lua-schema
+    defaults (src/lua-runtime-fastpm.lua)."""
+
+    nc: int
+    boxsize: float
+    time_step: Sequence[float] = (1.0,)
+    force_mode: str = "fastpm"        # fastpm | pm | cola | zola | za | 2lpt
+    kernel_type: str = "1_4"
+    softening_type: str = "none"      # dealiasing_type in lua
+    painter_type: str = "cic"
+    painter_support: int = 2
+    pm_nc_factor: object = 2          # scalar or [(a_start, factor), ...]
+    lpt_nc_factor: float = 1.0
+    use_shift: bool = False
+    za: bool = False                  # ZA-only ICs (drop dx2)
+    use_dx1_only: bool = False
+    nLPT: float = -2.5
+    compute_potential: bool = False
+    compute_tidal: bool = False
+    np_alloc_factor: float = 4.0      # kept for parity; no arena here
+    ExtraColumns: Tuple[str, ...] = ()
+
+    def __post_init__(self):
+        if self.force_mode == "zola":
+            # lua: zola == fastpm stepping with ZA-only ICs
+            self.force_mode = "fastpm"
+            self.za = True
+        if self.force_mode == "2lpt":
+            self.use_dx1_only = False
+        if self.za:
+            self.use_dx1_only = True
+
+    @property
+    def vpm_table(self) -> List[Tuple[float, float]]:
+        t = self.pm_nc_factor
+        if np.isscalar(t):
+            return [(0.0, float(t))]
+        return [(float(a), float(f)) for a, f in t]
+
+
+class Solver:
+    """Holds species stores, the PM hierarchy, cosmology, and events
+    (FastPMSolver, solver.c:24-152)."""
+
+    def __init__(self, config: SolverConfig,
+                 cosmology: Optional[Cosmology] = None):
+        self.config = config
+        self.cosmology = cosmology if cosmology is not None else FIDUCIAL
+        self.event_handlers = ev.EventHandlers()
+
+        nc = config.nc
+        box = config.boxsize
+        self.basepm = PM(nc, box)
+        self.lptpm = PM(int(nc * config.lpt_nc_factor), box)
+        # variable-resolution force meshes (vpm.c:22-58)
+        self.vpm_list = [(a_start, PM(int(nc * f), box))
+                         for a_start, f in config.vpm_table]
+
+        self.species: Dict[str, Store] = {}
+
+        needs_lpt_columns = config.force_mode in ("cola", "za", "2lpt")
+        self._keep_lpt = needs_lpt_columns or config.force_mode == "cola"
+
+        shift = 0.5 * box / nc if config.use_shift else 0.0
+        columns = ["v", "acc", "id", "rand"]
+        if config.compute_potential:
+            columns.append("potential")
+        if config.compute_tidal:
+            columns.append("tidal")
+        self.species[CDM] = lattice_store(
+            self.basepm, Nc=nc, shift=shift, columns=tuple(columns),
+            name="cdm")
+
+        self._jitted_force = {}
+
+    # ---- species management (solver.c:248-280) ----
+
+    def add_species(self, name: str, store: Store) -> None:
+        self.species[name] = store
+
+    def get_species(self, name: str) -> Optional[Store]:
+        return self.species.get(name)
+
+    def iter_species(self):
+        for name in SPECIES_ORDER:
+            if name in self.species:
+                yield name
+
+    # ---- PM selection (vpm.c:9-20) ----
+
+    def find_pm(self, a: float) -> PM:
+        best = self.vpm_list[0][1]
+        for a_start, pm in self.vpm_list:
+            if a_start <= a:
+                best = pm
+        return best
+
+    @property
+    def painter(self) -> Callable[[PM], Painter]:
+        cfg = self.config
+        return lambda pm: Painter(pm, cfg.painter_type, cfg.painter_support)
+
+    # ---- LPT setup (solver.c:154-233) ----
+
+    def setup_lpt(self, delta_k_ic, a0: float, species: str = CDM,
+                  growth_rate_func_k=None) -> None:
+        """2LPT initialization from the z=0-normalized linear delta_k
+        (on the lptpm mesh)."""
+        cfg = self.config
+        p = self.species[species]
+
+        if species == CDM:
+            M0 = (self.cosmology.Omega_cdm * RHO_CRIT
+                  * (cfg.boxsize / cfg.nc) ** 3)
+            p = p.replace(M0=M0)
+
+        self.event_handlers.emit(ev.EVENT_LPT, ev.STAGE_BEFORE,
+                                 solver=self, pm=self.lptpm,
+                                 delta_k=delta_k_ic, store=p)
+
+        if delta_k_ic is not None:
+            # readout at the de-shifted lattice (pm2lpt.c:27-34)
+            q = p.q_from_id() - jnp.asarray(p.q_shift, dtype=jnp.float32)
+            res = lpt_solve(self.lptpm, delta_k_ic, q, cfg.kernel_type,
+                            growth_rate_func_k)
+            if growth_rate_func_k is not None:
+                dx1, dx2, dv1 = res
+                p = p.replace(dx1=dx1, dx2=dx2, dv1=dv1)
+            else:
+                dx1, dx2 = res
+                p = p.replace(dx1=dx1, dx2=dx2)
+
+        if cfg.use_dx1_only and p.dx2 is not None:
+            p = p.replace(dx2=jnp.zeros_like(p.dx2))
+
+        p = lpt_evolve(self.cosmology, a0, p, za_only=False)
+
+        if not self._keep_lpt:
+            p = p.replace(dx1=None, dx2=None, dv1=None)
+        self.species[species] = p
+
+        self.event_handlers.emit(ev.EVENT_LPT, ev.STAGE_AFTER,
+                                 solver=self, pm=self.lptpm,
+                                 delta_k=delta_k_ic, store=self.species[species])
+
+    # ---- factors (cached per step endpoints) ----
+
+    def _kick_factor(self, ai, ac, af) -> KickFactor:
+        return _cached_kick(self.cosmology, self.config.force_mode,
+                            float(ai), float(ac), float(af), self.config.nLPT)
+
+    def _drift_factor(self, ai, ac, af) -> DriftFactor:
+        return _cached_drift(self.cosmology, self.config.force_mode,
+                             float(ai), float(ac), float(af), self.config.nLPT)
+
+    # ---- actions ----
+
+    def do_force(self, trans: Transition, states: StateTable,
+                 iend: int) -> None:
+        cfg = self.config
+        pm = self.find_pm(trans.a_f)
+        painter = Painter(pm, cfg.painter_type, cfg.painter_support)
+
+        # decompose: periodic wrap (domain exchange is implicit in the
+        # global/sharded arrays; solver.c:571-592)
+        for name in self.iter_species():
+            self.species[name] = self.species[name].wrap(pm.BoxSize)
+
+        N = sum(self.species[n].np_local for n in self.iter_species())
+        a_n = states.find_next_force_time(iend)
+
+        self.event_handlers.emit(
+            ev.EVENT_FORCE, ev.STAGE_BEFORE, solver=self, pm=pm,
+            a_f=trans.a_f, a_n=a_n, N=N, delta_k=None)
+
+        names = list(self.iter_species())
+        stores = [self.species[n] for n in names]
+        new_stores, delta_k = compute_force(
+            pm, painter, stores, cfg.kernel_type, cfg.softening_type,
+            compute_potential=cfg.compute_potential,
+            compute_tidal=cfg.compute_tidal)
+        for n, s in zip(names, new_stores):
+            self.species[n] = s
+
+        # compensate the CIC window so the event sees a de-aliased
+        # spectrum (solver.c:466-471)
+        delta_k = transfers.apply_decic(pm, delta_k)
+
+        self.event_handlers.emit(
+            ev.EVENT_FORCE, ev.STAGE_AFTER, solver=self, pm=pm,
+            a_f=trans.a_f, a_n=a_n, N=N, delta_k=delta_k)
+
+    def kick_one(self, p: Store, kick: KickFactor, af: float) -> Store:
+        """Apply a kick to a store (fastpm_kick_store, factors.c:147-197)."""
+        dda, Dv1, Dv2 = kick.coefficients(p.a_v, af)
+        if kick.force_mode == "cola":
+            acc = p.acc + p.dx1 * jnp.float32(kick.q1) + p.dx2 * jnp.float32(kick.q2)
+            v = p.v + acc * jnp.float32(dda)
+            v = v + p.dx1 * jnp.float32(Dv1) + p.dx2 * jnp.float32(Dv2)
+        else:
+            v = p.v + p.acc * jnp.float32(dda)
+        return p.replace(v=v, a_v=float(af))
+
+    def drift_one(self, p: Store, drift: DriftFactor, af: float) -> Store:
+        """Apply a drift to a store (fastpm_drift_one, factors.c:72-115)."""
+        dyyy, da1, da2 = drift.coefficients(p.a_x, af)
+        mode = drift.force_mode
+        if mode == "2lpt":
+            x = p.x + p.dx1 * jnp.float32(da1) + p.dx2 * jnp.float32(da2)
+        elif mode == "za":
+            x = p.x + p.dx1 * jnp.float32(da1)
+        elif mode in ("fastpm", "pm"):
+            x = p.x + p.v * jnp.float32(dyyy)
+        elif mode == "cola":
+            v = (p.v - (p.dx1 * jnp.float32(drift.Dv1)
+                        + p.dx2 * jnp.float32(drift.Dv2)))
+            x = p.x + v * jnp.float32(dyyy)
+            x = x + p.dx1 * jnp.float32(da1) + p.dx2 * jnp.float32(da2)
+        else:
+            raise ValueError(f"unknown force mode {mode!r}")
+        if p.pgdc is not None and drift.ai != drift.af:
+            total = drift.dyyy[-1]
+            x = x + 0.5 * p.pgdc * jnp.float32(dyyy / total)
+        return p.replace(x=x, a_x=float(af))
+
+    def do_kick(self, trans: Transition, states: StateTable,
+                iend: int) -> None:
+        kick = self._kick_factor(trans.a_i, trans.a_r, trans.a_f)
+        end = states.table[iend]
+        if end[1] == end[2]:  # x and v synced after this kick
+            dual = states.find_dual(iend - 1, ACTION_KICK)
+            if dual is None:
+                raise RuntimeError("dual transition not found")
+            drift = self._drift_factor(dual.a_i, dual.a_r, dual.a_f)
+            self._do_interpolation(drift, kick, trans.a_i, trans.a_f,
+                                   ev.TIMESTEP_CUR)
+        for name in self.iter_species():
+            p = self.species[name]
+            if abs(kick.ai - p.a_v) > 1e-12 or abs(kick.ac - p.a_x) > 1e-12:
+                raise RuntimeError("kick is inconsistent with state")
+            self.species[name] = self.kick_one(p, kick, trans.a_f)
+
+    def do_drift(self, trans: Transition, states: StateTable,
+                 iend: int) -> None:
+        drift = self._drift_factor(trans.a_i, trans.a_r, trans.a_f)
+        end = states.table[iend]
+        if end[1] == end[2]:
+            dual = states.find_dual(iend - 1, ACTION_DRIFT)
+            if dual is None:
+                raise RuntimeError("dual transition not found")
+            kick = self._kick_factor(dual.a_i, dual.a_r, dual.a_f)
+            self._do_interpolation(drift, kick, trans.a_i, trans.a_f,
+                                   ev.TIMESTEP_CUR)
+        for name in self.iter_species():
+            p = self.species[name]
+            if abs(drift.ai - p.a_x) > 1e-12 or abs(drift.ac - p.a_v) > 1e-12:
+                raise RuntimeError("drift is inconsistent with state")
+            self.species[name] = self.drift_one(p, drift, trans.a_f)
+
+    def _do_interpolation(self, drift, kick, a1, a2, whence):
+        self.event_handlers.emit(
+            ev.EVENT_INTERPOLATION, ev.STAGE_BEFORE, solver=self,
+            drift=drift, kick=kick, a1=a1, a2=a2, whence=whence)
+
+    # ---- evolution (solver.c:282-356) ----
+
+    def evolve(self, time_step: Optional[Sequence[float]] = None) -> None:
+        cfg = self.config
+        ts = list(time_step if time_step is not None else cfg.time_step)
+
+        # warmup: zero acc (solver.c:380-394)
+        for name in self.iter_species():
+            p = self.species[name]
+            if p.acc is not None:
+                self.species[name] = p.replace(acc=jnp.zeros_like(p.acc))
+
+        states = StateTable(ts)
+        for i in range(1, len(states.table)):
+            trans = states.transition(i - 1, i)
+            self.event_handlers.emit(ev.EVENT_TRANSITION, ev.STAGE_BEFORE,
+                                     solver=self, transition=trans)
+            if trans.action == ACTION_KICK:
+                self.do_kick(trans, states, i)
+            elif trans.action == ACTION_DRIFT:
+                self.do_drift(trans, states, i)
+            elif trans.action == ACTION_FORCE:
+                self.do_force(trans, states, i)
+            self.event_handlers.emit(ev.EVENT_TRANSITION, ev.STAGE_AFTER,
+                                     solver=self, transition=trans)
+            if i == 1:
+                # initial interpolation event (solver.c:334-345)
+                a0 = ts[0]
+                kick = self._kick_factor(a0, a0, a0)
+                drift = self._drift_factor(a0, a0, a0)
+                self._do_interpolation(drift, kick, a0, a0,
+                                       ev.TIMESTEP_START)
+        a1 = ts[-1]
+        kick = self._kick_factor(a1, a1, a1)
+        drift = self._drift_factor(a1, a1, a1)
+        self._do_interpolation(drift, kick, a1, a1, ev.TIMESTEP_END)
+
+    # ---- snapshots (solver.c:594-759) ----
+
+    def set_snapshot(self, p: Store, drift: DriftFactor, kick: KickFactor,
+                     aout: float) -> Store:
+        """Interpolate a species to aout and convert units:
+        internal velocity -> peculiar km/s, potential -> dimensionless
+        (fastpm_set_species_snapshot)."""
+        po = p
+        if drift is not None:
+            po = self.drift_one(po, drift, aout)   # uses OLD velocity
+        if kick is not None:
+            po = self.kick_one(po.replace(v=p.v, a_v=p.a_v), kick, aout)
+            po = po.replace(a_v=float(aout))
+        c = self.cosmology
+        potfactor = 1.5 * c.Omega_source(1.0) / HUBBLE_DISTANCE ** 2
+        v = po.v * jnp.float32(HUBBLE_CONSTANT / aout)
+        updates = dict(v=v)
+        if po.potential is not None:
+            updates["potential"] = po.potential * jnp.float32(potfactor / aout)
+        if po.tidal is not None:
+            updates["tidal"] = po.tidal * jnp.float32(potfactor / aout)
+        po = po.replace(**updates)
+        return po.wrap(self.basepm.BoxSize)
+
+
+@lru_cache(maxsize=4096)
+def _cached_kick(c, mode, ai, ac, af, nLPT):
+    return KickFactor(c, mode, ai, ac, af, nLPT)
+
+
+@lru_cache(maxsize=4096)
+def _cached_drift(c, mode, ai, ac, af, nLPT):
+    return DriftFactor(c, mode, ai, ac, af, nLPT)
