@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark: full PM gravity steps (paint + FFT Poisson + 3x readout +
+kick + drift) on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no benchmark numbers (BASELINE.md); the baseline
+used here is the north-star target rate derived from "1024^3 particles,
+40 steps, <60 s on v5p-16": 1024^3*40/(60*16) ~= 44.74e6 particle-steps
+per second per chip. vs_baseline = measured rate / that.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from fastpm_tpu.mesh import PM
+    from fastpm_tpu.benchlib import make_step_fn, example_particles
+
+    nc = int(os.environ.get("BENCH_NC", "256"))
+    b = int(os.environ.get("BENCH_B", "2"))       # pm_nc_factor
+    nsteps = int(os.environ.get("BENCH_STEPS", "5"))
+    box = 1.0 * nc
+
+    pm = PM(nc * b, box)
+    step = make_step_fn(pm, donate=False)
+    x, v = example_particles(nc, box, seed=0)
+    coeffs = jnp.asarray([0.05, 0.02], dtype=jnp.float32)
+
+    # compile + warmup
+    x1, v1, acc = step(x, v, coeffs)
+    jax.block_until_ready((x1, v1, acc))
+
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        x1, v1, acc = step(x1, v1, coeffs)
+    jax.block_until_ready((x1, v1, acc))
+    dt = time.perf_counter() - t0
+
+    nparticles = nc ** 3
+    rate = nparticles * nsteps / dt
+    baseline = 1024 ** 3 * 40 / (60.0 * 16)  # north-star per-chip rate
+    result = {
+        "metric": f"pm_step_{nc}^3_B{b}_particle_steps_per_sec",
+        "value": round(rate, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(rate / baseline, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

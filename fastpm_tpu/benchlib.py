@@ -1,0 +1,58 @@
+"""Shared benchmark helpers: the canonical single-chip PM step used by
+bench.py and __graft_entry__.py."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mesh import PM
+from .painter import Painter
+from .kernels import kernel_orders
+from . import transfers
+
+__all__ = ["make_step_fn", "example_particles"]
+
+
+def make_step_fn(pm: PM, kernel_type: str = "1_4",
+                 painter_type: str = "cic", support: int = 2,
+                 donate: bool = True):
+    """One full PM force+kick+drift step as a single jitted function:
+    (x, v, coeffs[2]) -> (x, v, acc). The hot loop of the framework."""
+    painter = Painter(pm, painter_type, support)
+    potorder, gradorder, difforder, _ = kernel_orders(kernel_type)
+    L = jnp.asarray(pm.BoxSize, dtype=jnp.float32)
+
+    def step(x, v, coeffs):
+        canvas = painter.paint(x, 1.0)
+        canvas = canvas / (x.shape[0] / pm.Norm)
+        delta_k = pm.r2c(canvas)
+        accs = []
+        for d in range(3):
+            fk = transfers.apply_pot(pm, delta_k, potorder)
+            fk = transfers.apply_grad(pm, fk, d, gradorder)
+            accs.append(painter.readout(pm.c2r(fk), x))
+        acc = jnp.stack(accs, axis=-1)
+        v = v + acc * coeffs[0]
+        x = x + v * coeffs[1]
+        x = x - jnp.floor(x / L) * L
+        return x, v, acc
+
+    if donate:
+        return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step)
+
+
+def example_particles(nc: int, boxsize: float, seed: int = 0, jitter=0.3):
+    """A jittered lattice of nc^3 particles (f32)."""
+    cell = boxsize / nc
+    g = np.arange(nc) * cell
+    q = np.stack(np.meshgrid(g, g, g, indexing="ij"), axis=-1).reshape(-1, 3)
+    rng = np.random.RandomState(seed)
+    x = (q + jitter * cell * rng.standard_normal(q.shape)) % boxsize
+    v = np.zeros_like(x)
+    return (jnp.asarray(x.astype(np.float32)),
+            jnp.asarray(v.astype(np.float32)))

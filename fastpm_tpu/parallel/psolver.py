@@ -1,0 +1,99 @@
+"""SPMD force + KDK step over a device mesh (the multi-chip hot loop).
+
+Design (v1, correctness-first):
+- particles are index-sharded (block of N/P particles per device); no
+  spatial homing is required for correctness
+- paint: each device scatters its particles into a full-size local canvas,
+  then one psum_scatter sums and shards the canvas into x-slabs -- the
+  analog of the reference's ghost reduction (pmghosts.c), done as a single
+  XLA collective
+- FFT: slab pencil via SlabPM (all_to_all transposes)
+- readout: per force component, all_gather the x-slabs and gather locally
+  (the analog of ghost readout)
+- kick/drift: purely local
+
+The whole step is one jitted, donated-buffer SPMD program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+from ..mesh import PM
+from ..painter import Painter
+from ..kernels import kernel_orders
+from .pfft import SlabPM
+
+__all__ = ["make_sharded_step", "sharded_force_fn"]
+
+
+def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str):
+    """Shard-local body: positions (Nloc,3) -> acc (Nloc,3).
+
+    Runs INSIDE shard_map; all collectives are explicit.
+    """
+    pm = spm.pm
+    potorder, gradorder, difforder, _ = kernel_orders(kernel_type)
+
+    canvas_full = painter.paint(x, 1.0)              # (Nx, Ny, Nz) local
+    # sum over devices and shard into x-slabs (ghost reduce analogue)
+    canvas = jax.lax.psum_scatter(canvas_full, spm.axis,
+                                  scatter_dimension=0, tiled=True)
+    ntotal = jax.lax.psum(jnp.float32(x.shape[0]), spm.axis)
+    canvas = canvas / (ntotal / pm.Norm)
+
+    delta_k = spm.r2c_local(canvas)
+
+    accs = []
+    for d in range(3):
+        fk = spm.apply_pot(delta_k, potorder)
+        fk = spm.apply_grad(fk, d, gradorder)
+        slab = spm.c2r_local(fk)                     # (Nx/P, Ny, Nz)
+        full = jax.lax.all_gather(slab, spm.axis, axis=0, tiled=True)
+        accs.append(painter.readout(full, x))
+    return jnp.stack(accs, axis=-1)
+
+
+def sharded_force_fn(pm: PM, mesh: Mesh, kernel_type: str = "1_4",
+                     painter_type: str = "cic", painter_support: int = 2):
+    """Jitted SPMD function positions (N,3) -> accelerations (N,3),
+    sharded over mesh axis 'x'."""
+    spm = SlabPM(pm, mesh)
+    painter = Painter(pm, painter_type, painter_support)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("x"), out_specs=P("x"))
+    def force(x):
+        return _force_local(spm, painter, x, kernel_type)
+
+    return force
+
+
+def make_sharded_step(pm: PM, mesh: Mesh, kernel_type: str = "1_4",
+                      painter_type: str = "cic", painter_support: int = 2):
+    """The full multi-chip training step: force -> kick -> drift -> wrap.
+
+    Returns a jitted function step(x, v, coeffs) -> (x, v, acc) where
+    coeffs = [dda, dyyy] are the kick/drift factors for this step
+    (computed host-side from the factor tables). Buffers are donated.
+    """
+    spm = SlabPM(pm, mesh)
+    painter = Painter(pm, painter_type, painter_support)
+    L = jnp.asarray(pm.BoxSize, dtype=jnp.float32)
+
+    def step_local(x, v, coeffs):
+        acc = _force_local(spm, painter, x, kernel_type)
+        v = v + acc * coeffs[0]
+        x = x + v * coeffs[1]
+        x = x - jnp.floor(x / L) * L
+        return x, v, acc
+
+    sharded = jax.shard_map(step_local, mesh=mesh,
+                            in_specs=(P("x"), P("x"), P()),
+                            out_specs=(P("x"), P("x"), P("x")))
+    return jax.jit(sharded, donate_argnums=(0, 1))
