@@ -63,11 +63,9 @@ class SolverConfig:
 
     def __post_init__(self):
         if self.force_mode == "zola":
-            # lua: zola == fastpm stepping with ZA-only ICs
+            # lua maps zola to FASTPM_FORCE_FASTPM (lua-runtime-fastpm.lua:
+            # force_mode.choices); the za flag is independent
             self.force_mode = "fastpm"
-            self.za = True
-        if self.force_mode == "2lpt":
-            self.use_dx1_only = False
         if self.za:
             self.use_dx1_only = True
 
