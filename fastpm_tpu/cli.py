@@ -1,0 +1,246 @@
+"""The `fastpm-tpu` command-line driver (reference: src/fastpm.c).
+
+Runs a Lua parameter file: IC pipeline -> 2LPT -> evolution with event
+handlers for per-step power spectra and interpolated snapshots.
+
+CLI flags mirror the reference where meaningful; MPI-machinery flags
+(-T threads, -y NprocY, -m memory bound) are accepted and ignored with a
+note, since XLA owns threading/memory here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from .config.params import load_params, Params
+from .cosmology import Cosmology
+from .solver import Solver, SolverConfig
+from .powerspectrum import FuncK, sigma_tophat
+from .diagnostics import attach_standard_handlers, Log
+from . import ic, events as ev, transfers
+from .io.snapshots import write_snapshot
+from .io.fields import write_complex, read_complex
+
+__all__ = ["main", "run_fastpm", "build_cosmology", "build_config"]
+
+
+def build_cosmology(p: Params) -> Cosmology:
+    return Cosmology(
+        h=p.h, Omega_m=p.Omega_m, Omega_k=p.Omega_k, T_cmb=p.T_cmb,
+        w0=p.w0, wa=p.wa, N_eff=p.N_eff, N_nu=p.N_nu,
+        m_ncdm=tuple(p.m_ncdm or ()),
+        ncdm_matterlike=p.ncdm_matterlike,
+        ncdm_freestreaming=p.ncdm_freestreaming,
+        ncdm_linearresponse=p.ncdm_linearresponse,
+        growth_mode=p.growth_mode.lower(),
+    )
+
+
+def build_config(p: Params) -> SolverConfig:
+    pmf = p.pm_nc_factor
+    if isinstance(pmf, list) and pmf and isinstance(pmf[0], list):
+        pm_nc_factor = [(row[0], row[1]) for row in pmf]
+    elif isinstance(pmf, list):
+        pm_nc_factor = pmf[0]
+    else:
+        pm_nc_factor = pmf
+    return SolverConfig(
+        nc=p.nc, boxsize=p.boxsize, time_step=list(p.time_step),
+        force_mode=p.force_mode, kernel_type=p.kernel_type,
+        softening_type=p.force_softening_type,
+        painter_type=p.painter_type, painter_support=p.painter_support,
+        pm_nc_factor=pm_nc_factor, lpt_nc_factor=p.lpt_nc_factor,
+        use_shift=p.shift, za=p.za,
+        compute_potential=p.compute_potential,
+        compute_tidal=bool(p.get("compute_tidal", False)),
+        np_alloc_factor=p.np_alloc_factor,
+    )
+
+
+def prepare_deltak(solver: Solver, p: Params, log: Log):
+    """The IC pipeline (src/fastpm.c:prepare_deltak), delta_k normalized
+    at z=0 on the lptpm mesh."""
+    pm = solver.lptpm
+    c = solver.cosmology
+
+    if p.read_lineark:
+        log.info("Reading Fourier space linear overdensity from %s",
+                 p.read_lineark)
+        import jax.numpy as jnp
+        dk = jnp.asarray(read_complex(pm, p.read_lineark, "LinearDensityK"))
+        if p.inverted_ic:
+            dk = -dk
+        dk = ic.rescale_linear(pm, dk, c, 1.0, p.linear_density_redshift)
+        return dk, None
+
+    if not p.read_powerspectrum:
+        raise SystemExit("Need a power spectrum to start the simulation.")
+
+    log.info("Powerspecectrum file: %s", p.read_powerspectrum)
+    pk = FuncK.from_file(p.read_powerspectrum)
+    log.info("Found %d pairs of values in input spectrum table", pk.size)
+    sigma8_input = sigma_tophat(pk, 8.0)
+    log.info("Input power spectrum sigma8 %f", sigma8_input)
+    if p.sigma8 > 0:
+        log.info("Expected power spectrum sigma8 %g; correction applied.",
+                 p.sigma8)
+        pk = FuncK(pk.k, pk.f * (p.sigma8 / sigma8_input) ** 2)
+
+    import jax.numpy as jnp
+    if p.read_whitenoisek:
+        log.info("Reading Fourier white noise file from '%s'.",
+                 p.read_whitenoisek)
+        dk = jnp.asarray(read_complex(pm, p.read_whitenoisek, "WhiteNoiseK"))
+    else:
+        dk = ic.gaussian_white_noise(pm, p.random_seed, "gadget")
+
+    if p.remove_cosmic_variance:
+        log.info("Remove Cosmic variance from initial condition.")
+        dk = ic.remove_variance(dk)
+
+    if p.set_mode:
+        method = "add" if p.set_mode_method == "add" else "override"
+        log.info("SetMode is %s", method)
+        for i, m in enumerate(p.set_mode):
+            dk = transfers.set_mode(pm, dk, m[:4], m[4], method)
+            got = transfers.get_mode(pm, dk, m[:4])
+            log.info("SetMode %d : %d %d %d %d value = %g, to = %g",
+                     i, int(m[0]), int(m[1]), int(m[2]), int(m[3]),
+                     m[4], got)
+
+    if p.inverted_ic:
+        dk = -dk
+
+    variance = pm.compute_variance(dk)
+    log.info("Variance of input white noise is %0.8f, expectation is %0.8f",
+             variance, 1.0 - 1.0 / pm.Norm)
+
+    if p.write_whitenoisek:
+        log.info("Writing Fourier white noise to file '%s'.",
+                 p.write_whitenoisek)
+        write_complex(pm, np.asarray(dk), p.write_whitenoisek, "WhiteNoiseK")
+
+    log.info("Inducing correlation to the white noise.")
+    dk = ic.induce_correlation(pm, dk, pk)
+    dk = ic.rescale_linear(pm, dk, c, 1.0, p.linear_density_redshift)
+
+    # set the mean to 1.0 (src/fastpm.c:561-565)
+    dk = transfers.set_mode(pm, dk, (0, 0, 0, 0), 1.0, "override")
+
+    if p.write_lineark:
+        log.info("Writing fourier space linear field to %s", p.write_lineark)
+        write_complex(pm, np.asarray(dk), p.write_lineark, "LinearDensityK")
+    return dk, pk
+
+
+class SnapshotChecker:
+    """Interpolation-event handler writing snapshots at each aout
+    (check_snapshots, src/fastpm.c:1144-1209)."""
+
+    def __init__(self, solver: Solver, p: Params, log: Log):
+        self.solver = solver
+        self.p = p
+        self.log = log
+        self.aout = sorted(p.aout or [])
+        self.iout = 0
+
+    def __call__(self, event):
+        log = self.log
+        log.info("Checking Snapshots (%0.4f %0.4f)", event.a1, event.a2)
+        # mirror src/fastpm.c:1165-1205: scan pending aouts; ranges are
+        # semi-closed (a1, a2] except the zero-length initial/final events
+        for iout in range(self.iout, len(self.aout)):
+            aout = self.aout[iout]
+            if event.a1 == event.a2:
+                if event.a1 != aout:
+                    continue
+            else:
+                if event.a1 >= aout or event.a2 < aout:
+                    continue
+            self.write_one(aout, event)
+            self.iout = iout + 1
+
+    def write_one(self, aout, event):
+        p, log, s = self.p, self.log, self.solver
+        gi = s.cosmology.growth_info(aout)
+        snapshot = {}
+        for name in s.iter_species():
+            snapshot[name] = s.set_snapshot(s.species[name], event.drift,
+                                            event.kick, aout)
+        cdm = snapshot["cdm"]
+        log.info("Snapshot a_x = %6.4f, a_v = %6.4f", cdm.a_x, cdm.a_v)
+        log.info("Growth factor of snapshot %6.4f (a=%0.4f)", gi.D1, aout)
+        log.info("Growth rate of snapshot %6.4f (a=%0.4f)", gi.f1, aout)
+
+        if p.write_snapshot:
+            path = "%s_%0.04f" % (p.write_snapshot, aout)
+            log.info("Writing a snapshot header to %s", path)
+            rsd = write_snapshot(path, s.cosmology, snapshot,
+                                 p.nc, p.boxsize,
+                                 param_text=p.source,
+                                 sort_by_id=p.sort_snapshot,
+                                 particle_fraction=p.particle_fraction)
+            log.info("RSD factor %e", rsd)
+            n = snapshot["cdm"].np_local
+            log.info("Writing %d objects.", n)
+        if p.write_nonlineark:
+            from .gravity import paint_delta_k
+            from .painter import Painter
+            pm = s.basepm
+            painter = Painter(pm, s.config.painter_type,
+                              s.config.painter_support)
+            dk = paint_delta_k(pm, painter, [snapshot["cdm"].wrap(pm.BoxSize)])
+            path = "%s_%0.04f" % (p.write_nonlineark, aout)
+            log.info("Writing nonlinear density K to %s", path)
+            write_complex(pm, np.asarray(dk), path, "DensityK")
+
+
+def run_fastpm(p: Params, log=None) -> Solver:
+    """The full run (src/fastpm.c:run_fastpm)."""
+    if log is None:
+        log = Log()
+    c = build_cosmology(p)
+    cfg = build_config(p)
+    solver = Solver(cfg, c)
+    attach_standard_handlers(solver, log,
+                             write_powerspectrum=p.write_powerspectrum,
+                             enforce_broadband_kmax=p.enforce_broadband_kmax)
+
+    checker = SnapshotChecker(solver, p, log)
+    solver.event_handlers.on(ev.EVENT_INTERPOLATION, ev.STAGE_BEFORE, checker)
+
+    dk, pk = prepare_deltak(solver, p, log)
+    a0 = p.time_step[0]
+    solver.setup_lpt(dk, a0)
+    solver.evolve()
+    return solver
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="fastpm-tpu",
+        description="TPU-native FastPM cosmological N-body solver")
+    ap.add_argument("-T", type=int, default=0, help="ignored (XLA threads)")
+    ap.add_argument("-W", type=int, default=0, help="number of IO writers")
+    ap.add_argument("-y", type=int, default=0, help="ignored (NprocY)")
+    ap.add_argument("-m", type=int, default=0, help="ignored (memory bound)")
+    ap.add_argument("-r", dest="restart", default=None,
+                    help="restart from snapshot path")
+    ap.add_argument("params", help="Lua parameter file")
+    ap.add_argument("args", nargs="*", help="extra arguments exposed as "
+                    "`args` in the parameter file")
+    ns = ap.parse_args(argv)
+
+    p = load_params(ns.params, ns.args)
+    if ns.restart:
+        raise SystemExit("restart is not wired into the CLI yet")
+    run_fastpm(p)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

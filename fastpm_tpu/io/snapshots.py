@@ -1,0 +1,162 @@
+"""Snapshot writer/reader (reference: libfastpmio/io.c:229-640,
+src/fastpm.c:take_a_snapshot).
+
+Layout (bigfile, MP-Gadget-compatible):
+- Header block: cosmology/growth attrs incl. RSDFactor = 1/(H0 a E(a)),
+  MassTable, TotNumPart, unit system (io.c:288-320); ParamFile attr holds
+  the full parameter file text for provenance (src/fastpm.c:97-116).
+- per-species datasets named "0" (baryon) "1" (cdm) "2" (ncdm) with
+  columns Position f4, Velocity f4 (peculiar km/s), ID i8, plus optional
+  Aemit/Potential/Tidal/Mass... (io.c:389-420).
+- per-dataset attrs persist the store metadata (q.strides/scale/shift/
+  size, a.x, a.v, M0) making restart exact (io.c:446-456).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from .bigfile import BigFile
+from ..store import Store
+from ..cosmology import Cosmology
+from ..units import HUBBLE_CONSTANT
+
+__all__ = ["write_snapshot", "read_snapshot_header", "read_species",
+           "SPECIES_DATASET", "LIBFASTPM_VERSION"]
+
+LIBFASTPM_VERSION = "fastpm-tpu 0.1"
+
+SPECIES_DATASET = {"baryon": "0", "cdm": "1", "ncdm": "2"}
+
+# store column -> (block name, on-disk dtype)  (io.c:405-423)
+COLUMN_BLOCKS = [
+    ("x", "Position", "f4"),
+    ("dx1", "DX1", "f4"),
+    ("dx2", "DX2", "f4"),
+    ("v", "Velocity", "f4"),
+    ("id", "ID", "i8"),
+    ("aemit", "Aemit", "f4"),
+    ("potential", "Potential", "f4"),
+    ("tidal", "Tidal", "f4"),
+    ("mass", "Mass", "f4"),
+]
+
+
+def write_snapshot_header(bf: BigFile, c: Cosmology, aout: float,
+                          nc: int, boxsize: float,
+                          species: Dict[str, Store]) -> float:
+    """Returns the RSD factor (logged by the reference, golden value)."""
+    hh = bf.create_block("Header")
+    a = hh.attrs
+    gi = c.growth_info(aout)
+    E = c.E(aout)
+    rsd = 1.0 / (HUBBLE_CONSTANT * aout * E)
+
+    a.set("NC", np.int64(nc), "i8")
+    a.set("BoxSize", float(boxsize), "f8")
+    a.set("ScalingFactor", float(aout), "f8")
+    a.set("GrowthFactor", float(gi.D1), "f8")
+    a.set("GrowthRate", float(gi.f1), "f8")
+    a.set("HubbleE", float(E), "f8")
+    a.set("RSDFactor", float(rsd), "f8")
+    a.set("Omega_cdm", float(c.Omega_cdm), "f8")
+    a.set("OmegaM", float(c.Omega_m), "f8")
+    a.set("OmegaLambda", float(c.Omega_Lambda), "f8")
+    a.set("HubbleParam", float(c.h), "f8")
+    a.set("LibFastPMVersion", LIBFASTPM_VERSION)
+
+    mass_table = [0.0] * 6
+    tot = [0] * 6
+    for name, idx in (("baryon", 0), ("cdm", 1), ("ncdm", 2)):
+        p = species.get(name)
+        if p is not None:
+            mass_table[idx] = p.M0
+            tot[idx] = p.np_local
+    a.set("Omega0", float(c.Omega_cdm), "f8")
+    a.set("TotNumPart", np.asarray(tot, dtype=np.int64), "i8")
+    a.set("MassTable", np.asarray(mass_table, dtype=np.float64), "f8")
+    a.set("Time", float(aout), "f8")
+    a.set("UsePeculiarVelocity", np.int32(1), "i4")
+    a.set("UnitLength_in_cm", 3.085678e21 * 1e3, "f8")
+    a.set("UnitMass_in_g", 1.989e43, "f8")
+    a.set("UnitVelocity_in_cm_per_s", 1e5, "f8")
+    return rsd
+
+
+def _dataset_attrs(block, p: Store):
+    """Persist store metadata for exact restart (io.c:446-456)."""
+    n0, n1, n2 = p.q_nc
+    block.attrs.set("q.strides",
+                    np.asarray([n1 * n2, n2, 1], dtype=np.int64), "i8")
+    block.attrs.set("q.scale", np.asarray(p.q_scale, dtype=np.float64), "f8")
+    block.attrs.set("q.shift", np.asarray(p.q_shift, dtype=np.float64), "f8")
+    block.attrs.set("q.size", np.int64(n0 * n1 * n2), "i8")
+    block.attrs.set("a.x", float(p.a_x), "f8")
+    block.attrs.set("a.v", float(p.a_v), "f8")
+    block.attrs.set("M0", float(p.M0), "f8")
+
+
+def write_species(bf: BigFile, dataset: str, p: Store, Nfile: int = 1,
+                  sort_by_id: bool = True, keep_mask=None):
+    """Write a species store as dataset columns (fastpm_store_write)."""
+    cols = {}
+    for attr, name, dtype in COLUMN_BLOCKS:
+        v = getattr(p, attr)
+        if v is None:
+            continue
+        arr = np.asarray(v)
+        if keep_mask is not None:
+            arr = arr[np.asarray(keep_mask)]
+        cols[name] = (arr, dtype)
+
+    if sort_by_id and "ID" in cols:
+        order = np.argsort(cols["ID"][0], kind="stable")
+        cols = {k: (v[order], d) for k, (v, d) in cols.items()}
+
+    root = bf.create_block(dataset)
+    _dataset_attrs(root, p)
+    for name, (arr, dtype) in cols.items():
+        bf.create_block(f"{dataset}/{name}",
+                        arr.astype(np.dtype(dtype)), Nfile=Nfile)
+
+
+def write_snapshot(path: str, c: Cosmology, species: Dict[str, Store],
+                   nc: int, boxsize: float,
+                   param_text: str = "", Nfile: int = 1,
+                   sort_by_id: bool = True,
+                   particle_fraction: float = 1.0) -> float:
+    """Full snapshot write. Species stores must already be in snapshot
+    units (peculiar km/s velocity; see Solver.set_snapshot). Returns the
+    RSD factor."""
+    bf = BigFile(path, create=True)
+    cdm = species["cdm"]
+    rsd = write_snapshot_header(bf, c, cdm.a_x, nc, boxsize, species)
+    if param_text:
+        bf.open_block("Header").attrs.set("ParamFile", param_text)
+    for name, p in species.items():
+        keep = None
+        if particle_fraction < 1.0 and p.rand is not None:
+            keep = np.asarray(p.rand) < particle_fraction
+        write_species(bf, SPECIES_DATASET[name], p, Nfile=Nfile,
+                      sort_by_id=sort_by_id, keep_mask=keep)
+    return rsd
+
+
+def read_snapshot_header(path: str) -> Dict:
+    bf = BigFile(path)
+    return bf.open_block("Header").attrs.asdict()
+
+
+def read_species(path: str, dataset: str = "1") -> Dict[str, np.ndarray]:
+    """Read the raw column arrays + metadata of a species dataset."""
+    bf = BigFile(path)
+    out = {}
+    root = bf.open_block(dataset)
+    out["_attrs"] = root.attrs.asdict()
+    for attr, name, dtype in COLUMN_BLOCKS:
+        if bf.has_block(f"{dataset}/{name}"):
+            out[attr] = bf.open_block(f"{dataset}/{name}").read_all()
+    return out

@@ -1,0 +1,140 @@
+"""Tests for bigfile IO, snapshots, complex-field dumps, and the CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fastpm_tpu.io.bigfile import BigFile
+from fastpm_tpu.io.fields import write_complex, read_complex
+from fastpm_tpu.io.snapshots import (write_snapshot, read_snapshot_header,
+                                     read_species)
+from fastpm_tpu.mesh import PM
+from fastpm_tpu.cosmology import Cosmology
+from fastpm_tpu.config.params import load_params_from_string
+from fastpm_tpu.cli import run_fastpm
+from fastpm_tpu.diagnostics import Log
+
+COSMO = Cosmology(h=0.6774, Omega_m=0.307494, T_cmb=0.0, growth_mode="lcdm")
+
+
+def test_bigfile_roundtrip(tmp_path):
+    bf = BigFile(str(tmp_path / "f"), create=True)
+    data = np.arange(30, dtype=np.float32).reshape(10, 3)
+    block = bf.create_block("1/Position", data, Nfile=3)
+    block.attrs.set("a.x", 0.5, "f8")
+    block.attrs.set("name", "hello")
+    block.attrs.set("ints", np.asarray([1, 2, 3], dtype=np.int64), "i8")
+
+    bf2 = BigFile(str(tmp_path / "f"))
+    b2 = bf2.open_block("1/Position")
+    np.testing.assert_array_equal(b2.read_all(), data)
+    assert b2.dtype == "<f4" and b2.nmemb == 3 and b2.Nfile == 3
+    assert b2.attrs.get("a.x") == 0.5
+    assert b2.attrs.get("name") == "hello"
+    np.testing.assert_array_equal(b2.attrs.get("ints"), [1, 2, 3])
+    assert set(bf2.list_blocks()) == {"1/Position"}
+
+
+def test_bigfile_header_format(tmp_path):
+    """The header must be parseable by the reference's fscanf format."""
+    bf = BigFile(str(tmp_path / "f"), create=True)
+    data = np.ones(7, dtype=np.int64)
+    bf.create_block("ID", data, Nfile=2)
+    text = open(tmp_path / "f" / "ID" / "header").read()
+    lines = text.strip().split("\n")
+    assert lines[0] == "DTYPE: <i8"
+    assert lines[1] == "NMEMB: 1"
+    assert lines[2] == "NFILE: 2"
+    assert lines[3].startswith("000000: 3 : ")
+    assert lines[4].startswith("000001: 4 : ")
+    # checksum: each row is int64(1) = bytes 01 00.. -> sum = n rows
+    assert lines[3] == "000000: 3 : 3 : 3"
+
+
+def test_complex_field_roundtrip(tmp_path):
+    import jax
+    pm = PM(8, 16.0)
+    rng = np.random.RandomState(0)
+    dk = (rng.normal(size=pm.kshape) + 1j * rng.normal(size=pm.kshape)
+          ).astype(np.complex64)
+    write_complex(pm, dk, str(tmp_path / "IC"), "WhiteNoiseK")
+    back = read_complex(pm, str(tmp_path / "IC"), "WhiteNoiseK")
+    np.testing.assert_array_equal(back, dk)
+    bf = BigFile(str(tmp_path / "IC"))
+    attrs = bf.open_block("WhiteNoiseK").attrs
+    assert attrs.get("Nmesh") == 8
+    np.testing.assert_array_equal(attrs.get("ndarray.shape"), [8, 8, 5])
+
+
+SMALL_LUA = """
+nc = 16
+boxsize = 64.0
+time_step = linspace(0.2, 1, 3)
+output_redshifts = {1.0, 0.0}
+Omega_m = 0.307494
+h = 0.6774
+read_powerspectrum = "/root/reference/tests/powerspec.txt"
+random_seed = 100
+force_mode = "fastpm"
+growth_mode = "LCDM"
+pm_nc_factor = 1
+np_alloc_factor = 2.0
+write_snapshot = "%(out)s/fastpm"
+write_powerspectrum = "%(out)s/powerspec"
+write_whitenoisek = "%(out)s/IC"
+"""
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path):
+    p = load_params_from_string(SMALL_LUA % dict(out=tmp_path))
+    log = Log(echo=False)
+    solver = run_fastpm(p, log)
+
+    # power spectrum files per force step (3 timesteps -> 3 forces)
+    ps_files = sorted(os.listdir(tmp_path))
+    assert any(f.startswith("powerspec_") for f in ps_files)
+
+    # snapshots at z=1 and z=0
+    for a in ("0.5000", "1.0000"):
+        path = str(tmp_path / f"fastpm_{a}")
+        hdr = read_snapshot_header(path)
+        assert hdr["NC"] == 16
+        assert hdr["BoxSize"] == 64.0
+        assert abs(hdr["ScalingFactor"] - float(a)) < 1e-6
+        assert "ParamFile" in read_snapshot_header(path)
+        data = read_species(path, "1")
+        assert data["x"].shape == (16 ** 3, 3)
+        assert data["v"].shape == (16 ** 3, 3)
+        assert data["id"].shape[0] == 16 ** 3
+        # sorted by id
+        assert np.all(np.diff(data["id"][:, 0] if data["id"].ndim > 1
+                              else data["id"]) > 0)
+        # metadata restores the store state
+        assert data["_attrs"]["a.x"] == pytest.approx(float(a))
+        assert data["_attrs"]["M0"] > 0
+
+    # snapshot velocity is peculiar km/s: at z=0, v = 100 * internal
+    data = read_species(str(tmp_path / "fastpm_1.0000"), "1")
+    v = data["v"]
+    assert np.abs(v).max() < 3000  # sane km/s range
+
+    # white noise file written and re-readable
+    pm = solver.lptpm
+    wn = read_complex(pm, str(tmp_path / "IC"), "WhiteNoiseK")
+    assert wn.shape == pm.kshape
+
+
+def test_snapshot_writer_direct(tmp_path):
+    from fastpm_tpu.store import lattice_store
+    pm = PM(8, 16.0)
+    p = lattice_store(pm, columns=("v", "id", "rand"))
+    rsd = write_snapshot(str(tmp_path / "snap"), COSMO,
+                         {"cdm": p.replace(a_x=2.0 / 3, a_v=2.0 / 3, M0=5.0)},
+                         nc=8, boxsize=16.0, param_text="nc = 8")
+    # golden RSD factor at z=0.5 (run-test-nbodykit.sh:13)
+    assert rsd == pytest.approx(1.140331e-02, rel=1e-6)
+    hdr = read_snapshot_header(str(tmp_path / "snap"))
+    assert hdr["ParamFile"] == "nc = 8"
+    np.testing.assert_allclose(hdr["MassTable"], [0, 5.0, 0, 0, 0, 0])
