@@ -187,6 +187,37 @@ class SnapshotChecker:
             log.info("RSD factor %e", rsd)
             n = snapshot["cdm"].np_local
             log.info("Writing %d objects.", n)
+        if p.write_fof:
+            from .fof import find_halos
+            from .io.snapshots import write_halo_catalog
+            ll = p.fof_linkinglength * p.boxsize / p.nc
+            cat, _ = find_halos(snapshot["cdm"].wrap(p.boxsize), ll,
+                                p.boxsize, nmin=int(p.fof_nmin))
+            dataset = "LL-%05.3f" % p.fof_linkinglength
+            path = "%s_%0.04f" % (p.write_fof, aout)
+            log.info("Writing a catalog to %s [%s]", path, dataset)
+            write_halo_catalog(path, dataset, cat, s.cosmology,
+                               aout, p.nc, p.boxsize,
+                               M0=snapshot["cdm"].M0)
+            log.info("Writing %d objects.", cat.nhalo)
+        if p.write_rfof:
+            from .fof import rfof_find_halos
+            from .io.snapshots import write_halo_catalog
+            sep = p.boxsize / p.nc
+            z = 1.0 / aout - 1.0
+            cat, _ = rfof_find_halos(
+                snapshot["cdm"].wrap(p.boxsize), p.boxsize, z, s.cosmology,
+                nmin=int(p.rfof_nmin),
+                linkinglength=p.rfof_linkinglength * sep,
+                l1=p.rfof_l1 * sep, l6=p.rfof_l6 * sep,
+                A1=p.rfof_a1 * sep, A2=p.rfof_a2 * sep,
+                B1=p.rfof_b1, B2=p.rfof_b2)
+            path = "%s_%0.04f" % (p.write_rfof, aout)
+            log.info("Writing a catalog to %s [RFOF]", path)
+            write_halo_catalog(path, "RFOF", cat, s.cosmology,
+                               aout, p.nc, p.boxsize,
+                               M0=snapshot["cdm"].M0)
+            log.info("Writing %d objects.", cat.nhalo)
         if p.write_nonlineark:
             from .gravity import paint_delta_k
             from .painter import Painter

@@ -145,6 +145,33 @@ def write_snapshot(path: str, c: Cosmology, species: Dict[str, Store],
     return rsd
 
 
+def write_halo_catalog(path: str, dataset: str, cat, c: Cosmology,
+                       aout: float, nc: int, boxsize: float,
+                       M0: float = 1.0):
+    """Write a FOF/RFOF halo catalog dataset (run_fof, src/fastpm.c:1265;
+    column map io.c:405-423: Length i4, Position f4, Velocity f4,
+    MinID i8, Rdisp/Vdisp/RVdisp f4, InitialPosition f4)."""
+    bf = BigFile(path, create=True)
+    if not bf.has_block("Header"):
+        write_snapshot_header(bf, c, aout, nc, boxsize, {})
+    root = bf.create_block(dataset)
+    root.attrs.set("M0", float(M0), "f8")
+    root.attrs.set("a.x", float(aout), "f8")
+    root.attrs.set("a.v", float(aout), "f8")
+    bf.create_block(f"{dataset}/Length", cat.length.astype(np.int32))
+    bf.create_block(f"{dataset}/Position", cat.x.astype(np.float32))
+    bf.create_block(f"{dataset}/Velocity", cat.v.astype(np.float32))
+    bf.create_block(f"{dataset}/MinID", cat.minid.astype(np.int64))
+    bf.create_block(f"{dataset}/Rdisp", cat.rdisp.astype(np.float32))
+    bf.create_block(f"{dataset}/Vdisp", cat.vdisp.astype(np.float32))
+    bf.create_block(f"{dataset}/RVdisp", cat.rvdisp.astype(np.float32))
+    if cat.q is not None:
+        bf.create_block(f"{dataset}/InitialPosition",
+                        cat.q.astype(np.float32))
+    if cat.aemit is not None:
+        bf.create_block(f"{dataset}/Aemit", cat.aemit.astype(np.float32))
+
+
 def read_snapshot_header(path: str) -> Dict:
     bf = BigFile(path)
     return bf.open_block("Header").attrs.asdict()

@@ -115,45 +115,41 @@ class Painter:
 
     # ---- kernel evaluation ----
 
-    def _corners_and_weights(self, pos):
-        """pos (N,3) -> (ipos (N,3) int32 base cell, weights (N, s, 3)).
-
-        weights[:, i, d] is the normalized per-axis kernel value for corner
-        offset i along axis d (painter.c:_fill_k).
-        """
+    def _base_and_frac(self, pos):
+        """pos (N,3) -> (ipos (N,3) int32 base cell, dx (N,3) fraction,
+        ksum (N,3) per-axis normalization)."""
         pm = self.pm
         inv_cell = jnp.asarray(pm.InvCellSize, dtype=pos.dtype)
         gpos = pos * inv_cell
         ipos = jnp.floor(gpos + self.shift).astype(jnp.int32) - self.left
         dx = gpos - ipos  # (N, 3)
-        i = jnp.arange(self.support, dtype=pos.dtype)  # (s,)
-        x = dx[:, None, :] - i[None, :, None]          # (N, s, 3)
-        k = self.kernel(x, self.invh)
-        ksum = jnp.sum(k, axis=1, keepdims=True)
-        if self.diffdir >= 0:
-            d = self.diffdir
-            kd = self.diff(x[..., d], self.invh) * pm.InvCellSize[d]
-            k = k.at[..., d].set(kd)
-        k = k / ksum
-        return ipos, k
+        ksum = 0.0
+        for i in range(self.support):
+            ksum = ksum + self.kernel(dx - i, self.invh)
+        return ipos, dx, ksum
 
-    def _flat_indices(self, ipos):
-        """(N,3) base cells -> (N, s^3) flattened periodic mesh indices."""
+    def _axis_weight(self, dx, ksum, off, d):
+        """Normalized kernel value for corner offset `off` along axis d.
+        The normalization always comes from the true kernel; diffdir
+        replaces the value with the derivative (painter.c:195-213)."""
+        x = dx[:, d] - off
+        if d == self.diffdir:
+            k = self.diff(x, self.invh) * self.pm.InvCellSize[d]
+        else:
+            k = self.kernel(x, self.invh)
+        return k / ksum[:, d]
+
+    def _corner_flat(self, ipos, off):
+        """Flattened periodic mesh index for one corner offset (N,)."""
         pm = self.pm
-        n = jnp.asarray(pm.Nmesh, dtype=jnp.int32)
-        # (N, s^3, 3)
-        tgt = ipos[:, None, :] + jnp.asarray(self.offsets)[None, :, :]
-        tgt = jnp.remainder(tgt, n)
-        return ((tgt[..., 0] * pm.Nmesh[1] + tgt[..., 1]) * pm.Nmesh[2]
-                + tgt[..., 2])
-
-    def _corner_weights(self, k):
-        """(N, s, 3) per-axis weights -> (N, s^3) product weights."""
-        off = self.offsets  # (s^3, 3)
-        w = (k[:, off[:, 0], 0] * k[:, off[:, 1], 1] * k[:, off[:, 2], 2])
-        return w
+        ix = jnp.remainder(ipos[:, 0] + off[0], pm.Nmesh[0])
+        iy = jnp.remainder(ipos[:, 1] + off[1], pm.Nmesh[1])
+        iz = jnp.remainder(ipos[:, 2] + off[2], pm.Nmesh[2])
+        return (ix * pm.Nmesh[1] + iy) * pm.Nmesh[2] + iz
 
     # ---- public API ----
+    # Both loops are over the static support^3 corner offsets so the
+    # peak memory is O(N), not O(N s^3) -- essential at 1024^3 scale.
 
     def paint(self, pos, mass=1.0, canvas=None):
         """Deposit mass (scalar or (N,)) at pos (N,3) into canvas
@@ -161,21 +157,25 @@ class Painter:
         pm = self.pm
         if canvas is None:
             canvas = jnp.zeros(pm.rshape, dtype=pm.dtype)
-        ipos, k = self._corners_and_weights(pos)
-        flat = self._flat_indices(ipos)        # (N, s^3)
-        w = self._corner_weights(k)            # (N, s^3)
-        if jnp.ndim(mass) == 0:
+        ipos, dx, ksum = self._base_and_frac(pos)
+        flat_canvas = canvas.reshape(-1)
+        for off in self.offsets:
+            w = (self._axis_weight(dx, ksum, int(off[0]), 0)
+                 * self._axis_weight(dx, ksum, int(off[1]), 1)
+                 * self._axis_weight(dx, ksum, int(off[2]), 2))
             w = w * mass
-        else:
-            w = w * mass[:, None]
-        out = canvas.reshape(-1).at[flat.reshape(-1)].add(
-            w.reshape(-1).astype(pm.dtype))
-        return out.reshape(pm.rshape)
+            flat = self._corner_flat(ipos, off)
+            flat_canvas = flat_canvas.at[flat].add(w.astype(pm.dtype))
+        return flat_canvas.reshape(pm.rshape)
 
     def readout(self, canvas, pos):
         """Interpolate canvas at pos (N,3) -> (N,)."""
-        ipos, k = self._corners_and_weights(pos)
-        flat = self._flat_indices(ipos)
-        w = self._corner_weights(k)
-        vals = canvas.reshape(-1)[flat.reshape(-1)].reshape(flat.shape)
-        return jnp.sum(vals * w, axis=1)
+        ipos, dx, ksum = self._base_and_frac(pos)
+        flat_canvas = canvas.reshape(-1)
+        out = 0.0
+        for off in self.offsets:
+            w = (self._axis_weight(dx, ksum, int(off[0]), 0)
+                 * self._axis_weight(dx, ksum, int(off[1]), 1)
+                 * self._axis_weight(dx, ksum, int(off[2]), 2))
+            out = out + flat_canvas[self._corner_flat(ipos, off)] * w
+        return out
