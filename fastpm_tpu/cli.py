@@ -58,6 +58,8 @@ def build_config(p: Params) -> SolverConfig:
         compute_potential=p.compute_potential,
         compute_tidal=bool(p.get("compute_tidal", False)),
         np_alloc_factor=p.np_alloc_factor,
+        pgdc=p.pgdc, pgdc_alpha0=p.pgdc_alpha0, pgdc_A=p.pgdc_A,
+        pgdc_B=p.pgdc_B, pgdc_kl=p.pgdc_kl, pgdc_ks=p.pgdc_ks,
     )
 
 
@@ -230,12 +232,61 @@ class SnapshotChecker:
             write_complex(pm, np.asarray(dk), path, "DensityK")
 
 
-def run_fastpm(p: Params, log=None) -> Solver:
+def _prepare_time_step(all_steps, a0):
+    """Truncate the timestep list for a restart at a0
+    (prepare_time_step, src/fastpm.c:593-613)."""
+    i = -1
+    for j, a in enumerate(all_steps):
+        if a > a0 + 1e-7:
+            break
+        i = j
+    return [a0] + [a for a in all_steps[i + 1:] if a > a0 + 1e-7]
+
+
+def restore_species(solver: Solver, path: str, dataset: str, log: Log):
+    """Read a species back from a snapshot, inverting the unit
+    conversion (prepare_cdm restart path, src/fastpm.c:616-648)."""
+    import jax.numpy as jnp
+    from .io.snapshots import read_species
+    data = read_species(path, dataset)
+    attrs = data["_attrs"]
+    a_x = float(attrs["a.x"])
+    a_v = float(attrs["a.v"])
+    if abs(a_x - a_v) > 1e-12:
+        raise SystemExit("restart snapshot must be synced (a_x == a_v)")
+    x = jnp.asarray(data["x"].astype(np.float32))
+    # snapshot velocity is peculiar km/s; internal = v * a / 100
+    v = jnp.asarray((data["v"] * a_x / 100.0).astype(np.float32))
+    ids = data["id"].reshape(-1)
+    nc = solver.config.nc
+    store = solver.species["cdm"].replace(
+        x=x, v=v,
+        id=jnp.asarray(ids.astype(np.uint32 if ids.max() < 2 ** 32
+                                  else np.int64)),
+        a_x=a_x, a_v=a_v, M0=float(attrs["M0"]),
+        q_scale=tuple(attrs["q.scale"]),
+        q_shift=tuple(attrs["q.shift"]),
+    )
+    log.info("Restarted species %s at a = %0.4f with %d particles",
+             dataset, a_x, store.np_local)
+    return store, a_x
+
+
+def run_fastpm(p: Params, log=None, restart: str = None) -> Solver:
     """The full run (src/fastpm.c:run_fastpm)."""
     if log is None:
         log = Log()
     c = build_cosmology(p)
     cfg = build_config(p)
+    if restart:
+        if p.particle_fraction != 1:
+            raise SystemExit("Cannot restart because subsampling of "
+                             "particles is enabled.")
+        from .io.snapshots import read_snapshot_header
+        hdr = read_snapshot_header(restart)
+        a0 = float(hdr["ScalingFactor"])
+        cfg.time_step = _prepare_time_step(list(p.time_step), a0)
+        log.info("Restarting from %s at a = %0.4f", restart, a0)
     solver = Solver(cfg, c)
     attach_standard_handlers(solver, log,
                              write_powerspectrum=p.write_powerspectrum,
@@ -244,10 +295,16 @@ def run_fastpm(p: Params, log=None) -> Solver:
     checker = SnapshotChecker(solver, p, log)
     solver.event_handlers.on(ev.EVENT_INTERPOLATION, ev.STAGE_BEFORE, checker)
 
-    dk, pk = prepare_deltak(solver, p, log)
-    a0 = p.time_step[0]
-    solver.setup_lpt(dk, a0)
-    solver.evolve()
+    if restart:
+        store, a0 = restore_species(solver, restart, "1", log)
+        solver.species["cdm"] = store
+        # do not rewrite snapshots at or before the restart time
+        checker.iout = sum(1 for a in checker.aout if a <= a0 + 1e-7)
+    else:
+        dk, pk = prepare_deltak(solver, p, log)
+        a0 = p.time_step[0]
+        solver.setup_lpt(dk, a0)
+    solver.evolve(cfg.time_step)
     return solver
 
 
@@ -267,9 +324,7 @@ def main(argv=None):
     ns = ap.parse_args(argv)
 
     p = load_params(ns.params, ns.args)
-    if ns.restart:
-        raise SystemExit("restart is not wired into the CLI yet")
-    run_fastpm(p)
+    run_fastpm(p, restart=ns.restart)
     return 0
 
 

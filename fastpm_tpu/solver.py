@@ -60,6 +60,13 @@ class SolverConfig:
     compute_tidal: bool = False
     np_alloc_factor: float = 4.0      # kept for parity; no arena here
     ExtraColumns: Tuple[str, ...] = ()
+    # PGD correction (pgdcorrection.c)
+    pgdc: bool = False
+    pgdc_alpha0: float = 0.8
+    pgdc_A: float = 4.0
+    pgdc_B: float = 8.0
+    pgdc_kl: float = 2.0
+    pgdc_ks: float = 10.0
 
     def __post_init__(self):
         if self.force_mode == "zola":
@@ -109,6 +116,18 @@ class Solver:
         self.species[CDM] = lattice_store(
             self.basepm, Nc=nc, shift=shift, columns=tuple(columns),
             name="cdm")
+
+        self.pgd = None
+        if config.pgdc:
+            from .pgd import PGDCorrection
+            self.pgd = PGDCorrection(
+                alpha0=config.pgdc_alpha0, A=config.pgdc_A, B=config.pgdc_B,
+                kl=config.pgdc_kl, ks=config.pgdc_ks,
+                painter_type=config.painter_type,
+                painter_support=config.painter_support)
+            p = self.species[CDM]
+            self.species[CDM] = p.replace(
+                pgdc=jnp.zeros((p.np_local, 3), dtype=jnp.float32))
 
         self._jitted_force = {}
 
@@ -220,6 +239,13 @@ class Solver:
             compute_tidal=cfg.compute_tidal)
         for n, s in zip(names, new_stores):
             self.species[n] = s
+
+        # PGD correction from the (softened, pre-decic) delta_k
+        # (solver.c:458-464)
+        if self.pgd is not None:
+            p = self.species[CDM]
+            pgdc = self.pgd.compute(pm, p.x, delta_k, trans.a_f, 1.0)
+            self.species[CDM] = p.replace(pgdc=pgdc)
 
         # compensate the CIC window so the event sees a de-aliased
         # spectrum (solver.c:466-471)
