@@ -35,14 +35,16 @@ def main():
     x, v = example_particles(nc, box, seed=0)
     coeffs = jnp.asarray([0.05, 0.02], dtype=jnp.float32)
 
-    # compile + warmup
+    # compile + warmup. NOTE: under the tunneled axon platform
+    # block_until_ready does not synchronize; a host fetch of a scalar is
+    # the only reliable barrier, so we time chained steps + one fetch.
     x1, v1, acc = step(x, v, coeffs)
-    jax.block_until_ready((x1, v1, acc))
+    _ = float(jnp.sum(x1))
 
     t0 = time.perf_counter()
     for _ in range(nsteps):
         x1, v1, acc = step(x1, v1, coeffs)
-    jax.block_until_ready((x1, v1, acc))
+    _ = float(jnp.sum(x1))
     dt = time.perf_counter() - t0
 
     nparticles = nc ** 3

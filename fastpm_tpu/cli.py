@@ -272,6 +272,135 @@ def restore_species(solver: Solver, path: str, dataset: str, log: Log):
     return store, a_x
 
 
+def prepare_lc(solver: Solver, p: Params, log: Log):
+    """Set up the particle lightcone (prepare_lc, src/fastpm.c:860-975)
+    and its ready handler (usmesh_ready_handler, src/fastpm.c:982-1140)."""
+    from .lightcone import (LightCone, USMesh, volume_density_from_ell)
+    from .io.snapshots import write_snapshot_header
+    from .io.bigfile import BigFile
+
+    if not p.lc_write_usmesh:
+        return None
+
+    octants = [False] * 8
+    for o in (p.lc_octants or []):
+        octants[int(o) % 8] = True
+        log.info("Using Octant %d", int(o))
+
+    lc = LightCone(cosmology=solver.cosmology,
+                   glmatrix=np.asarray(p.lc_glmatrix, dtype=np.float64),
+                   fov=p.lc_fov, octants=tuple(octants),
+                   dh_factor=p.dh_factor)
+
+    lc_amin = p.lc_amin if p.lc_amin else p.time_step[0]
+    lc_amax = p.lc_amax if p.lc_amax else p.time_step[-1]
+    log.info("Unstructured Lightcone amin= %g amax=%g", lc_amin, lc_amax)
+
+    tiles = np.asarray(p.lc_usmesh_tiles, dtype=np.float64) * p.boxsize
+    nupper = int(p.lc_usmesh_alloc_factor * p.nc ** 3)
+    mesh = USMesh(lc, lambda: solver.species["cdm"], tiles,
+                  amin=lc_amin, amax=lc_amax,
+                  target_volume=p.lc_usmesh_alloc_factor * p.boxsize ** 3,
+                  np_upper=nupper)
+
+    nslices = int(p.lc_usmesh_nslices)
+    log.info("Generating an AemitIndex with %d layers for usmesh. ",
+             nslices)
+    edges = np.linspace(0.0, 1.0, nslices + 1)
+    counts = np.zeros(nslices + 2, dtype=np.int64)
+    state = {"first": True}
+    filebase = p.lc_write_usmesh
+    density = (p.nc / p.boxsize) ** 3
+
+    def ready(event):
+        rec = event.mesh.drain()
+        n = 0 if rec is None else len(rec["aemit"])
+        log.info("Unstructured LightCone ready : ai = %g af = %g, n = %d",
+                 event.ai, event.af, n)
+        if rec is None:
+            rec = dict(x=np.zeros((0, 3), np.float32),
+                       v=np.zeros((0, 3), np.float32),
+                       aemit=np.zeros(0, np.float32),
+                       id=np.zeros(0, np.int64),
+                       rand=np.zeros(0, np.float32))
+        # subsample (ell-limited or uniform; src/fastpm.c:1025-1046)
+        if p.lc_usmesh_ell_limit > 0:
+            frac = np.minimum(1.0, np.array(
+                [volume_density_from_ell(p.lc_usmesh_ell_limit,
+                                         1.0 / max(a, 1e-3) - 1,
+                                         lc.horizon)
+                 for a in rec["aemit"]]) / density)
+            if len(frac):
+                log.info("Subsampling to density %g (a = %06.4f) ~ %g "
+                         "(a = %06.4f), ",
+                         volume_density_from_ell(
+                             p.lc_usmesh_ell_limit,
+                             1 / max(event.ai, 1e-3) - 1,
+                             lc.horizon) / density * density,
+                         event.ai,
+                         volume_density_from_ell(
+                             p.lc_usmesh_ell_limit,
+                             1 / max(event.af, 1e-3) - 1,
+                             lc.horizon) / density * density,
+                         event.af)
+            keep = rec["rand"] < frac if "rand" in rec else \
+                np.ones(len(frac), dtype=bool)
+        elif p.particle_fraction < 1:
+            keep = rec["rand"] < p.particle_fraction
+        else:
+            keep = np.ones(n, dtype=bool)
+        rec = {k: v[keep] for k, v in rec.items()}
+
+        # sort by aemit and accumulate the histogram index
+        order = np.argsort(rec["aemit"], kind="stable")
+        rec = {k: v[order] for k, v in rec.items()}
+        idx = np.searchsorted(edges, rec["aemit"], side="right")
+        counts[:] += np.bincount(idx, minlength=nslices + 2)
+
+        bf = BigFile(filebase, create=True)
+        if state["first"]:
+            log.info("Creating usmesh catalog in %s", filebase)
+            write_snapshot_header(bf, solver.cosmology,
+                                  p.time_step[-1], p.nc, p.boxsize,
+                                  solver.species)
+            bf.open_block("Header").attrs.set("ParamFile", p.source)
+            for name, arr, dtype in (
+                    ("Position", rec["x"], "f4"),
+                    ("Velocity", rec["v"], "f4"),
+                    ("ID", rec["id"], "i8"),
+                    ("Aemit", rec["aemit"], "f4"),
+                    ("Rand", rec.get("rand", np.zeros(0, np.float32)), "f4")):
+                bf.create_block("1/" + name, arr.astype(dtype))
+            state["first"] = False
+        else:
+            log.info("Appending usmesh catalog to %s", filebase)
+            for name, arr, dtype in (
+                    ("Position", rec["x"], "f4"),
+                    ("Velocity", rec["v"], "f4"),
+                    ("ID", rec["id"], "i8"),
+                    ("Aemit", rec["aemit"], "f4"),
+                    ("Rand", rec.get("rand", np.zeros(0, np.float32)), "f4")):
+                bf.open_block("1/" + name).append(arr.astype(dtype))
+        # aemit index attrs (io.c:1001-1050)
+        root = (bf.open_block("1") if bf.has_block("1")
+                else bf.create_block("1"))
+        root.attrs.set("aemitIndex.edges", edges, "f8")
+        root.attrs.set("aemitIndex.size", counts[:nslices + 2], "i8")
+        offset = np.concatenate([[0], np.cumsum(counts)])
+        root.attrs.set("aemitIndex.offset", offset, "i8")
+        log.info("Writing %d objects.", int(keep.sum()))
+
+    mesh.event_handlers.on(ev.EVENT_LIGHTCONE_READY, ev.STAGE_AFTER, ready)
+
+    def check_lightcone(event):
+        mesh.intersect(event.drift, event.kick, event.a1, event.a2,
+                       event.whence)
+
+    solver.event_handlers.on(ev.EVENT_INTERPOLATION, ev.STAGE_BEFORE,
+                             check_lightcone)
+    return mesh
+
+
 def run_fastpm(p: Params, log=None, restart: str = None) -> Solver:
     """The full run (src/fastpm.c:run_fastpm)."""
     if log is None:
@@ -294,6 +423,12 @@ def run_fastpm(p: Params, log=None, restart: str = None) -> Solver:
 
     checker = SnapshotChecker(solver, p, log)
     solver.event_handlers.on(ev.EVENT_INTERPOLATION, ev.STAGE_BEFORE, checker)
+
+    if p.lc_write_usmesh:
+        if restart:
+            raise SystemExit("FIXME: Restarting and lightcone are "
+                             "currently incompatible.")
+        prepare_lc(solver, p, log)
 
     if restart:
         store, a0 = restore_species(solver, restart, "1", log)

@@ -139,11 +139,13 @@ class BigBlock:
     def _load_header(self):
         fn = os.path.join(self.path, "header")
         if not os.path.exists(fn):
+            self._checksums = []
             return
         with open(fn) as f:
             lines = f.read().split("\n")
         kv = {}
         files = {}
+        sums = {}
         for line in lines:
             if not line.strip():
                 continue
@@ -156,11 +158,14 @@ class BigBlock:
                     fid = int(key, 16)
                 except ValueError:
                     continue
-                files[fid] = int(rest.split(":")[0].strip())
+                parts = rest.split(":")
+                files[fid] = int(parts[0].strip())
+                sums[fid] = int(parts[1].strip()) if len(parts) > 1 else 0
         self.dtype = kv.get("DTYPE")
         self.nmemb = int(kv.get("NMEMB", 1))
         self.Nfile = int(kv.get("NFILE", 0))
         self.fsize = [files.get(i, 0) for i in range(self.Nfile)]
+        self._checksums = [sums.get(i, 0) for i in range(self.Nfile)]
 
     def _write_header(self, checksums):
         with open(os.path.join(self.path, "header"), "w") as f:
@@ -200,7 +205,25 @@ class BigBlock:
                 f.write(raw)
             checksums.append(_sysv_sum(raw))
             start += n
+        self._checksums = checksums
         self._write_header(checksums)
+
+    def append(self, data: np.ndarray):
+        """Append rows as a new data file (bigfile allows per-file sizes;
+        used for growing lightcone datasets)."""
+        data = np.ascontiguousarray(data)
+        if data.ndim == 1:
+            data = data[:, None]
+        if self.dtype is None:
+            return self.write_all(data)
+        data = data.astype(np.dtype(self.dtype))
+        raw = data.tobytes()
+        with open(os.path.join(self.path, "%06X" % self.Nfile), "wb") as f:
+            f.write(raw)
+        self.fsize.append(data.shape[0])
+        self._checksums.append(_sysv_sum(raw))
+        self.Nfile += 1
+        self._write_header(self._checksums)
 
     def read_all(self) -> np.ndarray:
         out = []
