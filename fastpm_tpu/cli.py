@@ -126,14 +126,39 @@ def prepare_deltak(solver: Solver, p: Params, log: Log):
                  p.write_whitenoisek)
         write_complex(pm, np.asarray(dk), p.write_whitenoisek, "WhiteNoiseK")
 
-    log.info("Inducing correlation to the white noise.")
-    dk = ic.induce_correlation(pm, dk, pk)
+    if p.f_nl_type != "none":
+        from .png import PNGaussian
+        kmax = (p.nc / 2.0 * 2.0 * np.pi / p.boxsize
+                * p.kmax_primordial_over_knyquist)
+        log.info("Will set Phi_Gaussian(k)=0 for k>=%f.", kmax)
+        log.info("Inducing non gaussian correlation to the white noise.")
+        png = PNGaussian(fNL=p.f_nl, kmax_primordial=kmax, pk=pk,
+                         h=p.h, scalar_amp=p.scalar_amp,
+                         scalar_pivot=p.scalar_pivot,
+                         scalar_spectral_index=p.scalar_spectral_index,
+                         type=p.f_nl_type)
+        dk = png.induce_correlation(pm, dk)
+    else:
+        log.info("Inducing correlation to the white noise.")
+        dk = ic.induce_correlation(pm, dk, pk)
     dk = ic.rescale_linear(pm, dk, c, 1.0, p.linear_density_redshift)
 
     # set the mean to 1.0 (src/fastpm.c:561-565)
     dk = transfers.set_mode(pm, dk, (0, 0, 0, 0), 1.0, "override")
 
-    if p.write_lineark:
+    if p.constraints:
+        from .constrained import apply_constraints
+        log.info("Applying %d constraints.", len(p.constraints))
+        for i, cns in enumerate(p.constraints):
+            log.info("Constraint %d : %g %g %g peak-sigma = %g", i,
+                     cns[0], cns[1], cns[2], cns[3])
+        if p.write_lineark:
+            log.info("Writing fourier space linear field before "
+                     "constraints to %s", p.write_lineark)
+            write_complex(pm, np.asarray(dk), p.write_lineark,
+                          "UnconstrainedLinearDensityK")
+        dk = apply_constraints(pm, dk, p.constraints, pk, log)
+    elif p.write_lineark:
         log.info("Writing fourier space linear field to %s", p.write_lineark)
         write_complex(pm, np.asarray(dk), p.write_lineark, "LinearDensityK")
     return dk, pk
