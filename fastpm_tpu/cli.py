@@ -464,8 +464,71 @@ def run_fastpm(p: Params, log=None, restart: str = None) -> Solver:
         dk, pk = prepare_deltak(solver, p, log)
         a0 = p.time_step[0]
         solver.setup_lpt(dk, a0)
+        prepare_ncdm(solver, p, a0, log)
     solver.evolve(cfg.time_step)
     return solver
+
+
+def prepare_ncdm(solver: Solver, p: Params, a0: float, log: Log):
+    """Massive-neutrino particle species setup
+    (prepare_ncdm, src/fastpm.c:716-847): staggered coarse lattice,
+    Fermi-Dirac split, own linear field, own 2LPT."""
+    if not p.m_ncdm or p.n_shell == 0:
+        return
+    from .ncdm import NcdmInitData, split_ncdm
+    from .store import lattice_store
+
+    every = int(p.every_ncdm)
+    nc_ncdm = p.nc // every
+    if p.nc % every != 0:
+        raise SystemExit("nc must be divisible by every_ncdm")
+
+    z_ref = 1.0 / p.time_step[0] - 1
+    log.info("ncdm reference redshift = %g", z_ref)
+    nid = NcdmInitData(boxsize=p.boxsize, cosmology=solver.cosmology,
+                       z=z_ref, n_shells=int(p.n_shell),
+                       n_side=int(p.n_side), lvk=p.lvk,
+                       sphere_scheme=p.ncdm_sphere_scheme)
+
+    shift0 = p.boxsize / nc_ncdm * 0.5 if p.shift else 0.0
+    sites = lattice_store(solver.lptpm, Nc=nc_ncdm, shift=shift0,
+                          columns=("v", "acc", "id", "rand"), name="ncdm")
+    # stagger wrt the cdm grid by half a cdm cell (src/fastpm.c:785-792)
+    import jax.numpy as jnp
+    stag = jnp.float32(p.boxsize / p.nc * 0.5)
+    sites = sites.replace(x=sites.x + stag,
+                          q_shift=tuple(s + float(stag)
+                                        for s in sites.q_shift))
+
+    ncdm = split_ncdm(nid, sites)
+    ncdm = ncdm.wrap(p.boxsize)
+    log.info("average mass of a ncdm particle is %g",
+             float(np.asarray(ncdm.mass).mean()) / max(1, len(p.m_ncdm)))
+    solver.species["ncdm"] = ncdm
+
+    # own linear field (fall back to cdm's inputs with a warning)
+    if not p.read_lineark_ncdm and not p.read_powerspectrum_ncdm:
+        log.info("WARNING: No ncdm powerspectrum input; using cdm's "
+                 "instead.")
+        dk, _ = prepare_deltak(solver, p, log)
+    else:
+        import dataclasses as _dc
+        ns = dict(p.asdict())
+        ns["read_lineark"] = p.read_lineark_ncdm
+        ns["read_powerspectrum"] = p.read_powerspectrum_ncdm
+        ns["linear_density_redshift"] = p.linear_density_redshift_ncdm
+        p2 = Params(ns, source=p.source, filename=p.filename)
+        dk, _ = prepare_deltak(solver, p2, log)
+
+    growth_rate_func_k = None
+    if p.read_linear_growth_rate_ncdm:
+        from .powerspectrum import FuncK
+        fk = FuncK.from_file(p.read_linear_growth_rate_ncdm)
+        growth_rate_func_k = fk
+        log.info("Reading ncdm linear growth rate from file: %s",
+                 p.read_linear_growth_rate_ncdm)
+    solver.setup_lpt(dk, a0, species="ncdm",
+                     growth_rate_func_k=growth_rate_func_k)
 
 
 def main(argv=None):

@@ -177,8 +177,10 @@ class Solver:
                                  delta_k=delta_k_ic, store=p)
 
         if delta_k_ic is not None:
-            # readout at the de-shifted lattice (pm2lpt.c:27-34)
-            q = p.q_from_id() - jnp.asarray(p.q_shift, dtype=jnp.float32)
+            # readout at the de-shifted particle positions (pm2lpt.c:27-34;
+            # the de-shift uses the CDM-grid config shift like setup_lpt)
+            shift0 = 0.5 * cfg.boxsize / cfg.nc if cfg.use_shift else 0.0
+            q = p.x - jnp.float32(shift0)
             res = lpt_solve(self.lptpm, delta_k_ic, q, cfg.kernel_type,
                             growth_rate_func_k)
             if growth_rate_func_k is not None:

@@ -76,6 +76,8 @@ class Store:
             id = self.id
         n0, n1, n2 = self.q_nc
         strides = (n1 * n2, n2, 1)
+        # split species encode the split index above q_size (store.c:669)
+        id = id % (n0 * n1 * n2)
         i0 = id // strides[0]
         i1 = (id - i0 * strides[0]) // strides[1]
         i2 = id - i0 * strides[0] - i1 * strides[1]
