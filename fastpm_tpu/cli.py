@@ -415,6 +415,28 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
         root.attrs.set("aemitIndex.offset", offset, "i8")
         log.info("Writing %d objects.", int(keep.sum()))
 
+        # HEALPix shell maps (io.c:1073-1227)
+        nside = int(p.lc_usmesh_healpix_nside)
+        if nside > 0 and len(rec["aemit"]):
+            from .healpix import paint_hpmap, nside2npix
+            ids, values, amid = paint_hpmap(rec["x"], rec["aemit"],
+                                            nside, nslices)
+            blocks = (("ID", ids.astype(np.int64)),
+                      ("Value", values.astype(np.float32)),
+                      ("Aemit", amid.astype(np.float32)))
+            if not bf.has_block("HealpixMap/ID"):
+                for name, arr in blocks:
+                    bf.create_block("HealpixMap/" + name, arr)
+                mroot = bf.open_block("HealpixMap")
+                mroot.attrs.set("healpix.nside", np.int64(nside), "i8")
+                mroot.attrs.set("healpix.npix",
+                                np.int64(nside2npix(nside)), "i8")
+                mroot.attrs.set("healpix.nslices", np.int64(nslices), "i8")
+                mroot.attrs.set("healpix.scheme", "RING")
+            else:
+                for name, arr in blocks:
+                    bf.open_block("HealpixMap/" + name).append(arr)
+
     mesh.event_handlers.on(ev.EVENT_LIGHTCONE_READY, ev.STAGE_AFTER, ready)
 
     def check_lightcone(event):
