@@ -1,0 +1,230 @@
+"""Sorted windowed CIC paint -- a Pallas TPU kernel replacing scatter-add.
+
+Idea: XLA's scatter on TPU costs ~14 ns/element (serialized); painting is
+8N such updates. Instead:
+
+1. (XLA) compute each particle's padded base cell and 8 CIC corner
+   weights; sort particles by padded cell id (TPU sort: ~8 ns/particle).
+2. For each corner o, the target cells t = c + off[o] are STILL sorted
+   (constant flat offset into a +1-padded canvas, so no wraparound).
+   Precompute, per (corner, window) of C cells, the contiguous particle
+   range via searchsorted.
+3. (Pallas) grid over (window, corner): DMA particle chunks (double
+   buffered), build a (K, C) one-hot-weight mask in VMEM with pure
+   vector ops, reduce over particles, accumulate into the window's
+   canvas block. The canvas block stays resident in VMEM across the 8
+   corner passes (output revisiting).
+4. (XLA) fold the padded faces back (periodic wrap).
+
+No scatter instruction is ever issued; the kernel is vector-dense and all
+HBM reads are sequential.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..mesh import PM
+
+__all__ = ["paint_sorted", "make_paint_fn"]
+
+
+def _corner_offsets_padded(nyp, nzp):
+    offs = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                offs.append((dx * nyp + dy) * nzp + dz)
+    return offs
+
+
+def _paint_kernel(ranges_ref,        # SMEM (1, 8, 2) i32: [o] -> (s, e)
+                  cell_hbm,          # (1, Npad+K) i32 sorted padded cell ids
+                  w8T_hbm,           # (8, 1, Npad+pad) f32 corner weights
+                  out_ref,           # (8, CL) f32 canvas block for window w
+                  cell_scratch,      # VMEM (2, 1, K+128) i32
+                  w_scratch,         # VMEM (2, 1, K+128) f32
+                  sems,              # DMA sems (2, 2)
+                  *, K, C, CL, nyp, nzp):
+    KA = K + 128
+    w = pl.program_id(0)
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # corner offset from the bit pattern of o: (dx, dy, dz) = o bits
+    dx = o >> 2
+    dy = (o >> 1) & 1
+    dz = o & 1
+    off = (dx * nyp + dy) * nzp + dz
+    s = ranges_ref[0, o, 0]
+    e = ranges_ref[0, o, 1]
+    count = e - s
+    nrounds = jax.lax.div(count + K - 1, K)
+
+    base_target = w * C - off
+    # particle-in-lanes layout: comparisons are (CL rows, KA lanes)
+    cell_row = jax.lax.broadcasted_iota(jnp.int32, (CL, KA), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, KA), 1)
+
+    def aligned_start(r):
+        # DMA lane offsets must be 128-aligned (Mosaic tiling); load from
+        # the aligned floor and mask the overhang in-kernel
+        start = s + r * K
+        return pl.multiple_of((start // 128) * 128, 128)
+
+    def make_copies(slot, r):
+        start_al = aligned_start(r)
+        return (pltpu.make_async_copy(
+                    cell_hbm.at[:, pl.ds(start_al, KA)],
+                    cell_scratch.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    w8T_hbm.at[o, :, pl.ds(start_al, KA)],
+                    w_scratch.at[slot], sems.at[slot, 1]))
+
+    @pl.when(nrounds > 0)
+    def _run():
+        c0, c1 = make_copies(0, 0)
+        c0.start()
+        c1.start()
+
+        def body(r, acc):
+            slot = r % 2
+            nxt = (r + 1) % 2
+
+            @pl.when(r + 1 < nrounds)
+            def _prefetch():
+                n0, n1 = make_copies(nxt, r + 1)
+                n0.start()
+                n1.start()
+
+            d0, d1 = make_copies(slot, r)
+            d0.wait()
+            d1.wait()
+
+            cells = cell_scratch[slot]             # (1, KA)
+            weights = w_scratch[slot]              # (1, KA)
+            gidx = aligned_start(r) + lane         # global particle index
+            valid = ((gidx >= s + r * K) & (gidx < s + (r + 1) * K)
+                     & (gidx < e))
+            rel = jnp.where(valid, cells - base_target, -1)
+            outs = []
+            for sub in range(8):
+                m = (rel - sub * CL) == cell_row   # (CL, K)
+                contrib = jnp.where(m, weights, 0.0)
+                outs.append(acc[sub] + jnp.sum(contrib, axis=1))
+            return tuple(outs)
+
+        acc0 = tuple(jnp.zeros((CL,), jnp.float32) for _ in range(8))
+        acc = jax.lax.fori_loop(0, nrounds, body, acc0)
+        for sub in range(8):
+            out_ref[sub, :] = out_ref[sub, :] + acc[sub]
+
+
+def make_paint_fn(pm: PM, K: int = 256, C: int = 1024, interpret=False):
+    """Build a jitted paint function (pos, mass) -> canvas (Nx,Ny,Nz),
+    numerically equivalent to Painter(pm, 'cic').paint."""
+    nx, ny, nz = pm.Nmesh
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    offsets = _corner_offsets_padded(nyp, nzp)
+
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024 (8x128 tiles)")
+    CL = C // 8
+    kernel = functools.partial(_paint_kernel, K=K, C=C, CL=CL,
+                               nyp=nyp, nzp=nzp)
+
+    grid = (W, 8)
+    paint_call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, 2), lambda w, o: (w, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((8, CL), lambda w, o: (w, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, K + 128), jnp.int32),
+            pltpu.VMEM((2, 1, K + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((W * 8, CL), jnp.float32),
+        interpret=interpret,
+    )
+
+    inv_cell = jnp.asarray(pm.InvCellSize, dtype=jnp.float32)
+
+    def paint(pos, mass=1.0):
+        n = pos.shape[0]
+        gpos = pos * inv_cell
+        base = jnp.floor(gpos).astype(jnp.int32)
+        frac = gpos - base
+        base = jnp.stack([jnp.remainder(base[:, 0], nx),
+                          jnp.remainder(base[:, 1], ny),
+                          jnp.remainder(base[:, 2], nz)], axis=-1)
+        cell = ((base[:, 0] * nyp + base[:, 1]) * nzp + base[:, 2])
+
+        f = [frac[:, d] for d in range(3)]
+        t = [1.0 - f[d] for d in range(3)]
+        w8 = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
+                        * (t[2], f[2])[dz]
+                        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+                       axis=-1)
+        if jnp.ndim(mass) == 0:
+            w8 = w8 * mass
+        else:
+            w8 = w8 * mass[:, None]
+
+        order = jnp.argsort(cell)
+        cell_s = cell[order]
+        w8_s = w8[order]
+
+        # pad by K so chunked DMA never reads past the end; padded rows
+        # carry zero weight and the last cell id (their windows may fall
+        # beyond W-1 and are then never visited)
+        pad = K + 256
+        cell_s = jnp.concatenate(
+            [cell_s, jnp.full((pad,), mpad - 1, jnp.int32)])
+        cell_2d = cell_s[None, :]
+        w8T = jnp.concatenate(
+            [w8_s.T, jnp.zeros((8, pad), jnp.float32)], axis=1)[:, None, :]
+
+        # per-(window, corner) particle ranges
+        edges = jnp.arange(W + 1, dtype=jnp.int32) * C
+        bounds = jnp.stack(
+            [jnp.searchsorted(cell_s[:-pad], edges - off).astype(jnp.int32)
+             for off in offsets], axis=1)          # (W+1, 8)
+        ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)  # (W, 8, 2)
+
+        padded = paint_call(ranges, cell_2d, w8T).reshape(-1)[:mpad]
+        padded = padded.reshape(nxp, nyp, nzp)
+
+        canvas = padded[:nx, :ny, :nz]
+        canvas = canvas.at[0, :, :].add(padded[nx, :ny, :nz])
+        canvas = canvas.at[:, 0, :].add(padded[:nx, ny, :nz])
+        canvas = canvas.at[:, :, 0].add(padded[:nx, :ny, nz])
+        canvas = canvas.at[0, 0, :].add(padded[nx, ny, :nz])
+        canvas = canvas.at[0, :, 0].add(padded[nx, :ny, nz])
+        canvas = canvas.at[:, 0, 0].add(padded[:nx, ny, nz])
+        canvas = canvas.at[0, 0, 0].add(padded[nx, ny, nz])
+        return canvas
+
+    return jax.jit(paint)
+
+
+def paint_sorted(pm: PM, pos, mass=1.0, K: int = 256, C: int = 1024,
+                 interpret=False):
+    return make_paint_fn(pm, K=K, C=C, interpret=interpret)(pos, mass)
