@@ -45,13 +45,16 @@ def _corner_offsets_padded(nyp, nzp):
 
 
 def _paint_kernel(ranges_ref,        # SMEM (1, 8, 2) i32: [o] -> (s, e)
-                  cell_hbm,          # (1, Npad+K) i32 sorted padded cell ids
+                  cell_hbm,          # (1, Npad+pad) i32 sorted padded cells
                   w8T_hbm,           # (8, 1, Npad+pad) f32 corner weights
-                  out_ref,           # (8, CL) f32 canvas block for window w
+                  out_ref,           # (CLh, 128) f32 canvas block, window w
                   cell_scratch,      # VMEM (2, 1, K+128) i32
                   w_scratch,         # VMEM (2, 1, K+128) f32
                   sems,              # DMA sems (2, 2)
-                  *, K, C, CL, nyp, nzp):
+                  *, K, C, CLh, nyp, nzp):
+    """Two-level one-hot deposit: window-local index rel = hi*128 + lo.
+    A[h, p] = [hi_p == h], B[l, p] = w_p [lo_p == l]; the deposit is the
+    MXU contraction acc[h, l] += sum_p A[h, p] B[l, p]."""
     KA = K + 128
     w = pl.program_id(0)
     o = pl.program_id(1)
@@ -71,8 +74,8 @@ def _paint_kernel(ranges_ref,        # SMEM (1, 8, 2) i32: [o] -> (s, e)
     nrounds = jax.lax.div(count + K - 1, K)
 
     base_target = w * C - off
-    # particle-in-lanes layout: comparisons are (CL rows, KA lanes)
-    cell_row = jax.lax.broadcasted_iota(jnp.int32, (CL, KA), 0)
+    hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh, KA), 0)
+    lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, KA), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, KA), 1)
 
     def aligned_start(r):
@@ -116,17 +119,22 @@ def _paint_kernel(ranges_ref,        # SMEM (1, 8, 2) i32: [o] -> (s, e)
             valid = ((gidx >= s + r * K) & (gidx < s + (r + 1) * K)
                      & (gidx < e))
             rel = jnp.where(valid, cells - base_target, -1)
-            outs = []
-            for sub in range(8):
-                m = (rel - sub * CL) == cell_row   # (CL, K)
-                contrib = jnp.where(m, weights, 0.0)
-                outs.append(acc[sub] + jnp.sum(contrib, axis=1))
-            return tuple(outs)
+            hi = rel >> 7          # -1 stays -1: matches no A row
+            lo = rel & 127
+            A = (hi == hi_row).astype(jnp.float32)       # (CLh, KA)
+            B = jnp.where(lo == lo_row, weights, 0.0)    # (128, KA)
+            # HIGHEST precision: the f32 weights must not round to bf16
+            # on the MXU (costs the 3-pass algorithm; the A operand is
+            # exact 0/1 either way)
+            acc = acc + jax.lax.dot_general(
+                A, B, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            return acc
 
-        acc0 = tuple(jnp.zeros((CL,), jnp.float32) for _ in range(8))
-        acc = jax.lax.fori_loop(0, nrounds, body, acc0)
-        for sub in range(8):
-            out_ref[sub, :] = out_ref[sub, :] + acc[sub]
+        acc = jax.lax.fori_loop(0, nrounds, body,
+                                jnp.zeros((CLh, 128), jnp.float32))
+        out_ref[...] = out_ref[...] + acc
 
 
 def make_paint_fn(pm: PM, K: int = 256, C: int = 1024, interpret=False):
@@ -140,8 +148,8 @@ def make_paint_fn(pm: PM, K: int = 256, C: int = 1024, interpret=False):
 
     if C % 1024:
         raise ValueError("C must be a multiple of 1024 (8x128 tiles)")
-    CL = C // 8
-    kernel = functools.partial(_paint_kernel, K=K, C=C, CL=CL,
+    CLh = C // 128
+    kernel = functools.partial(_paint_kernel, K=K, C=C, CLh=CLh,
                                nyp=nyp, nzp=nzp)
 
     grid = (W, 8)
@@ -154,14 +162,14 @@ def make_paint_fn(pm: PM, K: int = 256, C: int = 1024, interpret=False):
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((8, CL), lambda w, o: (w, 0),
+        out_specs=pl.BlockSpec((CLh, 128), lambda w, o: (w, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 1, K + 128), jnp.int32),
             pltpu.VMEM((2, 1, K + 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
-        out_shape=jax.ShapeDtypeStruct((W * 8, CL), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((W * CLh, 128), jnp.float32),
         interpret=interpret,
     )
 
@@ -177,20 +185,26 @@ def make_paint_fn(pm: PM, K: int = 256, C: int = 1024, interpret=False):
                           jnp.remainder(base[:, 2], nz)], axis=-1)
         cell = ((base[:, 0] * nyp + base[:, 1]) * nzp + base[:, 2])
 
-        f = [frac[:, d] for d in range(3)]
-        t = [1.0 - f[d] for d in range(3)]
-        w8 = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
-                        * (t[2], f[2])[dz]
-                        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
-                       axis=-1)
+        # sort by cell carrying the fractions (and mass) as payload --
+        # avoids expensive gathers of an (N, 8) weight array
         if jnp.ndim(mass) == 0:
-            w8 = w8 * mass
+            cell_s, fx, fy, fz = jax.lax.sort(
+                (cell, frac[:, 0], frac[:, 1], frac[:, 2]), num_keys=1)
+            m_s = mass
         else:
-            w8 = w8 * mass[:, None]
-
-        order = jnp.argsort(cell)
-        cell_s = cell[order]
-        w8_s = w8[order]
+            cell_s, fx, fy, fz, m_s = jax.lax.sort(
+                (cell, frac[:, 0], frac[:, 1], frac[:, 2], mass),
+                num_keys=1)
+        f = (fx, fy, fz)
+        t = (1.0 - fx, 1.0 - fy, 1.0 - fz)
+        w8_s = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
+                          * (t[2], f[2])[dz]
+                          for dx in (0, 1) for dy in (0, 1)
+                          for dz in (0, 1)], axis=-1)
+        if jnp.ndim(mass) == 0:
+            w8_s = w8_s * m_s
+        else:
+            w8_s = w8_s * m_s[:, None]
 
         # pad by K so chunked DMA never reads past the end; padded rows
         # carry zero weight and the last cell id (their windows may fall
