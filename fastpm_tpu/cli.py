@@ -464,6 +464,13 @@ def run_fastpm(p: Params, log=None, restart: str = None) -> Solver:
         cfg.time_step = _prepare_time_step(list(p.time_step), a0)
         log.info("Restarting from %s at a = %0.4f", restart, a0)
     solver = Solver(cfg, c)
+    if p.ncdm_linearresponse:
+        z_t = (p.ncdm_transfer_redshift
+               if p.ncdm_transfer_redshift is not None
+               else 1.0 / p.time_step[0] - 1)
+        solver.setup_linear_response(z_t, p.ncdm_transfer_nu_file)
+        log.info("Neutrino linear response enabled at z_transfer = %g",
+                 z_t)
     attach_standard_handlers(solver, log,
                              write_powerspectrum=p.write_powerspectrum,
                              enforce_broadband_kmax=p.enforce_broadband_kmax)

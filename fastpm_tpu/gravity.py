@@ -53,9 +53,14 @@ def paint_delta_k(pm: PM, painter: Painter, stores: Sequence[Store]):
 def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
                   kernel_type: str = "1_4", softening_type: str = "none",
                   compute_potential: bool = False,
-                  compute_tidal: bool = False):
+                  compute_tidal: bool = False,
+                  delta_transfer=None):
     """Compute accelerations (and optional potential/tidal) for every
     species (fastpm_solver_compute_force, gravity.c:457-529).
+
+    delta_transfer(pm, delta_k) -> delta_k, applied after softening and
+    before the force kernels -- the hook used by the neutrino linear
+    response (gravity.c:494-522).
 
     Returns (new_stores, delta_k) where delta_k has the softening applied
     but NOT the deCIC compensation (the caller applies that for the power
@@ -63,6 +68,8 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
     """
     delta_k = paint_delta_k(pm, painter, stores)
     delta_k = kernels.apply_softening(pm, delta_k, softening_type)
+    if delta_transfer is not None:
+        delta_k = delta_transfer(pm, delta_k)
 
     acc_fields = []
     for d in range(3):

@@ -117,6 +117,10 @@ class Solver:
             self.basepm, Nc=nc, shift=shift, columns=tuple(columns),
             name="cdm")
 
+        # neutrino linear-response state (set up by the CLI/user via
+        # setup_linear_response; solver.lra holds the DeltaTotTable)
+        self.lra = None
+
         self.pgd = None
         if config.pgdc:
             from .pgd import PGDCorrection
@@ -203,6 +207,45 @@ class Solver:
                                  solver=self, pm=self.lptpm,
                                  delta_k=delta_k_ic, store=self.species[species])
 
+    # ---- neutrino linear response (gravity.c:457-529) ----
+
+    def setup_linear_response(self, transfer_redshift: float,
+                              transfer_file=None):
+        """Enable the grid-based neutrino linear response."""
+        from .neutrinos_lra import DeltaTotTable
+        from .powerspectrum import FuncK
+        t_init = None
+        if transfer_file:
+            t_init = FuncK.from_file(transfer_file)
+        self.lra = DeltaTotTable(
+            cosmology=self.cosmology,
+            time_transfer=1.0 / (1 + transfer_redshift),
+            t_init=t_init)
+
+    def _apply_lra_transfer(self, pm, delta_k, a_f):
+        """Measure P_cdm from delta_k, update the neutrino response, and
+        apply 1 + f_nu delta_nu/delta_cdm (lra_neutrinos,
+        gravity.c:431-455)."""
+        from .powerspectrum import measure_power
+        from . import transfers as _tr
+        ps = measure_power(pm, delta_k)
+        delta_cdm = np.sqrt(np.maximum(ps.p, 0.0))
+        good = ps.Nmodes > 0
+        k = ps.k[good]
+        nu_prefac, ratio = self.lra.update_from_power(
+            k, delta_cdm[good], a_f)
+        logk = np.log(np.where(k > 0, k, 1e-10))
+
+        def nufac(kq):
+            kq = np.asarray(kq, dtype=np.float64)
+            lq = np.log(np.where(kq > 0, kq, np.exp(logk[0])))
+            lq = np.clip(lq, logk[0], logk[-1])
+            d = np.interp(lq, logk, ratio)
+            out = 1.0 + nu_prefac * d
+            return np.where(kq <= 0, 1.0, out)
+
+        return _tr.apply_any(pm, delta_k, nufac)
+
     # ---- factors (cached per step endpoints) ----
 
     def _kick_factor(self, ai, ac, af) -> KickFactor:
@@ -235,10 +278,17 @@ class Solver:
 
         names = list(self.iter_species())
         stores = [self.species[n] for n in names]
+
+        delta_transfer = None
+        if self.cosmology.ncdm_linearresponse and self.lra is not None:
+            def delta_transfer(pm_, dk):
+                return self._apply_lra_transfer(pm_, dk, trans.a_f)
+
         new_stores, delta_k = compute_force(
             pm, painter, stores, cfg.kernel_type, cfg.softening_type,
             compute_potential=cfg.compute_potential,
-            compute_tidal=cfg.compute_tidal)
+            compute_tidal=cfg.compute_tidal,
+            delta_transfer=delta_transfer)
         for n, s in zip(names, new_stores):
             self.species[n] = s
 
