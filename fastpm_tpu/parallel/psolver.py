@@ -32,10 +32,10 @@ from .pfft import SlabPM
 __all__ = ["make_sharded_step", "sharded_force_fn"]
 
 
-def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str):
-    """Shard-local body: positions (Nloc,3) -> acc (Nloc,3).
-
-    Runs INSIDE shard_map; all collectives are explicit.
+def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str,
+                 return_delta_k: bool = False):
+    """Shard-local body: positions (Nloc,3) -> acc (Nloc,3)
+    [, delta_k shard]. Runs INSIDE shard_map; collectives are explicit.
     """
     pm = spm.pm
     potorder, gradorder, difforder, _ = kernel_orders(kernel_type)
@@ -56,7 +56,10 @@ def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str):
         slab = spm.c2r_local(fk)                     # (Nx/P, Ny, Nz)
         full = jax.lax.all_gather(slab, spm.axis, axis=0, tiled=True)
         accs.append(painter.readout(full, x))
-    return jnp.stack(accs, axis=-1)
+    acc = jnp.stack(accs, axis=-1)
+    if return_delta_k:
+        return acc, delta_k
+    return acc
 
 
 def sharded_force_fn(pm: PM, mesh: Mesh, kernel_type: str = "1_4",

@@ -89,9 +89,14 @@ class Solver:
     (FastPMSolver, solver.c:24-152)."""
 
     def __init__(self, config: SolverConfig,
-                 cosmology: Optional[Cosmology] = None):
+                 cosmology: Optional[Cosmology] = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with an 'x' axis. When given,
+        particle stores are sharded over it and the force step runs as an
+        SPMD shard_map program (slab-pencil FFT, psum_scatter paint
+        reduction, all_gather readout; parallel/psolver.py)."""
         self.config = config
         self.cosmology = cosmology if cosmology is not None else FIDUCIAL
+        self.mesh = mesh
         self.event_handlers = ev.EventHandlers()
 
         nc = config.nc
@@ -116,6 +121,9 @@ class Solver:
         self.species[CDM] = lattice_store(
             self.basepm, Nc=nc, shift=shift, columns=tuple(columns),
             name="cdm")
+        if mesh is not None:
+            self.species[CDM] = _shard_store(self.species[CDM], mesh)
+        self._sharded_force_cache = {}
 
         # neutrino linear-response state (set up by the CLI/user via
         # setup_linear_response; solver.lra holds the DeltaTotTable)
@@ -207,6 +215,33 @@ class Solver:
                                  solver=self, pm=self.lptpm,
                                  delta_k=delta_k_ic, store=self.species[species])
 
+    # ---- SPMD force (parallel/psolver.py) ----
+
+    def _sharded_force(self, pm: PM, stores):
+        from jax.sharding import PartitionSpec as P
+        from .parallel.pfft import SlabPM
+        from .parallel.psolver import _force_local
+
+        key = id(pm)
+        fn = self._sharded_force_cache.get(key)
+        if fn is None:
+            spm = SlabPM(pm, self.mesh)
+            painter = Painter(pm, self.config.painter_type,
+                              self.config.painter_support)
+            kernel_type = self.config.kernel_type
+
+            def local(x):
+                return _force_local(spm, painter, x, kernel_type,
+                                    return_delta_k=True)
+
+            fn = jax.jit(jax.shard_map(
+                local, mesh=self.mesh, in_specs=P("x"),
+                out_specs=(P("x"), P(None, "x"))))
+            self._sharded_force_cache[key] = fn
+        p = stores[0]
+        acc, delta_k = fn(p.x)
+        return [p.replace(acc=acc)], delta_k
+
     # ---- neutrino linear response (gravity.c:457-529) ----
 
     def setup_linear_response(self, transfer_redshift: float,
@@ -284,11 +319,19 @@ class Solver:
             def delta_transfer(pm_, dk):
                 return self._apply_lra_transfer(pm_, dk, trans.a_f)
 
-        new_stores, delta_k = compute_force(
-            pm, painter, stores, cfg.kernel_type, cfg.softening_type,
-            compute_potential=cfg.compute_potential,
-            compute_tidal=cfg.compute_tidal,
-            delta_transfer=delta_transfer)
+        if (self.mesh is not None and len(stores) == 1
+                and delta_transfer is None and not cfg.compute_potential
+                and not cfg.compute_tidal
+                and cfg.softening_type == "none"
+                and cfg.painter_type == "cic"):
+            # SPMD fast path: shard-mapped slab-pencil force
+            new_stores, delta_k = self._sharded_force(pm, stores)
+        else:
+            new_stores, delta_k = compute_force(
+                pm, painter, stores, cfg.kernel_type, cfg.softening_type,
+                compute_potential=cfg.compute_potential,
+                compute_tidal=cfg.compute_tidal,
+                delta_transfer=delta_transfer)
         for n, s in zip(names, new_stores):
             self.species[n] = s
 
@@ -439,6 +482,19 @@ class Solver:
             updates["tidal"] = po.tidal * jnp.float32(potfactor / aout)
         po = po.replace(**updates)
         return po.wrap(self.basepm.BoxSize)
+
+
+def _shard_store(store: Store, mesh) -> Store:
+    """Place every per-particle column on the mesh sharded over 'x'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P("x"))
+    updates = {}
+    for name in ("x", "v", "acc", "dx1", "dx2", "dv1", "id", "rand",
+                 "mask", "potential", "tidal", "pgdc", "mass", "aemit"):
+        col = getattr(store, name)
+        if col is not None:
+            updates[name] = jax.device_put(col, sh)
+    return store.replace(**updates)
 
 
 @lru_cache(maxsize=4096)

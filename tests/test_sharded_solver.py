@@ -1,0 +1,44 @@
+"""The mesh-sharded Solver must reproduce the single-device evolution."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+import pytest
+
+from fastpm_tpu.mesh import PM
+from fastpm_tpu.powerspectrum import FuncK
+from fastpm_tpu.cosmology import Cosmology
+from fastpm_tpu import ic
+from fastpm_tpu.solver import Solver, SolverConfig
+
+COSMO = Cosmology(h=0.6774, Omega_m=0.307494, T_cmb=0.0, growth_mode="lcdm")
+
+
+@pytest.mark.slow
+def test_sharded_solver_matches_single_device():
+    cfg = SolverConfig(nc=16, boxsize=64.0, time_step=[0.3, 0.6, 1.0],
+                       force_mode="fastpm", pm_nc_factor=1)
+    pk = FuncK.from_file("/root/reference/tests/powerspec.txt")
+
+    def run(mesh):
+        s = Solver(cfg, COSMO, mesh=mesh)
+        dk, _ = ic.linear_field(s.lptpm, COSMO, pk, seed=7, aout=1.0)
+        s.setup_lpt(dk, 0.3)
+        s.evolve()
+        return s.species["cdm"]
+
+    single = run(None)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    sharded = run(mesh)
+
+    np.testing.assert_allclose(np.asarray(sharded.x),
+                               np.asarray(single.x), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sharded.v),
+                               np.asarray(single.v), atol=2e-4)
+    # the sharded force path was actually used (sanity: cache populated)
+    s2 = Solver(cfg, COSMO, mesh=mesh)
+    dk, _ = ic.linear_field(s2.lptpm, COSMO, pk, seed=7, aout=1.0)
+    s2.setup_lpt(dk, 0.3)
+    s2.evolve()
+    assert len(s2._sharded_force_cache) >= 1
