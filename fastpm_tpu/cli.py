@@ -333,9 +333,98 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
              nslices)
     edges = np.linspace(0.0, 1.0, nslices + 1)
     counts = np.zeros(nslices + 2, dtype=np.int64)
-    state = {"first": True}
+    fof_counts = {k: np.zeros(nslices + 2, dtype=np.int64)
+                  for k in ("fof", "rfof")}
+    state = {"first": True, "tail_fof": None, "tail_rfof": None,
+             "first_fof": True, "first_rfof": True}
     filebase = p.lc_write_usmesh
     density = (p.nc / p.boxsize) ** 3
+
+    def lightcone_fof(rec, af, kind="fof"):
+        """usmesh FOF with tail carry-over (run_usmesh_fof,
+        src/fastpm.c:1334-1400, _halos_ready:1211-1260).  kind="rfof"
+        runs the relaxed finder instead (deviation: each finder keeps
+        its own tail; the reference shares one tail store between the
+        two, which only matters when both are enabled at once)."""
+        import jax.numpy as jnp
+        from .fof import find_halos, rfof_find_halos
+        from .store import Store
+
+        tail = state["tail_" + kind]
+        comb = dict(rec)
+        nnew = len(rec["aemit"])
+        if tail is not None:
+            comb = {k: np.concatenate([rec[k], tail[k]]) for k in rec}
+        st = Store(x=jnp.asarray(comb["x"]),
+                   v=jnp.asarray(comb["v"]),
+                   id=jnp.asarray(comb["id"].reshape(-1)),
+                   aemit=jnp.asarray(comb["aemit"]))
+        if kind == "rfof":
+            # "Use the average redshift -- this is bad if the slices
+            # are large!" (src/fastpm.c:1319).  The reference reads
+            # meta.a_x of the usmesh store; we use the mean aemit of
+            # the combined batch, which is that average.
+            a_avg = float(np.mean(comb["aemit"])) if len(comb["aemit"]) \
+                else af
+            sep = p.boxsize / p.nc
+            cat, ihalo = rfof_find_halos(
+                st, p.boxsize, 1.0 / a_avg - 1.0, solver.cosmology,
+                nmin=int(p.rfof_nmin),
+                linkinglength=p.rfof_linkinglength * sep,
+                l1=p.rfof_l1 * sep, l6=p.rfof_l6 * sep,
+                A1=p.rfof_a1 * sep, A2=p.rfof_a2 * sep,
+                B1=p.rfof_b1, B2=p.rfof_b2, periodic=False)
+        else:
+            ll = p.fof_linkinglength * p.boxsize / p.nc
+            cat, ihalo = find_halos(st, ll, p.boxsize,
+                                    nmin=int(p.fof_nmin), periodic=False)
+        padding = p.lc_usmesh_fof_padding
+        rmin = float(lc.horizon.distance(af))
+        r_h = lc.distance_of(cat.x)
+        established = r_h > rmin + 0.5 * padding
+
+        r_p = lc.distance_of(np.asarray(comb["x"], dtype=np.float64))
+        near_tail = r_p <= rmin + padding
+        in_est = np.zeros(len(r_p), dtype=bool)
+        inh = ihalo >= 0
+        in_est[inh] = established[np.clip(ihalo[inh], 0, None)]
+        keep_for_tail = near_tail & ~in_est
+        state["tail_" + kind] = {k: v[keep_for_tail]
+                                 for k, v in comb.items()}
+        log.info("%d particles will be reused in next batch for "
+                 "usmesh FOF", int(keep_for_tail.sum()))
+
+        rows = np.flatnonzero(established)
+        order = rows[np.argsort(cat.aemit[rows], kind="stable")] \
+            if cat.aemit is not None else rows
+        dataset = "RFOF" if kind == "rfof" \
+            else "LL-%05.3f" % p.fof_linkinglength
+        counts_k = fof_counts[kind]
+        bf = BigFile(filebase, create=True)
+        blocks = (("Length", cat.length[order].astype(np.int32)),
+                  ("Position", cat.x[order].astype(np.float32)),
+                  ("Velocity", cat.v[order].astype(np.float32)),
+                  ("MinID", cat.minid[order].astype(np.int64)),
+                  ("Aemit", (cat.aemit[order]
+                             if cat.aemit is not None
+                             else np.zeros(len(order))).astype(np.float32)))
+        if state["first_" + kind]:
+            for name, arr in blocks:
+                bf.create_block(f"{dataset}/{name}", arr)
+            state["first_" + kind] = False
+        else:
+            for name, arr in blocks:
+                bf.open_block(f"{dataset}/{name}").append(arr)
+        if cat.aemit is not None and len(order):
+            idx = np.searchsorted(edges, cat.aemit[order], side="right")
+            counts_k[:] += np.bincount(idx, minlength=nslices + 2)
+        root = bf.open_block(dataset)
+        root.attrs.set("aemitIndex.edges", edges, "f8")
+        root.attrs.set("aemitIndex.size", counts_k[:nslices + 2], "i8")
+        root.attrs.set("aemitIndex.offset",
+                       np.concatenate([[0], np.cumsum(counts_k)]), "i8")
+        log.info("Writing a catalog to %s [%s]", filebase, dataset)
+        log.info("Writing %d objects.", len(order))
 
     def ready(event):
         rec = event.mesh.drain()
@@ -348,6 +437,13 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
                        aemit=np.zeros(0, np.float32),
                        id=np.zeros(0, np.int64),
                        rand=np.zeros(0, np.float32))
+        for kind, want in (("fof", p.write_fof), ("rfof", p.write_rfof)):
+            tail = state["tail_" + kind]
+            flush = (event.whence == ev.TIMESTEP_END and tail is not None
+                     and len(tail["aemit"]))
+            if want and (len(rec["aemit"]) or flush):
+                lightcone_fof(rec, event.af, kind)
+
         # subsample (ell-limited or uniform; src/fastpm.c:1025-1046)
         if p.lc_usmesh_ell_limit > 0:
             frac = np.minimum(1.0, np.array(
@@ -577,6 +673,43 @@ def main(argv=None):
 
     p = load_params(ns.params, ns.args)
     run_fastpm(p, restart=ns.restart)
+    return 0
+
+
+def main_lua(argv=None):
+    """fastpm-lua equivalent (src/fastpm-lua.c): compile a parameter
+    file -- executing its `main` function if one is defined -- and
+    print the bound parameters; -H dumps the schema instead."""
+    from .config.schema import SCHEMA, SchemaError
+
+    ap = argparse.ArgumentParser(
+        prog="fastpm-tpu-lua",
+        description="compile a fastpm Lua parameter file and print "
+                    "the resolved parameters")
+    ap.add_argument("-H", dest="dump_schema", action="store_true",
+                    help="print the supported parameters and exit")
+    ap.add_argument("params", nargs="?", help="Lua parameter file")
+    ap.add_argument("args", nargs="*", help="extra arguments exposed "
+                    "as `args` in the parameter file")
+    ns = ap.parse_args(argv)
+
+    if ns.dump_schema:
+        print("Supported Parameters are: ")
+        for name, ent in sorted(SCHEMA.items()):
+            req = "required" if ent.required else \
+                "default=%r" % (ent.default,)
+            print("  %-32s %-8s %s" % (name, ent.type, req))
+        return 0
+    if not ns.params:
+        ap.error("parameterfile is required")
+    try:
+        p = load_params(ns.params, ns.args, runmain=True)
+    except (OSError, SchemaError) as e:
+        print("fastpm-tpu-lua: %s" % e, file=sys.stderr)
+        return 1
+    print("Compiled parameters are: ")
+    for k, v in sorted(p.asdict().items()):
+        print("%s = %r" % (k, v))
     return 0
 
 

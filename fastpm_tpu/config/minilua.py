@@ -1016,3 +1016,15 @@ def run(source: str, globals_: Optional[Dict[str, Any]] = None,
     except _Return:
         pass
     return g
+
+
+def call_function(fn, args=(), globals_: Optional[Dict[str, Any]] = None):
+    """Invoke a LuaFunction obtained from run()'s globals (used by the
+    fastpm-lua tool to execute a parameter file's `main`,
+    src/lua-runtime-config.lua:706-716). The closure environment
+    travels with the function; globals_ only seeds the stdlib when the
+    function is a bare Python callable."""
+    if callable(fn):
+        return fn(*args)
+    g = globals_ if globals_ is not None else dict(make_stdlib(None))
+    return Interpreter(g)._call(fn, list(args))

@@ -113,17 +113,20 @@ class Params:
         return dict(self._ns)
 
 
-def load_params(filename: str, argv: Sequence[str] = ()) -> Params:
+def load_params(filename: str, argv: Sequence[str] = (),
+                runmain: bool = False) -> Params:
     """Execute the Lua parameter file and validate against the schema."""
     with open(filename) as f:
         source = f.read()
     return load_params_from_string(source, argv, filename=filename,
-                                   cwd=os.path.dirname(os.path.abspath(filename)))
+                                   cwd=os.path.dirname(os.path.abspath(filename)),
+                                   runmain=runmain)
 
 
 def load_params_from_string(source: str, argv: Sequence[str] = (),
                             filename: str = "<string>",
-                            cwd: str = ".") -> Params:
+                            cwd: str = ".",
+                            runmain: bool = False) -> Params:
     fastpm_tbl = LuaTable({
         "linspace": _linspace,
         "logspace": _logspace,
@@ -142,6 +145,11 @@ def load_params_from_string(source: str, argv: Sequence[str] = (),
         "loglinspace": _loglinspace,
         "args": args,
     })
+    # if the file defines a main function, optionally execute it, and
+    # always prune it from the namespace (lua-runtime-config.lua:708-716)
+    main = g.pop("main", None)
+    if main is not None and runmain:
+        minilua.call_function(main, (), g)
     # collect plain-value globals (skip stdlib/functions)
     raw = {}
     for k, v in g.items():

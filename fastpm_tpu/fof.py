@@ -39,11 +39,20 @@ def _fof_lib():
 
 
 def fof_labels(pos: np.ndarray, linking_length: float,
-               boxsize: float) -> np.ndarray:
-    """Exact periodic FOF labels: each particle gets the minimum particle
-    index of its group."""
+               boxsize: float, periodic: bool = True) -> np.ndarray:
+    """Exact FOF labels: each particle gets the minimum particle index of
+    its group. Non-periodic mode (lightcone slices) embeds the points in
+    a large enough box that wraps never link."""
     pos = np.ascontiguousarray(pos, dtype=np.float32)
     n = len(pos)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if not periodic:
+        lo = pos.min(axis=0)
+        span = float((pos - lo).max()) if n else 1.0
+        boxsize = span + 4.0 * linking_length
+        pos = np.ascontiguousarray(pos - lo + linking_length,
+                                   dtype=np.float32)
     labels = np.empty(n, dtype=np.int64)
     _fof_lib().fof_label(pos, n, float(linking_length), float(boxsize),
                          labels)
@@ -102,7 +111,8 @@ def find_halos(p: Store, linking_length: float, boxsize: float,
     x = np.asarray(p.x, dtype=np.float32)
     n = len(x)
     if labels is None:
-        labels = fof_labels(x, linking_length, boxsize)
+        labels = fof_labels(x, linking_length, boxsize,
+                            periodic=periodic)
 
     # compact labels
     uniq, compact = np.unique(labels, return_inverse=True)
@@ -221,7 +231,8 @@ def rfof_find_halos(p: Store, boxsize: float, z: float, cosmology,
                     nmin: int = 8, linkinglength: float = 0.0,
                     l1: float = 0.0, l6: float = 0.0,
                     A1: float = 0.0, A2: float = 0.0,
-                    B1: float = 7.02, B2: float = 6.025):
+                    B1: float = 7.02, B2: float = 6.025,
+                    periodic: bool = True):
     """Relaxed FOF (reference: libfastpm/rfof.c:90-186): 6 rounds of FOF
     with mass-bin-dependent linking lengths l(i, z) and the
     velocity-dispersion rejection vdisp < r0 * sigma_std(M, E(z));
@@ -249,9 +260,11 @@ def rfof_find_halos(p: Store, boxsize: float, z: float, cosmology,
         sub = Store(x=p.x[idx],
                     v=p.v[idx] if p.v is not None else None,
                     id=p.id[idx] if p.id is not None else None,
+                    aemit=p.aemit[idx] if p.aemit is not None else None,
                     q_shift=p.q_shift, q_scale=p.q_scale, q_nc=p.q_nc,
                     a_x=p.a_x, a_v=p.a_v, M0=p.M0)
-        cat, icand = find_halos(sub, ll, boxsize, nmin=nmin)
+        cat, icand = find_halos(sub, ll, boxsize, nmin=nmin,
+                                periodic=periodic)
 
         # acceptance (rfof.c:137-151)
         if cat.nhalo:
@@ -272,7 +285,8 @@ def rfof_find_halos(p: Store, boxsize: float, z: float, cosmology,
         save_rows = np.flatnonzero(save)
         row_map = np.full(cat.nhalo, -1, dtype=np.int64)
         row_map[save_rows] = nsaved + np.arange(len(save_rows))
-        in_saved = (icand >= 0) & (row_map[np.clip(icand, 0, None)] >= 0)
+        in_saved = np.zeros(len(icand), dtype=bool) if cat.nhalo == 0 \
+            else (icand >= 0) & (row_map[np.clip(icand, 0, None)] >= 0)
         ihalo[idx[in_saved]] = row_map[icand[in_saved]]
         active[idx[in_saved]] = False
 
@@ -297,5 +311,6 @@ def rfof_find_halos(p: Store, boxsize: float, z: float, cosmology,
 
     cat = HaloCatalog(length=cc("length"), x=cc("x"), v=cc("v"),
                       minid=cc("minid"), q=cc("q"), rdisp=cc("rdisp"),
-                      vdisp=cc("vdisp"), rvdisp=cc("rvdisp"))
+                      vdisp=cc("vdisp"), rvdisp=cc("rvdisp"),
+                      aemit=cc("aemit"))
     return cat, ihalo

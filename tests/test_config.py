@@ -171,3 +171,39 @@ pm_nc_factor = 1
 np_alloc_factor = 2.0
 """)
     assert p.aout == pytest.approx([0.1, 0.5, 1.0])
+
+
+def test_runmain_executes_main():
+    """fastpm-lua runs the file's `main` before binding
+    (src/fastpm-lua.c, lua-runtime-config.lua:706-716)."""
+    src = """
+nc = 8
+boxsize = 32.0
+time_step = {1.0}
+output_redshifts = {0.0}
+Omega_m = 0.3
+h = 0.7
+pm_nc_factor = 1
+force_mode = "fastpm"
+np_alloc_factor = 1.5
+read_powerspectrum = "/root/reference/tests/powerspec.txt"
+random_seed = 1
+function main()
+    nc = 16
+end
+"""
+    p = load_params_from_string(src)
+    assert p.nc == 8          # main pruned, not run
+    p = load_params_from_string(src, runmain=True)
+    assert p.nc == 16         # main executed
+
+
+def test_main_lua_tool(capsys):
+    from fastpm_tpu.cli import main_lua
+    main_lua(["-H"])
+    out = capsys.readouterr().out
+    assert "Supported Parameters are" in out and "boxsize" in out
+    main_lua(["/root/reference/tests/standard.lua", "za"])
+    out = capsys.readouterr().out
+    assert "Compiled parameters are" in out
+    assert "force_mode = 'pm'" in out and "za = True" in out

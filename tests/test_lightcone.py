@@ -94,3 +94,65 @@ def test_usmesh_emit_events():
     mesh.intersect(drift, kick, 0.5, 0.5, ev.TIMESTEP_START)
     mesh.intersect(drift, kick, 1.0, 1.0, ev.TIMESTEP_END)
     assert got == [ev.TIMESTEP_START, ev.TIMESTEP_END]
+
+
+@pytest.mark.slow
+def test_lightcone_fof_tail_carry(tmp_path):
+    """usmesh FOF with tail carry-over (run_usmesh_fof,
+    src/fastpm.c:1334-1400): halos established once they are beyond
+    rmin + padding/2 must all be written by the final TIMESTEP_END
+    flush, and match a FOF over the full concatenated lightcone."""
+    from fastpm_tpu.config.params import load_params_from_string
+    from fastpm_tpu.cli import run_fastpm
+    from fastpm_tpu.diagnostics import Log
+    from fastpm_tpu.io.bigfile import BigFile
+    from fastpm_tpu.fof import find_halos
+    from fastpm_tpu.store import Store
+
+    out = tmp_path / "lc"
+    src = """
+nc = 16
+boxsize = 64.0
+time_step = linspace(0.2, 1, 4)
+output_redshifts = {0.0}
+Omega_m = 0.307494
+h = 0.6774
+read_powerspectrum = "/root/reference/tests/powerspec.txt"
+random_seed = 100
+force_mode = "fastpm"
+growth_mode = "LCDM"
+pm_nc_factor = 1
+np_alloc_factor = 2.0
+dh_factor = 0.05
+lc_fov = 360
+lc_amin = 0.2
+lc_amax = 1.0
+write_fof = "%(out)s/fof"
+fof_nmin = 8
+lc_usmesh_fof_padding = 10.0
+lc_write_usmesh = "%(out)s/usmesh"
+lc_usmesh_tiles = fastpm.outerproduct({-1, 0}, {-1, 0}, {-1, 0})
+""" % dict(out=out)
+    run_fastpm(load_params_from_string(src), Log(echo=False))
+
+    bf = BigFile(str(out / "usmesh"))
+    length = bf.open_block("LL-0.200/Length").read_all()
+    aemit = bf.open_block("LL-0.200/Aemit").read_all()
+    assert (length >= 8).all()
+    # batches are written in aemit order within each append; the index
+    # attrs must account for every halo
+    att = bf.open_block("LL-0.200").attrs
+    assert int(np.sum(att.get("aemitIndex.size"))) == len(length)
+
+    # reference check: FOF over the whole lightcone at once finds the
+    # same established halos (tail carry must not split or lose any)
+    pos = bf.open_block("1/Position").read_all()
+    vel = bf.open_block("1/Velocity").read_all()
+    ae = bf.open_block("1/Aemit").read_all()
+    ids = bf.open_block("1/ID").read_all()
+    st = Store(x=jnp.asarray(pos), v=jnp.asarray(vel),
+               id=jnp.asarray(ids.reshape(-1)), aemit=jnp.asarray(ae))
+    cat, _ = find_halos(st, 0.2 * 64.0 / 16, 64.0, nmin=8,
+                        periodic=False)
+    assert len(length) == cat.nhalo
+    np.testing.assert_array_equal(np.sort(length), np.sort(cat.length))
