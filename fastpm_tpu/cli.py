@@ -544,7 +544,8 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
     return mesh
 
 
-def run_fastpm(p: Params, log=None, restart: str = None) -> Solver:
+def run_fastpm(p: Params, log=None, restart: str = None,
+               memory_bound_mb: int = 0) -> Solver:
     """The full run (src/fastpm.c:run_fastpm)."""
     if log is None:
         log = Log()
@@ -571,6 +572,23 @@ def run_fastpm(p: Params, log=None, restart: str = None) -> Solver:
                              write_powerspectrum=p.write_powerspectrum,
                              enforce_broadband_kmax=p.enforce_broadband_kmax)
 
+    # per-transition banner + memory report (print_transition,
+    # src/fastpm.c:1576-1601; report_memory:1604-1646)
+    from .memory import MemoryMonitor
+    monitor = MemoryMonitor(bound_bytes=(int(memory_bound_mb) << 20)
+                            if memory_bound_mb else None)
+
+    def print_transition(event):
+        t = event.transition
+        log.info("==== -> [%03d %03d %03d] a_i = %6.4f a_f = %6.4f "
+                 "a_r = %6.4f Action = %s ====",
+                 t.i_i, t.i_f, t.i_r,
+                 t.a_i, t.a_f, t.a_r, t.action.upper())
+        monitor.report(log)
+
+    solver.event_handlers.on(ev.EVENT_TRANSITION, ev.STAGE_BEFORE,
+                             print_transition)
+
     checker = SnapshotChecker(solver, p, log)
     solver.event_handlers.on(ev.EVENT_INTERPOLATION, ev.STAGE_BEFORE, checker)
 
@@ -591,6 +609,11 @@ def run_fastpm(p: Params, log=None, restart: str = None) -> Solver:
         solver.setup_lpt(dk, a0)
         prepare_ncdm(solver, p, a0, log)
     solver.evolve(cfg.time_step)
+    # teardown report (run_fastpm end, src/fastpm.c:388-396)
+    monitor._old_device_peak = -1   # force a final line
+    monitor.report(log)
+    from . import prof
+    prof.report(printer=lambda s: log.info("%s", s))
     return solver
 
 
@@ -663,7 +686,9 @@ def main(argv=None):
     ap.add_argument("-T", type=int, default=0, help="ignored (XLA threads)")
     ap.add_argument("-W", type=int, default=0, help="number of IO writers")
     ap.add_argument("-y", type=int, default=0, help="ignored (NprocY)")
-    ap.add_argument("-m", type=int, default=0, help="ignored (memory bound)")
+    ap.add_argument("-m", dest="memory_bound_mb", type=int, default=0,
+                    help="abort cleanly when memory usage exceeds this "
+                         "many MB (0 = unbounded)")
     ap.add_argument("-r", dest="restart", default=None,
                     help="restart from snapshot path")
     ap.add_argument("params", help="Lua parameter file")
@@ -671,8 +696,11 @@ def main(argv=None):
                     "`args` in the parameter file")
     ns = ap.parse_args(argv)
 
+    import faulthandler
+    faulthandler.enable()  # crash backtraces (src/stacktrace.c)
     p = load_params(ns.params, ns.args)
-    run_fastpm(p, restart=ns.restart)
+    run_fastpm(p, restart=ns.restart,
+               memory_bound_mb=ns.memory_bound_mb)
     return 0
 
 

@@ -58,6 +58,22 @@ def gaussian_white_noise(pm: PM, seed: int, scheme: str = "gadget"):
         g[0::2] = (ampl * np.sin(phase)).astype(np.float32)
         g[1::2] = (ampl * np.cos(phase)).astype(np.float32)
         return pm.r2c(jnp.asarray(g.reshape(pm.rshape)))
+    elif scheme == "slow":
+        # full 3D scan with one global ranlxd stream: per cell draw
+        # (phase, ampl) and keep only ampl*sin(phase)
+        # (pmic_fill_gaussian_slow, initialcondition.c:312-352);
+        # decomposition-independent by construction.
+        vals = native.ranlxd_uniform(seed, 2 * int(pm.Norm))
+        phase = vals[0::2] * 2 * math.pi
+        ampl = vals[1::2]
+        # the reference redraws on an exact 0.0 (probability ~N*2^-52);
+        # a redraw would shift the stream, so treat it as fatal instead
+        if (ampl == 0.0).any():
+            raise RuntimeError("ranlxd produced an exact 0.0; the "
+                               "reference's redraw loop is not emulated")
+        g = (np.sqrt(-2 * np.log(ampl)) * math.sqrt(pm.Norm)
+             * np.sin(phase)).astype(np.float32)
+        return pm.r2c(jnp.asarray(g.reshape(pm.rshape)))
     raise ValueError(f"unknown white noise scheme {scheme!r}")
 
 

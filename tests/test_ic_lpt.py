@@ -134,3 +134,19 @@ def test_store_wrap():
     wrapped = shifted.wrap(16.0)
     x = np.asarray(wrapped.x)
     assert x.min() >= 0 and x.max() < 16.0
+
+
+def test_slow_scheme_white_noise():
+    """SLOW scheme (pmic_fill_gaussian_slow, initialcondition.c:312-352):
+    full 3D scan of one global ranlxd stream; unit-variance hermitian
+    modes after r2c."""
+    pm = PM(32, 128.0)
+    dk = ic.gaussian_white_noise(pm, seed=42, scheme="slow")
+    var = pm.compute_variance(dk)
+    assert abs(var - 1.0) < 0.05
+    # deterministic
+    dk2 = ic.gaussian_white_noise(pm, seed=42, scheme="slow")
+    np.testing.assert_array_equal(np.asarray(dk), np.asarray(dk2))
+    # different seed -> different field
+    dk3 = ic.gaussian_white_noise(pm, seed=43, scheme="slow")
+    assert not np.allclose(np.asarray(dk), np.asarray(dk3))
