@@ -26,7 +26,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..mesh import PM
 
-__all__ = ["SlabPM"]
+__all__ = ["SlabPM", "PencilPM", "make_engine"]
+
+
+def make_engine(pm, mesh):
+    """Pick the decomposition by the mesh shape: 1D -> slab (FFTW-MPI
+    analog), 2D -> pencil (PFFT analog, pmpfft.c:108-134)."""
+    names = tuple(mesh.axis_names)
+    if len(names) == 1:
+        return SlabPM(pm, mesh, axis=names[0])
+    if len(names) == 2:
+        return PencilPM(pm, mesh, axes=names)
+    raise ValueError("mesh must have 1 (slab) or 2 (pencil) axes, got "
+                     f"{names!r}")
 
 
 class SlabPM:
@@ -140,3 +152,186 @@ class SlabPM:
             shape[d] = tj.shape[0]
             out = out * tj.reshape(shape)
         return out
+
+    # ---- canvas collectives (paint reduce / readout gather) ----
+
+    def reduce_canvas(self, canvas_full):
+        """Full local canvas -> summed x-slab shard (ghost reduce)."""
+        return jax.lax.psum_scatter(canvas_full, self.axis,
+                                    scatter_dimension=0, tiled=True)
+
+    def gather_canvas(self, local):
+        """x-slab shard -> full local canvas (readout gather)."""
+        return jax.lax.all_gather(local, self.axis, axis=0, tiled=True)
+
+    @property
+    def particle_axes(self):
+        return (self.axis,)
+
+
+class PencilPM:
+    """PM engine sharded over a 2D mesh ('x', 'y') -- the analog of the
+    reference's default PFFT 2D pencil decomposition (pmpfft.c:108-260),
+    which scales the FFT to O(Nmesh^2) devices instead of the slab's
+    O(Nmesh).
+
+    Layouts (Px x Py devices):
+    - real space: global (Nx, Ny, Nz) as pencils (Nx/Px, Ny/Py, Nz)
+    - k space (transposed out): local (Nx, Ny/Px, Nzp/Py) where
+      Nzp = Nzh padded up to a multiple of Py (zero modes beyond Nzh;
+      the pad rides along through transfers and is dropped by c2r).
+      x is fully local on every device -- the same "see all of one
+      axis" trick as the reference's transposed layout
+      (pmpfft.c:198-202).
+
+    r2c pipeline: rfft(z) -> pad z -> all_to_all over 'y' (z<->y)
+    -> fft(y) -> all_to_all over 'x' (y<->x) -> fft(x).
+    """
+
+    def __init__(self, pm: PM, mesh: Mesh, axes=("x", "y")):
+        self.pm = pm
+        self.mesh = mesh
+        self.axes = tuple(axes)
+        self.ax0, self.ax1 = self.axes
+        self.px = mesh.shape[self.ax0]
+        self.py = mesh.shape[self.ax1]
+        n0, n1, n2 = pm.Nmesh
+        nzh = n2 // 2 + 1
+        self.nzh = nzh
+        self.nzp = ((nzh + self.py - 1) // self.py) * self.py
+        if n0 % self.px or n1 % self.py or n1 % self.px:
+            raise ValueError("Nmesh must divide the 2D device mesh "
+                             "(pm_unbalanced, solver.c:113-121)")
+        self.rshard = (n0 // self.px, n1 // self.py, n2)
+        self.kshard = (n0, n1 // self.px, self.nzp // self.py)
+
+    # ---- shard-local FFTs (call inside shard_map) ----
+
+    @staticmethod
+    def _fft_axis(a, axis, inverse=False):
+        """FFT along a non-major axis via moveaxis: the CPU backend's
+        fft thunk requires dim0-major layouts (XLA fuses the moves on
+        TPU)."""
+        m = jnp.moveaxis(a, axis, -1)
+        m = jnp.fft.ifft(m, axis=-1) if inverse else jnp.fft.fft(m, axis=-1)
+        return jnp.moveaxis(m, -1, axis)
+
+    def r2c_local(self, x_pencil):
+        pm = self.pm
+        h = jnp.fft.rfft(x_pencil, axis=2)           # (nxl, nyl, Nzh)
+        if self.nzp != self.nzh:
+            h = jnp.pad(h, ((0, 0), (0, 0), (0, self.nzp - self.nzh)))
+        # transpose z <-> y over 'y': (nxl, Ny, Nzp/Py)
+        h = jax.lax.all_to_all(h, self.ax1, split_axis=2,
+                               concat_axis=1, tiled=True)
+        h = self._fft_axis(h, 1)
+        # transpose y <-> x over 'x': (Nx, Ny/Px, Nzp/Py)
+        h = jax.lax.all_to_all(h, self.ax0, split_axis=1,
+                               concat_axis=0, tiled=True)
+        h = self._fft_axis(h, 0)
+        return (h / pm.Norm).astype(pm.cdtype)
+
+    def c2r_local(self, k_shard):
+        pm = self.pm
+        k = k_shard * pm.Norm
+        k = self._fft_axis(k, 0, inverse=True)
+        k = jax.lax.all_to_all(k, self.ax0, split_axis=0,
+                               concat_axis=1, tiled=True)
+        k = self._fft_axis(k, 1, inverse=True)
+        k = jax.lax.all_to_all(k, self.ax1, split_axis=1,
+                               concat_axis=2, tiled=True)
+        if self.nzp != self.nzh:
+            k = k[:, :, :self.nzh]
+        x = jnp.fft.irfft(k, axis=2, n=pm.Nmesh[2])
+        return x.astype(pm.dtype)
+
+    # ---- shard-local k tables ----
+
+    def _kindex(self, d: int):
+        """Global mesh indices along dimension d of the local k shard."""
+        n = self.pm.Nmesh[d]
+        if d == 0:
+            return jnp.arange(n)
+        if d == 1:
+            nloc = n // self.px
+            return jax.lax.axis_index(self.ax0) * nloc + jnp.arange(nloc)
+        nloc = self.nzp // self.py
+        return jax.lax.axis_index(self.ax1) * nloc + jnp.arange(nloc)
+
+    def ktable_local(self, name: str, d: int):
+        t = jnp.asarray(self.pm.table(name, d), dtype=self.pm.dtype)
+        idx = self._kindex(d)
+        if d == 2:
+            # the pad region has no table entry; gather clamped and
+            # zero it so padded modes stay zero through transfers
+            safe = jnp.minimum(idx, self.nzh - 1)
+            return jnp.where(idx < self.nzh, t[safe], 0.0)
+        if d == 0:
+            return t
+        return t[idx]
+
+    def broadcast_table_local(self, name: str, d: int):
+        t = self.ktable_local(name, d)
+        shape = [1, 1, 1]
+        shape[d] = t.shape[0]
+        return t.reshape(shape)
+
+    def nyquist_mask_local(self):
+        masks = []
+        for d in range(3):
+            n = self.pm.Nmesh[d]
+            i = self._kindex(d)
+            masks.append(i == (n - i) % n)
+        return (masks[0][:, None, None] & masks[1][None, :, None]
+                & masks[2][None, None, :])
+
+    # ---- shard-local transfers ----
+
+    apply_laplace = SlabPM.apply_laplace
+    apply_pot = SlabPM.apply_pot
+    apply_grad = SlabPM.apply_grad
+
+    def apply_decic(self, dk):
+        out = dk
+        for d in range(3):
+            t = self.pm.table("k", d)
+            w = t * self.pm.BoxSize[d] / self.pm.Nmesh[d]
+            s = np.sinc(0.5 * w / np.pi)
+            kern = jnp.asarray((1.0 / s ** 2).astype(np.float64),
+                               dtype=self.pm.dtype)
+            idx = self._kindex(d)
+            if d == 2:
+                safe = jnp.minimum(idx, self.nzh - 1)
+                tj = jnp.where(idx < self.nzh, kern[safe], 0.0)
+            elif d == 0:
+                tj = kern
+            else:
+                tj = kern[idx]
+            shape = [1, 1, 1]
+            shape[d] = tj.shape[0]
+            out = out * tj.reshape(shape)
+        return out
+
+    # ---- canvas collectives (paint reduce / readout gather) ----
+
+    def reduce_canvas(self, canvas_full):
+        """Full local canvas -> summed pencil shard (ghost reduce)."""
+        c = jax.lax.psum_scatter(canvas_full, self.ax0,
+                                 scatter_dimension=0, tiled=True)
+        return jax.lax.psum_scatter(c, self.ax1,
+                                    scatter_dimension=1, tiled=True)
+
+    def gather_canvas(self, local):
+        """Pencil shard -> full local canvas (readout gather).
+
+        The axis-0 gather runs first: an axis-1 all_gather directly
+        consuming the irfft makes XLA:CPU assign the fft a non-major
+        layout, which its fft thunk rejects (RET_CHECK
+        IsMonotonicWithDim0Major); gathering axis 0 first keeps the
+        fft output major and is equivalent."""
+        c = jax.lax.all_gather(local, self.ax0, axis=0, tiled=True)
+        return jax.lax.all_gather(c, self.ax1, axis=1, tiled=True)
+
+    @property
+    def particle_axes(self):
+        return self.axes

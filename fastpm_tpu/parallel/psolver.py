@@ -27,9 +27,10 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 from ..mesh import PM
 from ..painter import Painter
 from ..kernels import kernel_orders
-from .pfft import SlabPM
+from .pfft import SlabPM, PencilPM, make_engine
 
-__all__ = ["make_sharded_step", "sharded_force_fn"]
+__all__ = ["make_sharded_step", "sharded_force_fn", "particle_spec",
+           "deltak_spec"]
 
 
 def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str,
@@ -41,10 +42,11 @@ def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str,
     potorder, gradorder, difforder, _ = kernel_orders(kernel_type)
 
     canvas_full = painter.paint(x, 1.0)              # (Nx, Ny, Nz) local
-    # sum over devices and shard into x-slabs (ghost reduce analogue)
-    canvas = jax.lax.psum_scatter(canvas_full, spm.axis,
-                                  scatter_dimension=0, tiled=True)
-    ntotal = jax.lax.psum(jnp.float32(x.shape[0]), spm.axis)
+    # sum over devices and shard (ghost reduce analogue)
+    canvas = spm.reduce_canvas(canvas_full)
+    ntotal = jnp.float32(x.shape[0])
+    for ax in spm.particle_axes:
+        ntotal = jax.lax.psum(ntotal, ax)
     canvas = canvas / (ntotal / pm.Norm)
 
     delta_k = spm.r2c_local(canvas)
@@ -53,8 +55,8 @@ def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str,
     for d in range(3):
         fk = spm.apply_pot(delta_k, potorder)
         fk = spm.apply_grad(fk, d, gradorder)
-        slab = spm.c2r_local(fk)                     # (Nx/P, Ny, Nz)
-        full = jax.lax.all_gather(slab, spm.axis, axis=0, tiled=True)
+        local = spm.c2r_local(fk)
+        full = spm.gather_canvas(local)
         accs.append(painter.readout(full, x))
     acc = jnp.stack(accs, axis=-1)
     if return_delta_k:
@@ -62,15 +64,30 @@ def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str,
     return acc
 
 
+def particle_spec(mesh: Mesh) -> P:
+    """Particles are index-sharded over every mesh axis jointly."""
+    names = tuple(mesh.axis_names)
+    return P(names if len(names) > 1 else names[0])
+
+
+def deltak_spec(spm) -> P:
+    """PartitionSpec of the transposed k layout produced by the
+    engine: slab -> (None, 'x', None); pencil -> (None, 'x', 'y')."""
+    if hasattr(spm, "axes"):
+        return P(None, spm.ax0, spm.ax1)
+    return P(None, spm.axis, None)
+
+
 def sharded_force_fn(pm: PM, mesh: Mesh, kernel_type: str = "1_4",
                      painter_type: str = "cic", painter_support: int = 2):
     """Jitted SPMD function positions (N,3) -> accelerations (N,3),
-    sharded over mesh axis 'x'."""
-    spm = SlabPM(pm, mesh)
+    sharded over the mesh's axes."""
+    spm = make_engine(pm, mesh)
     painter = Painter(pm, painter_type, painter_support)
+    spec = particle_spec(mesh)
 
     @jax.jit
-    @partial(jax.shard_map, mesh=mesh, in_specs=P("x"), out_specs=P("x"))
+    @partial(jax.shard_map, mesh=mesh, in_specs=spec, out_specs=spec)
     def force(x):
         return _force_local(spm, painter, x, kernel_type)
 
@@ -85,9 +102,10 @@ def make_sharded_step(pm: PM, mesh: Mesh, kernel_type: str = "1_4",
     coeffs = [dda, dyyy] are the kick/drift factors for this step
     (computed host-side from the factor tables). Buffers are donated.
     """
-    spm = SlabPM(pm, mesh)
+    spm = make_engine(pm, mesh)
     painter = Painter(pm, painter_type, painter_support)
     L = jnp.asarray(pm.BoxSize, dtype=jnp.float32)
+    spec = particle_spec(mesh)
 
     def step_local(x, v, coeffs):
         acc = _force_local(spm, painter, x, kernel_type)
@@ -97,6 +115,6 @@ def make_sharded_step(pm: PM, mesh: Mesh, kernel_type: str = "1_4",
         return x, v, acc
 
     sharded = jax.shard_map(step_local, mesh=mesh,
-                            in_specs=(P("x"), P("x"), P()),
-                            out_specs=(P("x"), P("x"), P("x")))
+                            in_specs=(spec, spec, P()),
+                            out_specs=(spec, spec, spec))
     return jax.jit(sharded, donate_argnums=(0, 1))

@@ -218,28 +218,33 @@ class Solver:
     # ---- SPMD force (parallel/psolver.py) ----
 
     def _sharded_force(self, pm: PM, stores):
-        from jax.sharding import PartitionSpec as P
-        from .parallel.pfft import SlabPM
-        from .parallel.psolver import _force_local
+        from .parallel.pfft import make_engine
+        from .parallel.psolver import (_force_local, particle_spec,
+                                       deltak_spec)
 
         key = id(pm)
         fn = self._sharded_force_cache.get(key)
         if fn is None:
-            spm = SlabPM(pm, self.mesh)
+            spm = make_engine(pm, self.mesh)
             painter = Painter(pm, self.config.painter_type,
                               self.config.painter_support)
             kernel_type = self.config.kernel_type
+            pspec = particle_spec(self.mesh)
 
             def local(x):
                 return _force_local(spm, painter, x, kernel_type,
                                     return_delta_k=True)
 
             fn = jax.jit(jax.shard_map(
-                local, mesh=self.mesh, in_specs=P("x"),
-                out_specs=(P("x"), P(None, "x"))))
+                local, mesh=self.mesh, in_specs=pspec,
+                out_specs=(pspec, deltak_spec(spm))))
             self._sharded_force_cache[key] = fn
         p = stores[0]
         acc, delta_k = fn(p.x)
+        # the pencil layout pads kz to a multiple of Py; drop the pad so
+        # downstream consumers see the standard (Nx, Ny, Nz/2+1) array
+        if delta_k.shape[2] != pm.kshape[2]:
+            delta_k = delta_k[:, :, :pm.kshape[2]]
         return [p.replace(acc=acc)], delta_k
 
     # ---- neutrino linear response (gravity.c:457-529) ----
@@ -485,9 +490,11 @@ class Solver:
 
 
 def _shard_store(store: Store, mesh) -> Store:
-    """Place every per-particle column on the mesh sharded over 'x'."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    sh = NamedSharding(mesh, P("x"))
+    """Place every per-particle column on the mesh, index-sharded over
+    all mesh axes jointly."""
+    from jax.sharding import NamedSharding
+    from .parallel.psolver import particle_spec
+    sh = NamedSharding(mesh, particle_spec(mesh))
     updates = {}
     for name in ("x", "v", "acc", "dx1", "dx2", "dv1", "id", "rand",
                  "mask", "potential", "tidal", "pgdc", "mass", "aemit"):

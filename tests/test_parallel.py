@@ -1,6 +1,8 @@
 """Multi-device tests on the 8-way virtual CPU mesh: the sharded slab FFT
 and SPMD force step must agree with the single-device path."""
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -93,3 +95,88 @@ def test_sharded_step_runs_and_conserves_momentum(mesh):
         np.asarray(v1)).sum() / n * n ** 0.5 + 1e-2
     # positions wrapped
     assert float(x1.max()) <= 32.0 and float(x1.min()) >= 0.0
+
+
+def test_pencil_r2c_roundtrip_and_match():
+    """PencilPM (2D pencil, the PFFT analog): r2c/c2r over a 4x2 mesh
+    must match the single-device PM transform exactly."""
+    from fastpm_tpu.parallel.pfft import PencilPM
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    pm = PM(16, 64.0)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    spm = PencilPM(pm, mesh)
+    rng = np.random.default_rng(3)
+    rho = rng.standard_normal((16, 16, 16)).astype(np.float32)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("x", "y"),
+             out_specs=P("x", "y"))
+    def roundtrip(x):
+        return spm.c2r_local(spm.r2c_local(x))
+
+    out = np.asarray(roundtrip(jnp.asarray(rho)))
+    np.testing.assert_allclose(out, rho, atol=1e-5)
+
+    # k-space content matches the single-device transform
+    nzh = 16 // 2 + 1
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("x", "y"),
+             out_specs=P(None, "x", "y"))
+    def fwd(x):
+        return spm.r2c_local(x)
+
+    dk = np.asarray(fwd(jnp.asarray(rho)))[:, :, :spm.nzp]
+    ref = np.asarray(pm.r2c(jnp.asarray(rho)))
+    np.testing.assert_allclose(dk[:, :, :nzh], ref, atol=1e-5)
+    assert np.abs(dk[:, :, nzh:]).max() == 0.0
+
+
+def test_pencil_force_matches_single_device():
+    """The full SPMD force on a 2D pencil mesh must match the
+    single-device force."""
+    from jax.sharding import Mesh
+
+    pm = PM(16, 32.0)
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    n = 4096
+    rng = np.random.RandomState(2)
+    pos = jnp.asarray((rng.uniform(size=(n, 3)) * 32.0).astype(np.float32))
+
+    force = sharded_force_fn(pm, mesh2)
+    acc_sharded = np.asarray(force(pos))
+
+    store = Store(x=pos, M0=1.0)
+    painter = Painter(pm, "cic")
+    (out,), _ = compute_force(pm, painter, [store], "1_4", "none")
+    acc_single = np.asarray(out.acc)
+    np.testing.assert_allclose(acc_sharded, acc_single, atol=2e-5)
+
+
+def test_pencil_solver_cycle():
+    """Full Solver cycle with a 2D pencil mesh matches the 1D slab
+    mesh result."""
+    from jax.sharding import Mesh
+    from fastpm_tpu.cosmology import Cosmology
+    from fastpm_tpu.powerspectrum import FuncK
+    from fastpm_tpu.solver import Solver, SolverConfig
+    from fastpm_tpu import ic
+
+    cfg = SolverConfig(nc=16, boxsize=64.0, time_step=[0.5, 1.0],
+                       force_mode="fastpm", pm_nc_factor=1)
+    cosmo = Cosmology(h=0.6774, Omega_m=0.307494, growth_mode="lcdm")
+    pk = FuncK.from_file("/root/reference/tests/powerspec.txt")
+
+    def run(mesh):
+        s = Solver(cfg, cosmo, mesh=mesh)
+        dk, _ = ic.linear_field(s.lptpm, cosmo, pk, seed=9, aout=1.0)
+        s.setup_lpt(dk, 0.5)
+        s.evolve()
+        if mesh is not None:
+            assert len(s._sharded_force_cache) >= 1
+        return np.asarray(s.species["cdm"].x)
+
+    devs = np.array(jax.devices()[:8])
+    x_slab = run(Mesh(devs, ("x",)))
+    x_pencil = run(Mesh(devs.reshape(4, 2), ("x", "y")))
+    np.testing.assert_allclose(x_pencil, x_slab, atol=2e-4)
