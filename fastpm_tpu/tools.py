@@ -18,7 +18,7 @@ from .cosmology import Cosmology
 from .store import Store
 from .diagnostics import Log
 
-__all__ = ["main_fof", "main_rfof"]
+__all__ = ["main_fof", "main_rfof", "main_power", "main_pklin", "main_gadget1"]
 
 
 def _load_snapshot_store(path: str, dataset: str = "1"):
@@ -132,3 +132,256 @@ def main_rfof(argv=None):
 
 if __name__ == "__main__":
     sys.exit(main_fof())
+
+
+# ---- python/power.py equivalent ----
+
+def main_power(argv=None):
+    """Measure the 1D auto (or cross) power spectrum of snapshot/halo
+    catalogs (python/power.py, without the nbodykit dependency).
+
+    usage: fastpm-tpu-power out.txt cat1 [--dataset 1] [--with-rsd]
+           [--nmesh 256] [-- cat2 [--dataset LL-0.200] ...]
+    """
+    import jax.numpy as jnp
+    from .mesh import PM
+    from .painter import Painter
+    from .powerspectrum import measure_power
+    from . import transfers
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--" in argv:
+        i = argv.index("--")
+        argv, argv2 = argv[:i], argv[i + 1:]
+    else:
+        argv2 = None
+
+    ap = argparse.ArgumentParser(prog="fastpm-tpu-power")
+    ap.add_argument("output")
+    ap.add_argument("--nmesh", type=int, default=256)
+    cat_ap = argparse.ArgumentParser()
+    cat_ap.add_argument("catalog")
+    cat_ap.add_argument("--dataset", default="1")
+    cat_ap.add_argument("--with-rsd", dest="rsd", action="store_true")
+
+    # split main args from first catalog args: output [--nmesh N] cat...
+    main_args = []
+    rest = argv
+    while rest and (not main_args or rest[0].startswith("--")):
+        if rest[0] == "--nmesh":
+            main_args += rest[:2]; rest = rest[2:]
+        else:
+            main_args.append(rest[0]); rest = rest[1:]
+    ns = ap.parse_args(main_args)
+
+    def load_deltak(args, pm=None):
+        cns = cat_ap.parse_args(args)
+        hdr = read_snapshot_header(cns.catalog)
+        boxsize = float(hdr["BoxSize"])
+        if pm is None:
+            pm = PM(ns.nmesh, boxsize)
+        bf = BigFile(cns.catalog)
+        x = bf.open_block(f"{cns.dataset}/Position").read_all()
+        x = np.asarray(x, dtype=np.float32)
+        if cns.rsd:
+            v = bf.open_block(f"{cns.dataset}/Velocity").read_all()
+            rsd = float(hdr.get("RSDFactor", 0.0))
+            x = x.copy()
+            x[:, 2] += (v[:, 2] * rsd).astype(np.float32)
+        painter = Painter(pm, "cic", 2)
+        import jax.numpy as jnp
+        xw = jnp.asarray(x) - jnp.floor(jnp.asarray(x)
+                                        / boxsize) * boxsize
+        rho = painter.paint(xw)
+        delta = rho / (len(x) / pm.Norm) - 1.0
+        dk = pm.r2c(delta)
+        dk = transfers.apply_decic(pm, dk)
+        return pm, dk, len(x)
+
+    pm, dk1, n1 = load_deltak(rest)
+    dk2 = None
+    if argv2:
+        _, dk2, _ = load_deltak(argv2, pm)
+    ps = measure_power(pm, dk1, dk2)
+    shotnoise = pm.BoxSize[0] ** 3 / n1 if dk2 is None else 0.0
+    good = ps.Nmodes > 0
+    with open(ns.output, "w") as f:
+        f.write("# k p N\n")
+        for k, p, n in zip(ps.k[good], ps.p[good], ps.Nmodes[good]):
+            f.write("%.8e %.8e %d\n" % (k, p, int(n)))
+        f.write("# metadata: shotnoise %g volume %g\n"
+                % (shotnoise, pm.BoxSize[0] ** 3))
+    print("wrote %s (%d bins)" % (ns.output, int(good.sum())))
+    return 0
+
+
+# ---- python/make-pklin.py equivalent ----
+
+def eisenstein_hu_pk(k, h=0.6774, Omega_m=0.307494, Omega_b=0.0486,
+                     ns_index=0.9667, T_cmb=2.7255):
+    """Eisenstein & Hu (1998, ApJ 496, 605) transfer function with
+    baryon wiggles; returns an UN-normALIZED P(k) = k^ns T(k)^2.
+    (The reference generates its input P(k) with nbodykit/CLASS,
+    python/make-pklin.py; this is the self-contained analytic stand-in.)
+    """
+    k = np.asarray(k, dtype=np.float64)
+    om, ob = Omega_m, Omega_b
+    oc = om - ob
+    theta = T_cmb / 2.7
+    omh2, obh2 = om * h * h, ob * h * h
+    fb, fc = ob / om, oc / om
+
+    # sound horizon & equality (EH98 eqs 2-6)
+    zeq = 2.50e4 * omh2 / theta ** 4
+    keq = 7.46e-2 * omh2 / theta ** 2          # Mpc^-1
+    b1 = 0.313 * omh2 ** -0.419 * (1 + 0.607 * omh2 ** 0.674)
+    b2 = 0.238 * omh2 ** 0.223
+    zd = 1291.0 * omh2 ** 0.251 / (1 + 0.659 * omh2 ** 0.828) \
+        * (1 + b1 * obh2 ** b2)
+    Rd = 31.5 * obh2 / theta ** 4 / (zd / 1e3)
+    Req = 31.5 * obh2 / theta ** 4 / (zeq / 1e3)
+    s = 2.0 / (3 * keq) * np.sqrt(6 / Req) * np.log(
+        (np.sqrt(1 + Rd) + np.sqrt(Rd + Req)) / (1 + np.sqrt(Req)))
+    ksilk = 1.6 * obh2 ** 0.52 * omh2 ** 0.73 \
+        * (1 + (10.4 * omh2) ** -0.95)
+
+    kmpc = k * h                                # 1/Mpc
+    q = kmpc / (13.41 * keq)
+
+    # CDM part (eqs 9-12, 17-20)
+    a1 = (46.9 * omh2) ** 0.670 * (1 + (32.1 * omh2) ** -0.532)
+    a2 = (12.0 * omh2) ** 0.424 * (1 + (45.0 * omh2) ** -0.582)
+    alpha_c = a1 ** -fb * a2 ** (-fb ** 3)
+    bb1 = 0.944 / (1 + (458 * omh2) ** -0.708)
+    bb2 = (0.395 * omh2) ** -0.0266
+    beta_c = 1.0 / (1 + bb1 * (fc ** bb2 - 1))
+
+    def T0(q, ac, bc):
+        C = 14.2 / ac + 386.0 / (1 + 69.9 * q ** 1.08)
+        return np.log(np.e + 1.8 * bc * q) / (
+            np.log(np.e + 1.8 * bc * q) + C * q * q)
+
+    f = 1.0 / (1 + (kmpc * s / 5.4) ** 4)
+    Tc = f * T0(q, 1.0, beta_c) + (1 - f) * T0(q, alpha_c, beta_c)
+
+    # baryon part (eqs 13-24)
+    y = (1 + zeq) / (1 + zd)
+    Gy = y * (-6 * np.sqrt(1 + y)
+              + (2 + 3 * y) * np.log(
+                  (np.sqrt(1 + y) + 1) / (np.sqrt(1 + y) - 1)))
+    alpha_b = 2.07 * keq * s * (1 + Rd) ** -0.75 * Gy
+    beta_b = 0.5 + fb + (3 - 2 * fb) * np.sqrt((17.2 * omh2) ** 2 + 1)
+    beta_node = 8.41 * omh2 ** 0.435
+    stilde = s / (1 + (beta_node / (kmpc * s)) ** 3) ** (1.0 / 3)
+    x = kmpc * stilde
+    jo = np.where(x > 1e-8, np.sin(x) / np.where(x > 1e-8, x, 1.0), 1.0)
+    Tb = (T0(q, 1.0, 1.0) / (1 + (kmpc * s / 5.2) ** 2)
+          + alpha_b / (1 + (beta_b / (kmpc * s)) ** 3)
+          * np.exp(-(kmpc / ksilk) ** 1.4)) * jo
+
+    T = fb * Tb + fc * Tc
+    return np.where(k > 0, k ** ns_index * T * T, 0.0)
+
+
+def main_pklin(argv=None):
+    """Generate a linear P(k) table (python/make-pklin.py equivalent,
+    Eisenstein-Hu 1998 instead of CLASS), normalized to sigma8."""
+    from .powerspectrum import FuncK, sigma_tophat
+
+    ap = argparse.ArgumentParser(prog="fastpm-tpu-pklin")
+    ap.add_argument("output")
+    ap.add_argument("--h", type=float, default=0.6774)
+    ap.add_argument("--Omega-m", dest="Om", type=float, default=0.307494)
+    ap.add_argument("--Omega-b", dest="Ob", type=float, default=0.0486)
+    ap.add_argument("--ns", type=float, default=0.9667)
+    ap.add_argument("--sigma8", type=float, default=0.8159)
+    ns = ap.parse_args(argv)
+
+    k = np.logspace(-3, 2, 10000)
+    p = eisenstein_hu_pk(k, h=ns.h, Omega_m=ns.Om, Omega_b=ns.Ob,
+                         ns_index=ns.ns)
+    s8 = sigma_tophat(FuncK(k, p), 8.0)
+    p *= (ns.sigma8 / s8) ** 2
+    np.savetxt(ns.output, np.array([k, p]).T)
+    print("wrote %s (sigma8 = %g)" % (ns.output, ns.sigma8))
+    return 0
+
+
+# ---- python/convert-to-gadget-1.py equivalent ----
+
+_GADGET1_HEADER = np.dtype([
+    ("Npart", ("u4", 6)), ("Massarr", ("f8", 6)),
+    ("Time", "f8"), ("Redshift", "f8"),
+    ("FlagSfr", "i4"), ("FlagFeedback", "i4"),
+    ("Nall", ("u4", 6)), ("FlagCooling", "i4"),
+    ("NumFiles", "i4"), ("BoxSize", "f8"),
+    ("Omega0", "f8"), ("OmegaLambda", "f8"), ("HubbleParam", "f8"),
+    ("FlagAge", "i4"), ("FlagMetals", "i4"),
+    ("NallHW", ("u4", 6)), ("flag_entr_ics", "i4")])
+
+
+def _gadget1_write_block(arr: np.ndarray, f):
+    nbytes = np.int32(arr.size * arr.dtype.itemsize)
+    nbytes.tofile(f)
+    arr.tofile(f)
+    nbytes.tofile(f)
+
+
+def main_gadget1(argv=None):
+    """Convert a snapshot to Gadget-1 binary files
+    (python/convert-to-gadget-1.py): F77 record blocks
+    [header(256) pos vel id], velocity = peculiar / sqrt(a)."""
+    import os
+
+    ap = argparse.ArgumentParser(prog="fastpm-tpu-gadget1")
+    ap.add_argument("source")
+    ap.add_argument("dest")
+    ap.add_argument("--nperfile", type=int, default=1024 * 1024)
+    ap.add_argument("--precision", default="f4")
+    ns = ap.parse_args(argv)
+
+    hdr = read_snapshot_header(ns.source)
+    bf = BigFile(ns.source)
+    pos = bf.open_block("1/Position").read_all()
+    vel = bf.open_block("1/Velocity").read_all()
+    pid = bf.open_block("1/ID").read_all().reshape(-1)
+    ntot = len(pos)
+    a = float(hdr["Time"])
+
+    g = np.zeros((), dtype=_GADGET1_HEADER)
+    g["Time"] = a
+    g["Redshift"] = 1.0 / a - 1
+    # TotNumPart is the MP-Gadget per-type array [0, N, 0...]
+    tot = int(np.sum(hdr["TotNumPart"])) if "TotNumPart" in hdr else ntot
+    g["Nall"][1] = np.uint32(tot & 0xFFFFFFFF)
+    g["NallHW"][1] = np.uint32(tot >> 32)
+    g["BoxSize"] = float(hdr["BoxSize"])
+    g["HubbleParam"] = float(hdr["HubbleParam"])
+    g["Omega0"] = float(hdr.get("Omega0", hdr.get("OmegaM", 0.0)))
+    g["OmegaLambda"] = float(hdr["OmegaLambda"])
+    mt = hdr.get("MassTable")
+    if mt is not None:
+        g["Massarr"][:] = np.asarray(mt, dtype=np.float64)[:6]
+
+    nfile = max(ntot // ns.nperfile, 1)
+    g["NumFiles"] = nfile
+    dirname = os.path.dirname(os.path.abspath(ns.dest))
+    os.makedirs(dirname, exist_ok=True)
+    for i in range(nfile):
+        start = i * ntot // nfile
+        end = (i + 1) * ntot // nfile
+        h = g.copy()
+        h["Npart"][1] = end - start
+        pad = np.zeros(256 - _GADGET1_HEADER.itemsize, dtype="u1")
+        with open("%s.%d" % (ns.dest, i), "wb") as f:
+            nb = np.int32(256)
+            nb.tofile(f); h.tofile(f); pad.tofile(f); nb.tofile(f)
+            _gadget1_write_block(
+                np.ascontiguousarray(pos[start:end], dtype=ns.precision), f)
+            # gadget-1 velocity convention: u = v_peculiar / sqrt(a)
+            _gadget1_write_block(np.ascontiguousarray(
+                vel[start:end] * a ** -0.5, dtype=ns.precision), f)
+            _gadget1_write_block(
+                np.ascontiguousarray(pid[start:end], dtype="u8"), f)
+    print("wrote %d gadget-1 file(s), %d particles" % (nfile, ntot))
+    return 0
