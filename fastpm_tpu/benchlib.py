@@ -30,12 +30,12 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
         canvas = painter.paint(x, 1.0)
         canvas = canvas / (x.shape[0] / pm.Norm)
         delta_k = pm.r2c(canvas)
-        accs = []
+        fields = []
         for d in range(3):
             fk = transfers.apply_pot(pm, delta_k, potorder)
             fk = transfers.apply_grad(pm, fk, d, gradorder)
-            accs.append(painter.readout(pm.c2r(fk), x))
-        acc = jnp.stack(accs, axis=-1)
+            fields.append(pm.c2r(fk))
+        acc = painter.readout3(fields[0], fields[1], fields[2], x)
         v = v + acc * coeffs[0]
         x = x + v * coeffs[1]
         x = x - jnp.floor(x / L) * L

@@ -73,7 +73,8 @@ def prepare_deltak(solver: Solver, p: Params, log: Log):
         log.info("Reading Fourier space linear overdensity from %s",
                  p.read_lineark)
         import jax.numpy as jnp
-        dk = jnp.asarray(read_complex(pm, p.read_lineark, "LinearDensityK"))
+        from .mesh import put_complex
+        dk = put_complex(read_complex(pm, p.read_lineark, "LinearDensityK"))
         if p.inverted_ic:
             dk = -dk
         dk = ic.rescale_linear(pm, dk, c, 1.0, p.linear_density_redshift)
@@ -96,7 +97,8 @@ def prepare_deltak(solver: Solver, p: Params, log: Log):
     if p.read_whitenoisek:
         log.info("Reading Fourier white noise file from '%s'.",
                  p.read_whitenoisek)
-        dk = jnp.asarray(read_complex(pm, p.read_whitenoisek, "WhiteNoiseK"))
+        from .mesh import put_complex as _pc
+        dk = _pc(read_complex(pm, p.read_whitenoisek, "WhiteNoiseK"))
     else:
         dk = ic.gaussian_white_noise(pm, p.random_seed, "gadget")
 
@@ -124,7 +126,7 @@ def prepare_deltak(solver: Solver, p: Params, log: Log):
     if p.write_whitenoisek:
         log.info("Writing Fourier white noise to file '%s'.",
                  p.write_whitenoisek)
-        write_complex(pm, np.asarray(dk), p.write_whitenoisek, "WhiteNoiseK")
+        write_complex(pm, dk, p.write_whitenoisek, "WhiteNoiseK")
 
     if p.f_nl_type != "none":
         from .png import PNGaussian
@@ -155,12 +157,12 @@ def prepare_deltak(solver: Solver, p: Params, log: Log):
         if p.write_lineark:
             log.info("Writing fourier space linear field before "
                      "constraints to %s", p.write_lineark)
-            write_complex(pm, np.asarray(dk), p.write_lineark,
+            write_complex(pm, dk, p.write_lineark,
                           "UnconstrainedLinearDensityK")
         dk = apply_constraints(pm, dk, p.constraints, pk, log)
     elif p.write_lineark:
         log.info("Writing fourier space linear field to %s", p.write_lineark)
-        write_complex(pm, np.asarray(dk), p.write_lineark, "LinearDensityK")
+        write_complex(pm, dk, p.write_lineark, "LinearDensityK")
     return dk, pk
 
 
@@ -254,7 +256,7 @@ class SnapshotChecker:
             dk = paint_delta_k(pm, painter, [snapshot["cdm"].wrap(pm.BoxSize)])
             path = "%s_%0.04f" % (p.write_nonlineark, aout)
             log.info("Writing nonlinear density K to %s", path)
-            write_complex(pm, np.asarray(dk), path, "DensityK")
+            write_complex(pm, dk, path, "DensityK")
 
 
 def _prepare_time_step(all_steps, a0):

@@ -92,8 +92,8 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
 
     out = []
     for p in stores:
-        acc = jnp.stack([painter.readout(f, p.x) for f in acc_fields],
-                        axis=-1)
+        acc = painter.readout3(acc_fields[0], acc_fields[1],
+                               acc_fields[2], p.x)
         updates = dict(acc=acc)
         if compute_potential and p.potential is not None:
             updates["potential"] = painter.readout(pot_field, p.x)

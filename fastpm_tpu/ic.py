@@ -44,7 +44,8 @@ def gaussian_white_noise(pm: PM, seed: int, scheme: str = "gadget"):
     """
     if scheme == "gadget":
         wn = native.gadget_white_noise(pm.Nmesh, seed)
-        return jnp.asarray(wn.astype(np.complex64))
+        from .mesh import put_complex
+        return put_complex(wn.astype(np.complex64))
     elif scheme == "fast":
         # single-device == the reference's rank 0, whose seed jump is a
         # no-op (initialcondition.c:283-289)

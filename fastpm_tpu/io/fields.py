@@ -11,14 +11,14 @@ from __future__ import annotations
 import numpy as np
 
 from .bigfile import BigFile
-from ..mesh import PM
+from ..mesh import PM, fetch_complex
 
 __all__ = ["write_complex", "read_complex"]
 
 
 def write_complex(pm: PM, data, filename: str, blockname: str,
                   Nfile: int = 1):
-    arr = np.ascontiguousarray(np.asarray(data), dtype=np.complex64)
+    arr = np.ascontiguousarray(fetch_complex(data), dtype=np.complex64)
     nm = pm.Nmesh[0]
     bf = BigFile(filename, create=True)
     block = bf.create_block(blockname, arr.reshape(-1, 1), Nfile=Nfile)

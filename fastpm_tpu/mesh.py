@@ -26,7 +26,32 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["PM"]
+__all__ = ["PM", "fetch_complex", "put_complex"]
+
+
+def fetch_complex(x) -> np.ndarray:
+    """Device -> host copy of a complex array via separate real/imag
+    transfers: the axon TPU tunnel cannot transfer complex64 buffers
+    (UNIMPLEMENTED), and two f32 copies cost the same bandwidth."""
+    if isinstance(x, np.ndarray):
+        return x
+    # jit the split so the fetched buffers are real f32 arrays, not
+    # lazy views of the complex buffer
+    re, im = jax.jit(lambda a: (jnp.real(a), jnp.imag(a)))(x)
+    return (np.asarray(re, dtype=np.float64)
+            + 1j * np.asarray(im, dtype=np.float64))
+
+
+def put_complex(x) -> "jnp.ndarray":
+    """Host -> device copy of a complex array via separate real/imag
+    transfers (the dual of fetch_complex; complex64 uploads are also
+    UNIMPLEMENTED over the axon tunnel)."""
+    x = np.asarray(x)
+    if not np.iscomplexobj(x):
+        return jnp.asarray(x)
+    re = jnp.asarray(np.ascontiguousarray(x.real, dtype=np.float32))
+    im = jnp.asarray(np.ascontiguousarray(x.imag, dtype=np.float32))
+    return jax.jit(jax.lax.complex)(re, im)
 
 
 def _sinc(x: np.ndarray) -> np.ndarray:
@@ -166,7 +191,7 @@ class PM:
     def compute_variance(self, delta_k) -> float:
         """sum of w |delta_k|^2 / Norm in float64 on host
         (pm_compute_variance, pmapi.c:290-308)."""
-        dk = np.asarray(delta_k)
+        dk = fetch_complex(delta_k)
         w = np.asarray(self.hermitian_weights, dtype=np.float64)
         v = np.sum((dk.real.astype(np.float64) ** 2
                     + dk.imag.astype(np.float64) ** 2) * w)

@@ -1,0 +1,277 @@
+"""Sorted windowed CIC readout -- the gather dual of the Pallas paint.
+
+XLA's gather costs ~8 ns per row regardless of batching, so the 3-component
+force readout (fastpm_readout_local, painter.c:357-374 called once per
+ACC_x/y/z, gravity.c:358-429) costs 3 full gathers -- and the fast
+"packed-corner" variant needs an 8x canvas copy (4.3 GB at a 512^3 force
+mesh). This kernel removes both costs:
+
+1. (XLA) sort particles by padded base cell carrying (fx, fy, fz, iota);
+   compute the paint kernel's per-(window, corner) particle ranges.
+2. (Pallas) grid over cell windows; the 3 force canvases' window blocks
+   sit in VMEM. For each corner the particle chunks stream through
+   double-buffered DMA on an ABSOLUTE K-aligned chunk grid (chunks are
+   disjoint within a (window, corner), so value write-backs pipeline
+   without read-modify-write hazards; each corner owns its own output
+   row, so corners never collide). The gather itself is the MXU
+   contraction tmp[l, p] = sum_h block[h, l] A[h, p] with the two-level
+   one-hot rel = hi*128 + lo, then a vector select and corner-weight
+   multiply.
+3. (XLA) sum the 8 corner rows, un-sort once: one extra key sort yields
+   the inverse permutation and a single (N, 3) row gather restores
+   particle order.
+
+Per particle this costs one sort + one row-gather TOTAL for all three
+components instead of three row-gathers plus an 8x packed canvas.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..mesh import PM
+from .paint_pallas import _corner_offsets_padded
+
+__all__ = ["make_readout3_fn"]
+
+
+def _readout_kernel(ranges_ref,      # SMEM (1, 8, 2) i32: [o] -> (s, e)
+                    cell_hbm,        # (1, Npad) i32 sorted padded cells
+                    w8T_hbm,         # (8, 1, Npad) f32 corner weights
+                    canvases_ref,    # VMEM (3, CLh, 128) canvas blocks
+                    val_io,          # ANY (24, 1, Npad) f32 [o*3+comp],
+                                     # aliased out
+                    out_ref,         # same buffer as val_io (aliased)
+                    cell_scratch,    # VMEM (2, 1, K) i32
+                    w_scratch,       # VMEM (2, 1, K) f32
+                    val_scratch,     # VMEM (2, 3, 1, K) f32
+                    sems,            # DMA sems (2, 5): cell, w, val x3
+                    wsems,           # DMA sems (2, 3) write-back per comp
+                    *, K, C, CLh, nyp, nzp):
+    del val_io
+    w = pl.program_id(0)
+    base_window = w * C
+    hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh, K), 0)
+    lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+    for o in range(8):
+        dx, dy, dz = o >> 2, (o >> 1) & 1, o & 1
+        off = (dx * nyp + dy) * nzp + dz
+        s = ranges_ref[0, o, 0]
+        e = ranges_ref[0, o, 1]
+        # absolute K-aligned chunk ids [j0, j1): disjoint, 128-aligned
+        j0 = s // K
+        j1 = jax.lax.div(e + K - 1, K)
+        nrounds = jnp.maximum(j1 - j0, 0)
+        base_target = base_window - off
+
+        def make_in_copies(slot, r, j0=j0, o=o):
+            start = pl.multiple_of((j0 + r) * K, 128)
+            copies = [pltpu.make_async_copy(
+                          cell_hbm.at[:, pl.ds(start, K)],
+                          cell_scratch.at[slot], sems.at[slot, 0]),
+                      pltpu.make_async_copy(
+                          w8T_hbm.at[o, :, pl.ds(start, K)],
+                          w_scratch.at[slot], sems.at[slot, 1])]
+            for comp in range(3):
+                copies.append(pltpu.make_async_copy(
+                    out_ref.at[o * 3 + comp, :, pl.ds(start, K)],
+                    val_scratch.at[slot, comp],
+                    sems.at[slot, 2 + comp]))
+            return copies
+
+        def make_out_copies(slot, r, j0=j0, o=o):
+            start = pl.multiple_of((j0 + r) * K, 128)
+            return [pltpu.make_async_copy(
+                        val_scratch.at[slot, comp],
+                        out_ref.at[o * 3 + comp, :, pl.ds(start, K)],
+                        wsems.at[slot, comp])
+                    for comp in range(3)]
+
+        @pl.when(nrounds > 0)
+        def _run(j0=j0, o=o, s=s, e=e, nrounds=nrounds,
+                 base_target=base_target,
+                 make_in_copies=make_in_copies,
+                 make_out_copies=make_out_copies):
+            for cp in make_in_copies(0, 0):
+                cp.start()
+
+            def body(r, carry):
+                slot = r % 2
+                nxt = (r + 1) % 2
+
+                @pl.when(r + 1 < nrounds)
+                def _prefetch():
+                    # slot `nxt` was written back in round r-1; its
+                    # write must land before the value re-read
+                    @pl.when(r >= 1)
+                    def _drain():
+                        for cp in make_out_copies(nxt, r - 1):
+                            cp.wait()
+                    for cp in make_in_copies(nxt, r + 1):
+                        cp.start()
+
+                for cp in make_in_copies(slot, r):
+                    cp.wait()
+
+                start = (j0 + r) * K
+                cells = cell_scratch[slot]             # (1, K)
+                weights = w_scratch[slot]              # (1, K)
+                gidx = start + lane
+                valid = (gidx >= s) & (gidx < e)
+                rel = jnp.where(valid, cells - base_target, -1)
+                hi = rel >> 7
+                lo = rel & 127
+                A = (hi == hi_row).astype(jnp.float32)   # (CLh, K)
+                Bm = (lo == lo_row)                      # (128, K)
+                for comp in range(3):
+                    block = canvases_ref[comp]           # (CLh, 128)
+                    tmp = jax.lax.dot_general(
+                        block, A,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (128, K)
+                    sel = jnp.where(Bm, tmp, 0.0)
+                    vals = jnp.sum(sel, axis=0, keepdims=True) * weights
+                    val_scratch[slot, comp] = \
+                        val_scratch[slot, comp] + vals
+                for cp in make_out_copies(slot, r):
+                    cp.start()
+                return carry
+
+            jax.lax.fori_loop(0, nrounds, body, 0)
+            # drain outstanding write-backs before the next corner /
+            # window touches these chunks
+            for cp in make_out_copies((nrounds - 1) % 2, nrounds - 1):
+                cp.wait()
+
+            @pl.when(nrounds > 1)
+            def _drain_prev():
+                for cp in make_out_copies((nrounds - 2) % 2,
+                                          nrounds - 2):
+                    cp.wait()
+
+
+def make_readout3_fn(pm: PM, K: int = 512, C: int = 4096,
+                     interpret=False):
+    """Build a jitted 3-component readout: (canvas_x, canvas_y, canvas_z,
+    pos) -> (N, 3), numerically equivalent to three
+    Painter(pm, 'cic').readout calls."""
+    nx, ny, nz = pm.Nmesh
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    offsets = _corner_offsets_padded(nyp, nzp)
+
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024 (8x128 tiles)")
+    if K % 128:
+        raise ValueError("K must be a multiple of 128 (DMA alignment)")
+    CLh = C // 128
+    kernel = functools.partial(_readout_kernel, K=K, C=C, CLh=CLh,
+                               nyp=nyp, nzp=nzp)
+
+    def build_call(n_padded):
+        return pl.pallas_call(
+            kernel,
+            grid=(W,),
+            in_specs=[
+                pl.BlockSpec((1, 8, 2), lambda w: (w, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((3, CLh, 128), lambda w: (0, w, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, K), jnp.int32),
+                pltpu.VMEM((2, 1, K), jnp.float32),
+                pltpu.VMEM((2, 3, 1, K), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 5)),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            out_shape=jax.ShapeDtypeStruct((24, 1, n_padded),
+                                           jnp.float32),
+            input_output_aliases={4: 0},
+            interpret=interpret,
+        )
+
+    inv_cell = jnp.asarray(pm.InvCellSize, dtype=jnp.float32)
+    npad_blocks = W * CLh
+
+    def pad_canvas(canvas):
+        """(nx,ny,nz) -> padded (nxp,nyp,nzp) with periodic faces, as
+        (W*CLh, 128) blocks."""
+        p = jnp.zeros((nxp, nyp, nzp), dtype=jnp.float32)
+        p = p.at[:nx, :ny, :nz].set(canvas)
+        p = p.at[nx, :ny, :nz].set(canvas[0])
+        p = p.at[:nx, ny, :nz].set(canvas[:, 0])
+        p = p.at[:nx, :ny, nz].set(canvas[:, :, 0])
+        p = p.at[nx, ny, :nz].set(canvas[0, 0])
+        p = p.at[nx, :ny, nz].set(canvas[0, :, 0])
+        p = p.at[:nx, ny, nz].set(canvas[:, 0, 0])
+        p = p.at[nx, ny, nz].set(canvas[0, 0, 0])
+        flat = p.reshape(-1)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((npad_blocks * 128 - mpad,), jnp.float32)])
+        return flat.reshape(npad_blocks, 128)
+
+    def readout3(cx, cy, cz, pos):
+        n = pos.shape[0]
+        gpos = pos * inv_cell
+        base = jnp.floor(gpos).astype(jnp.int32)
+        frac = gpos - base
+        base = jnp.stack([jnp.remainder(base[:, 0], nx),
+                          jnp.remainder(base[:, 1], ny),
+                          jnp.remainder(base[:, 2], nz)], axis=-1)
+        cell = ((base[:, 0] * nyp + base[:, 1]) * nzp + base[:, 2])
+
+        iota = jnp.arange(n, dtype=jnp.int32)
+        cell_s, fx, fy, fz, orig = jax.lax.sort(
+            (cell, frac[:, 0], frac[:, 1], frac[:, 2], iota), num_keys=1)
+        f = (fx, fy, fz)
+        t = (1.0 - fx, 1.0 - fy, 1.0 - fz)
+        w8_s = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
+                          * (t[2], f[2])[dz]
+                          for dx in (0, 1) for dy in (0, 1)
+                          for dz in (0, 1)], axis=-1)
+
+        # pad to a whole number of K chunks so absolute chunk DMA never
+        # runs past the end; padded rows carry zero weight
+        n_padded = ((n + K) // K) * K
+        extra = n_padded - n
+        cell_sp = jnp.concatenate(
+            [cell_s, jnp.full((extra,), mpad - 1, jnp.int32)])
+        cell_2d = cell_sp[None, :]
+        w8T = jnp.concatenate(
+            [w8_s.T, jnp.zeros((8, extra), jnp.float32)],
+            axis=1)[:, None, :]
+
+        edges = jnp.arange(W + 1, dtype=jnp.int32) * C
+        bounds = jnp.stack(
+            [jnp.searchsorted(cell_s, edges - off).astype(jnp.int32)
+             for off in offsets], axis=1)
+        ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
+
+        canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
+                              pad_canvas(cz)])
+        val_init = jnp.zeros((24, 1, n_padded), jnp.float32)
+        val8 = build_call(n_padded)(ranges, cell_2d, w8T, canvases,
+                                    val_init)
+        vals = jnp.sum(val8.reshape(8, 3, n_padded), axis=0)[:, :n]
+
+        # inverse permutation by sorting the original indices back
+        inv = jax.lax.sort((orig, jnp.arange(n, dtype=jnp.int32)),
+                           num_keys=1)[1]
+        return jnp.take(vals.T, inv, axis=0)       # (N, 3)
+
+    return jax.jit(readout3)

@@ -83,6 +83,9 @@ _KERNELS = {
 
 _PALLAS_PAINT_CACHE = {}
 
+# 8-corner packing costs 32 B/cell; cap it at ~2 GB of packed canvas
+_PACK8_MAX_CELLS = 64 * 1024 * 1024
+
 
 class Painter:
     """Mass deposit / field readout with a separable kernel of given
@@ -210,6 +213,11 @@ class Painter:
         the per-corner loop.
         """
         if self.support == 2 and self.diffdir < 0:
+            # the full 8-corner pack costs 8 canvas copies (4.3 GB at a
+            # 512^3 force mesh); past this size pack only the z-pair
+            # (2 copies) and gather 4 rows of 2 per particle
+            if int(np.prod(self.pm.Nmesh)) > _PACK8_MAX_CELLS:
+                return self._readout_packed2(canvas, pos)
             return self._readout_packed(canvas, pos)
         ipos, dx, ksum = self._base_and_frac(pos)
         flat_canvas = canvas.reshape(-1)
@@ -221,6 +229,32 @@ class Painter:
             out = out + flat_canvas[self._corner_flat(ipos, off)] * w
         return out
 
+    def readout3(self, cx, cy, cz, pos):
+        """Three-component force readout (N,3) -- the gravity hot path.
+
+        CIC on TPU with a large mesh uses the sorted windowed Pallas
+        gather (ops/readout_pallas.py): one sort + one row-gather total
+        instead of three 8x corner-packed canvas copies (4.3 GB at
+        512^3) or twelve 2-wide row gathers. Small meshes and other
+        kernels fall back to three readout() calls.
+        """
+        if (self.support == 2 and self.diffdir < 0 and self._use_pallas
+                and int(np.prod(self.pm.Nmesh)) > _PACK8_MAX_CELLS):
+            from .ops.readout_pallas import make_readout3_fn
+            key = ("readout3", id(self.pm))
+            fn = _PALLAS_PAINT_CACHE.get(key)
+            if fn is None:
+                fn = make_readout3_fn(self.pm, K=1024, C=8192)
+                _PALLAS_PAINT_CACHE[key] = fn
+            return fn(cx, cy, cz, pos)
+        accs = []
+        x = pos
+        for f in (cx, cy, cz):
+            accs.append(self.readout(f, x))
+            # serialize so only one packed canvas copy is live at once
+            x = jax.lax.optimization_barrier((x, accs[-1]))[0]
+        return jnp.stack(accs, axis=-1)
+
     def pack_corners(self, canvas):
         """(Nx,Ny,Nz) -> (Nx*Ny*Nz, 8) with packed[c, o] =
         canvas[neighbor_o(c)] via periodic rolls."""
@@ -231,6 +265,25 @@ class Painter:
                                          -int(off[2])),
                                   axis=(0, 1, 2)).reshape(-1))
         return jnp.stack(parts, axis=-1)
+
+    def _readout_packed2(self, canvas, pos):
+        """Memory-lean CIC readout: pack only the (z, z+1) pair (2x the
+        canvas instead of 8x) and fetch the 4 xy corners as 2-wide row
+        gathers."""
+        ipos, dx, ksum = self._base_and_frac(pos)
+        packed = jnp.stack(
+            [canvas.reshape(-1),
+             jnp.roll(canvas, -1, axis=2).reshape(-1)], axis=-1)
+        wz0 = self._axis_weight(dx, ksum, 0, 2)
+        wz1 = self._axis_weight(dx, ksum, 1, 2)
+        out = 0.0
+        for ox in (0, 1):
+            wx = self._axis_weight(dx, ksum, ox, 0)
+            for oy in (0, 1):
+                w = wx * self._axis_weight(dx, ksum, oy, 1)
+                rows = packed[self._corner_flat(ipos, (ox, oy, 0))]
+                out = out + w * (rows[:, 0] * wz0 + rows[:, 1] * wz1)
+        return out
 
     def _readout_packed(self, canvas, pos, packed=None):
         pm = self.pm

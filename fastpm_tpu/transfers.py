@@ -8,6 +8,7 @@ They are jittable and fuse into surrounding computation under jit.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .mesh import PM
@@ -65,9 +66,14 @@ def apply_diff(pm: PM, dk, dir: int, order: int, zero_nyquist: bool = True):
     """
     name = ["k", "k_finite"][order]
     kd = pm.broadcast_table(name, dir)
-    out = dk * (1j * kd).astype(pm.cdtype)
+    # build i*k on device (lax.complex): a host complex constant would
+    # need a complex64 upload, which the axon TPU tunnel rejects
+    ik = jax.lax.complex(jnp.zeros_like(kd), kd).astype(pm.cdtype)
+    out = dk * ik
     if zero_nyquist:
-        out = jnp.where(pm.nyquist_mask, 0.0 + 0.0j, out)
+        # real-valued mask multiply (a complex-zero constant would
+        # need a complex upload, rejected by the axon tunnel)
+        out = out * (~pm.nyquist_mask).astype(pm.dtype)
     return out
 
 

@@ -55,3 +55,44 @@ def test_boundary_particles():
     got = make_paint_fn(pm, K=64, C=1024, interpret=True)(pos, 1.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
     assert float(got.sum()) == pytest.approx(4.0, rel=1e-6)
+
+
+def test_pallas_readout3_matches_painter():
+    """The windowed MXU readout (ops/readout_pallas.py) must reproduce
+    three Painter.readout calls exactly (interpret mode on CPU)."""
+    from fastpm_tpu.ops.readout_pallas import make_readout3_fn
+
+    pm = PM(16, 64.0)
+    painter = Painter(pm, "cic", 2, backend="xla")
+    rng = np.random.default_rng(7)
+    n = 4321    # deliberately not a multiple of K or 128
+    pos = jnp.asarray(rng.uniform(0, 64, (n, 3)).astype(np.float32))
+    cs = [jnp.asarray(rng.standard_normal((16, 16, 16))
+                      .astype(np.float32)) for _ in range(3)]
+
+    f = make_readout3_fn(pm, K=256, C=1024, interpret=True)
+    got = np.asarray(f(cs[0], cs[1], cs[2], pos))
+    want = np.stack([np.asarray(painter.readout(c, pos)) for c in cs],
+                    axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_readout3_boundary_particles():
+    """Particles exactly on cell edges and at the box boundary exercise
+    the periodic pad faces."""
+    from fastpm_tpu.ops.readout_pallas import make_readout3_fn
+
+    pm = PM(8, 32.0)
+    painter = Painter(pm, "cic", 2, backend="xla")
+    g = np.stack(np.meshgrid(*[np.arange(8) * 4.0] * 3,
+                             indexing="ij"), axis=-1).reshape(-1, 3)
+    pos = jnp.asarray(np.concatenate(
+        [g, g + 3.999, np.full((4, 3), 31.999)]).astype(np.float32))
+    rng = np.random.default_rng(1)
+    cs = [jnp.asarray(rng.standard_normal((8, 8, 8)).astype(np.float32))
+          for _ in range(3)]
+    f = make_readout3_fn(pm, K=256, C=1024, interpret=True)
+    got = np.asarray(f(cs[0], cs[1], cs[2], pos))
+    want = np.stack([np.asarray(painter.readout(c, pos)) for c in cs],
+                    axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
