@@ -26,8 +26,24 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
     potorder, gradorder, difforder, _ = kernel_orders(kernel_type)
     L = jnp.asarray(pm.BoxSize, dtype=jnp.float32)
 
+    from .painter import _PACK8_MAX_CELLS
+    fused = (painter._use_pallas and painter_type == "cic"
+             and int(np.prod(pm.Nmesh)) > _PACK8_MAX_CELLS)
+    if fused:
+        # one sort + one range table serve both the paint and the
+        # 3-component readout (make_prepare_fn)
+        from .ops.paint_pallas import make_prepare_fn, make_paint_from_fn
+        from .ops.readout_pallas import make_readout3_from_fn
+        prepare = make_prepare_fn(pm, C=8192)
+        paint_from = make_paint_from_fn(pm, K=512, C=8192)
+        readout3_from = make_readout3_from_fn(pm, K=1024, C=8192)
+
     def step(x, v, coeffs):
-        canvas = painter.paint(x, 1.0)
+        if fused:
+            prepared = prepare(x)
+            canvas = paint_from(prepared)
+        else:
+            canvas = painter.paint(x, 1.0)
         canvas = canvas / (x.shape[0] / pm.Norm)
         delta_k = pm.r2c(canvas)
         fields = []
@@ -35,7 +51,10 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
             fk = transfers.apply_pot(pm, delta_k, potorder)
             fk = transfers.apply_grad(pm, fk, d, gradorder)
             fields.append(pm.c2r(fk))
-        acc = painter.readout3(fields[0], fields[1], fields[2], x)
+        if fused:
+            acc = readout3_from(prepared, *fields)
+        else:
+            acc = painter.readout3(fields[0], fields[1], fields[2], x)
         v = v + acc * coeffs[0]
         x = x + v * coeffs[1]
         x = x - jnp.floor(x / L) * L

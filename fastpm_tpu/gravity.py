@@ -25,6 +25,18 @@ from . import kernels
 
 __all__ = ["paint_delta_k", "compute_force", "FORCE_FIELDS"]
 
+_FUSED_CACHE = {}
+
+
+def _fused_cache(pm, kind, builder):
+    """Per-PM cache of the prepared-bundle kernel builders."""
+    key = (id(pm), kind)
+    fn = _FUSED_CACHE.get(key)
+    if fn is None:
+        fn = builder(pm)
+        _FUSED_CACHE[key] = fn
+    return fn
+
 FORCE_FIELDS = ("acc", "potential", "tidal")
 
 
@@ -66,7 +78,28 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
     but NOT the deCIC compensation (the caller applies that for the power
     spectrum event, solver.c:466-471).
     """
-    delta_k = paint_delta_k(pm, painter, stores)
+    # fused Pallas path: one sort + one range table serve both the
+    # paint and the 3-component readout (single species, scalar mass).
+    # Only pays off on meshes too big for the packed-corner gather
+    # (XLA's 8-wide row gather wins below that).
+    from .painter import _PACK8_MAX_CELLS
+    fused = (painter._use_pallas and len(stores) == 1
+             and stores[0].mass is None and not compute_potential
+             and not compute_tidal
+             and int(np.prod(pm.Nmesh)) > _PACK8_MAX_CELLS)
+    prepared = None
+    if fused:
+        from .ops.paint_pallas import make_prepare_fn, make_paint_from_fn
+        p0 = stores[0]
+        prepare = _fused_cache(pm, "prepare", make_prepare_fn)
+        paint_from = _fused_cache(pm, "paint_from", make_paint_from_fn)
+        prepared = prepare(p0.x)
+        canvas = paint_from(prepared)
+        mean_mass_per_cell = jnp.float32(p0.M0) * p0.np_local / pm.Norm
+        delta_k = pm.r2c(canvas * jnp.float32(p0.M0)
+                         / mean_mass_per_cell)
+    else:
+        delta_k = paint_delta_k(pm, painter, stores)
     delta_k = kernels.apply_softening(pm, delta_k, softening_type)
     if delta_transfer is not None:
         delta_k = delta_transfer(pm, delta_k)
@@ -92,8 +125,15 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
 
     out = []
     for p in stores:
-        acc = painter.readout3(acc_fields[0], acc_fields[1],
-                               acc_fields[2], p.x)
+        if fused:
+            from .ops.readout_pallas import make_readout3_from_fn
+            readout3_from = _fused_cache(pm, "readout3_from",
+                                         make_readout3_from_fn)
+            acc = readout3_from(prepared, acc_fields[0], acc_fields[1],
+                                acc_fields[2])
+        else:
+            acc = painter.readout3(acc_fields[0], acc_fields[1],
+                                   acc_fields[2], p.x)
         updates = dict(acc=acc)
         if compute_potential and p.potential is not None:
             updates["potential"] = painter.readout(pot_field, p.x)

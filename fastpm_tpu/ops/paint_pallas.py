@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..mesh import PM
 
-__all__ = ["paint_sorted", "make_paint_fn"]
+__all__ = ["paint_sorted", "make_paint_fn", "make_prepare_fn", "make_paint_from_fn"]
 
 
 def _corner_offsets_padded(nyp, nzp):
@@ -242,3 +242,107 @@ def make_paint_fn(pm: PM, K: int = 256, C: int = 1024, interpret=False):
 def paint_sorted(pm: PM, pos, mass=1.0, K: int = 256, C: int = 1024,
                  interpret=False):
     return make_paint_fn(pm, K=K, C=C, interpret=interpret)(pos, mass)
+
+
+def make_prepare_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
+    """Shared sorted-bundle builder for the paint and readout kernels:
+    ONE sort by padded cell (carrying fx, fy, fz and the original index)
+    and ONE per-(window, corner) range table serve both, halving the
+    per-force-step indexing cost."""
+    nx, ny, nz = pm.Nmesh
+    nyp, nzp = ny + 1, nz + 1
+    mpad = (nx + 1) * nyp * nzp
+    W = (mpad + C - 1) // C
+    offsets = _corner_offsets_padded(nyp, nzp)
+    inv_cell = jnp.asarray(pm.InvCellSize, dtype=jnp.float32)
+    min_pad = pad_to - 256   # >= K + 128 for the paint kernel's DMA
+
+    def prepare(pos):
+        n = pos.shape[0]
+        gpos = pos * inv_cell
+        base = jnp.floor(gpos).astype(jnp.int32)
+        frac = gpos - base
+        base = jnp.stack([jnp.remainder(base[:, 0], nx),
+                          jnp.remainder(base[:, 1], ny),
+                          jnp.remainder(base[:, 2], nz)], axis=-1)
+        cell = ((base[:, 0] * nyp + base[:, 1]) * nzp + base[:, 2])
+        iota = jnp.arange(n, dtype=jnp.int32)
+        cell_s, fx, fy, fz, orig = jax.lax.sort(
+            (cell, frac[:, 0], frac[:, 1], frac[:, 2], iota), num_keys=1)
+        f = (fx, fy, fz)
+        t = (1.0 - fx, 1.0 - fy, 1.0 - fz)
+        w8_s = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
+                          * (t[2], f[2])[dz]
+                          for dx in (0, 1) for dy in (0, 1)
+                          for dz in (0, 1)], axis=-1)
+
+        n_padded = ((n + min_pad + pad_to - 1) // pad_to) * pad_to
+        extra = n_padded - n
+        cell_2d = jnp.concatenate(
+            [cell_s, jnp.full((extra,), mpad - 1, jnp.int32)])[None, :]
+        w8T = jnp.concatenate(
+            [w8_s.T, jnp.zeros((8, extra), jnp.float32)],
+            axis=1)[:, None, :]
+
+        edges = jnp.arange(W + 1, dtype=jnp.int32) * C
+        bounds = jnp.stack(
+            [jnp.searchsorted(cell_s, edges - off).astype(jnp.int32)
+             for off in offsets], axis=1)
+        ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
+        return dict(ranges=ranges, cell_2d=cell_2d, w8T=w8T, orig=orig,
+                    n=n)
+
+    return prepare
+
+
+def make_paint_from_fn(pm: PM, K: int = 512, C: int = 8192,
+                       interpret=False):
+    """Paint from a prepared bundle (make_prepare_fn). The scalar mass
+    multiplies the final canvas."""
+    nx, ny, nz = pm.Nmesh
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024")
+    CLh = C // 128
+    kernel = functools.partial(_paint_kernel, K=K, C=C, CLh=CLh,
+                               nyp=nyp, nzp=nzp)
+    paint_call = pl.pallas_call(
+        kernel,
+        grid=(W, 8),
+        in_specs=[
+            pl.BlockSpec((1, 8, 2), lambda w, o: (w, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((CLh, 128), lambda w, o: (w, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, K + 128), jnp.int32),
+            pltpu.VMEM((2, 1, K + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((W * CLh, 128), jnp.float32),
+        interpret=interpret,
+    )
+
+    def paint_from(prepared, mass=1.0):
+        padded = paint_call(prepared["ranges"], prepared["cell_2d"],
+                            prepared["w8T"]).reshape(-1)[:mpad]
+        padded = padded.reshape(nxp, nyp, nzp)
+        canvas = padded[:nx, :ny, :nz]
+        canvas = canvas.at[0, :, :].add(padded[nx, :ny, :nz])
+        canvas = canvas.at[:, 0, :].add(padded[:nx, ny, :nz])
+        canvas = canvas.at[:, :, 0].add(padded[:nx, :ny, nz])
+        canvas = canvas.at[0, 0, :].add(padded[nx, ny, :nz])
+        canvas = canvas.at[0, :, 0].add(padded[nx, :ny, nz])
+        canvas = canvas.at[:, 0, 0].add(padded[:nx, ny, nz])
+        canvas = canvas.at[0, 0, 0].add(padded[nx, ny, nz])
+        if not (jnp.ndim(mass) == 0 and isinstance(mass, float)
+                and mass == 1.0):
+            canvas = canvas * mass
+        return canvas
+
+    return paint_from

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..mesh import PM
 from .paint_pallas import _corner_offsets_padded
 
-__all__ = ["make_readout3_fn"]
+__all__ = ["make_readout3_fn", "make_readout3_from_fn"]
 
 
 def _readout_kernel(ranges_ref,      # SMEM (1, 8, 2) i32: [o] -> (s, e)
@@ -275,3 +275,83 @@ def make_readout3_fn(pm: PM, K: int = 512, C: int = 4096,
         return jnp.take(vals.T, inv, axis=0)       # (N, 3)
 
     return jax.jit(readout3)
+
+
+def make_readout3_from_fn(pm: PM, K: int = 1024, C: int = 8192,
+                          interpret=False):
+    """3-component readout from a prepared bundle
+    (paint_pallas.make_prepare_fn with the same C): reuses the sort and
+    the (window, corner) ranges paid by the paint."""
+    nx, ny, nz = pm.Nmesh
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024")
+    if K % 128:
+        raise ValueError("K must be a multiple of 128")
+    CLh = C // 128
+    npad_blocks = W * CLh
+    kernel = functools.partial(_readout_kernel, K=K, C=C, CLh=CLh,
+                               nyp=nyp, nzp=nzp)
+
+    def build_call(n_padded):
+        return pl.pallas_call(
+            kernel,
+            grid=(W,),
+            in_specs=[
+                pl.BlockSpec((1, 8, 2), lambda w: (w, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((3, CLh, 128), lambda w: (0, w, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, K), jnp.int32),
+                pltpu.VMEM((2, 1, K), jnp.float32),
+                pltpu.VMEM((2, 3, 1, K), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 5)),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            out_shape=jax.ShapeDtypeStruct((24, 1, n_padded),
+                                           jnp.float32),
+            input_output_aliases={4: 0},
+            interpret=interpret,
+        )
+
+    def pad_canvas(canvas):
+        p = jnp.zeros((nxp, nyp, nzp), dtype=jnp.float32)
+        p = p.at[:nx, :ny, :nz].set(canvas)
+        p = p.at[nx, :ny, :nz].set(canvas[0])
+        p = p.at[:nx, ny, :nz].set(canvas[:, 0])
+        p = p.at[:nx, :ny, nz].set(canvas[:, :, 0])
+        p = p.at[nx, ny, :nz].set(canvas[0, 0])
+        p = p.at[nx, :ny, nz].set(canvas[0, :, 0])
+        p = p.at[:nx, ny, nz].set(canvas[:, 0, 0])
+        p = p.at[nx, ny, nz].set(canvas[0, 0, 0])
+        flat = p.reshape(-1)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((npad_blocks * 128 - mpad,), jnp.float32)])
+        return flat.reshape(npad_blocks, 128)
+
+    def readout3_from(prepared, cx, cy, cz):
+        n = prepared["n"]
+        n_padded = prepared["cell_2d"].shape[1]
+        if n_padded % K:
+            raise ValueError("prepared padding not a multiple of K")
+        canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
+                              pad_canvas(cz)])
+        val_init = jnp.zeros((24, 1, n_padded), jnp.float32)
+        val8 = build_call(n_padded)(
+            prepared["ranges"], prepared["cell_2d"], prepared["w8T"],
+            canvases, val_init)
+        vals = jnp.sum(val8.reshape(8, 3, n_padded), axis=0)[:, :n]
+        inv = jax.lax.sort((prepared["orig"],
+                            jnp.arange(n, dtype=jnp.int32)),
+                           num_keys=1)[1]
+        return jnp.take(vals.T, inv, axis=0)
+
+    return readout3_from
