@@ -18,7 +18,7 @@ from .cosmology import Cosmology
 from .store import Store
 from .diagnostics import Log
 
-__all__ = ["main_fof", "main_rfof", "main_power", "main_pklin", "main_gadget1"]
+__all__ = ["main_fof", "main_rfof", "main_power", "main_pklin", "main_gadget1", "main_paint", "main_cutslice"]
 
 
 def _load_snapshot_store(path: str, dataset: str = "1"):
@@ -384,4 +384,110 @@ def main_gadget1(argv=None):
             _gadget1_write_block(
                 np.ascontiguousarray(pid[start:end], dtype="u8"), f)
     print("wrote %d gadget-1 file(s), %d particles" % (nfile, ntot))
+    return 0
+
+
+# ---- python/paint-dm.py equivalent ----
+
+def main_paint(argv=None):
+    """Paint a snapshot/halo catalog onto a mesh and write the real
+    field (python/paint-dm.py; CIC + deCIC here instead of nbodykit's
+    interlaced TSC)."""
+    import jax.numpy as jnp
+    from .mesh import PM
+    from .painter import Painter
+    from . import transfers
+
+    ap = argparse.ArgumentParser(prog="fastpm-tpu-paint")
+    ap.add_argument("output")
+    ap.add_argument("catalog")
+    ap.add_argument("--dataset", default="1")
+    ap.add_argument("--output-dataset", default=None)
+    ap.add_argument("--nmesh", type=int, default=256)
+    ns = ap.parse_args(argv)
+
+    hdr = read_snapshot_header(ns.catalog)
+    boxsize = float(hdr["BoxSize"])
+    bf = BigFile(ns.catalog)
+    x = bf.open_block(f"{ns.dataset}/Position").read_all()
+    pm = PM(ns.nmesh, boxsize)
+    painter = Painter(pm, "cic", 2)
+    xw = jnp.asarray(np.asarray(x, np.float32))
+    xw = xw - jnp.floor(xw / boxsize) * boxsize
+    rho = painter.paint(xw)
+    delta1 = np.asarray(pm.c2r(transfers.apply_decic(
+        pm, pm.r2c(rho / (len(x) / pm.Norm)))))
+
+    dsname = ns.output_dataset or ("N%04d" % ns.nmesh)
+    out = BigFile(ns.output, create=True)
+    blk = out.create_block(dsname, delta1.reshape(-1, 1).astype("f4"))
+    blk.attrs.set("ndarray.ndim", np.int32(3), "i4")
+    blk.attrs.set("ndarray.shape",
+                  np.array([ns.nmesh] * 3, dtype="i8"), "i8")
+    blk.attrs.set("BoxSize", np.array([boxsize] * 3), "f8")
+    blk.attrs.set("Nmesh", np.int64(ns.nmesh), "i8")
+    print("painted %d objects onto %d^3 -> %s/%s"
+          % (len(x), ns.nmesh, ns.output, dsname))
+    return 0
+
+
+# ---- python/cutslice.py equivalent ----
+
+def main_cutslice(argv=None):
+    """Cut a slab of particles around one halo (python/cutslice.py)."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--" in argv:
+        i = argv.index("--")
+        argv, argv2 = argv[:i], argv[i + 1:]
+    else:
+        raise SystemExit("usage: fastpm-tpu-cutslice out halocat "
+                         "[--dataset LL-0.200] [--haloid N] "
+                         "[--thickness T] [--los z] -- cat [--dataset 1]")
+
+    ap = argparse.ArgumentParser(prog="fastpm-tpu-cutslice")
+    ap.add_argument("output")
+    ap.add_argument("halocat")
+    ap.add_argument("--dataset", default="LL-0.200")
+    ap.add_argument("--output-dataset", default=None)
+    ap.add_argument("--haloid", type=int, default=5)
+    ap.add_argument("--los", default="z", choices=["x", "y", "z"])
+    ap.add_argument("--thickness", type=float, default=10.0)
+    ns = ap.parse_args(argv)
+    cap = argparse.ArgumentParser()
+    cap.add_argument("catalog")
+    cap.add_argument("--dataset", default="1")
+    cns = cap.parse_args(argv2)
+
+    hbf = BigFile(ns.halocat)
+    hpos = hbf.open_block(f"{ns.dataset}/Position").read_all()
+    if ns.haloid >= len(hpos):
+        raise SystemExit(f"haloid {ns.haloid} out of range ({len(hpos)})")
+    center = hpos[ns.haloid]
+    d = "xyz".index(ns.los)
+
+    hdr = read_snapshot_header(cns.catalog)
+    boxsize = float(hdr["BoxSize"])
+    bf = BigFile(cns.catalog)
+    x = bf.open_block(f"{cns.dataset}/Position").read_all()
+    dist = np.abs(x[:, d] - center[d])
+    dist = np.minimum(dist, boxsize - dist)
+    sel = dist <= 0.5 * ns.thickness
+
+    dsname = ns.output_dataset or ("SLICE-%d" % ns.haloid)
+    out = BigFile(ns.output, create=True)
+    blocks = [("Position", x[sel].astype("f4"))]
+    for name, dt in (("Velocity", "f4"), ("ID", "i8")):
+        try:
+            col = bf.open_block(f"{cns.dataset}/{name}").read_all()
+            blocks.append((name, col[sel].astype(dt)))
+        except FileNotFoundError:
+            pass
+    for name, arr in blocks:
+        out.create_block(f"{dsname}/{name}", arr)
+    root = out.open_block(dsname)
+    root.attrs.set("center", np.asarray(center, dtype="f8"), "f8")
+    root.attrs.set("thickness", float(ns.thickness), "f8")
+    root.attrs.set("los", np.int32(d), "i4")
+    print("wrote %d particles in slice around halo %d -> %s/%s"
+          % (int(sel.sum()), ns.haloid, ns.output, dsname))
     return 0

@@ -66,3 +66,26 @@ def test_gadget1_roundtrip(tmp_path):
             assert len(pos) == npart
             total += npart
     assert total == 8 ** 3
+
+
+def test_dump_roundtrip(tmp_path):
+    """fastpm_utils_dump layout (padded real, geometry sidecar) and the
+    DumpFile reader (python/fastpm.py)."""
+    import jax.numpy as jnp
+    from fastpm_tpu.mesh import PM
+    from fastpm_tpu.dump import dump_field, load_field, DumpFile
+
+    pm = PM(16, 64.0)
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    fn = str(tmp_path / "field")
+    dump_field(pm, fn, r)
+    assert np.array_equal(load_field(pm, fn), r)
+    assert np.allclose(DumpFile(fn).as_real(), r)
+    dk = np.asarray(jnp.fft.rfftn(jnp.asarray(r))).astype(np.complex64)
+    dump_field(pm, fn + "k", dk)
+    assert np.array_equal(load_field(pm, fn + "k", "complex"), dk)
+    assert np.allclose(DumpFile(fn + "k").as_complex(), dk)
+    # the raw file is in the FFTW padded layout: nx*ny*2*(nz/2+1) floats
+    import os
+    assert os.path.getsize(fn) == 16 * 16 * 2 * 9 * 4
