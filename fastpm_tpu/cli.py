@@ -546,8 +546,40 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
     return mesh
 
 
+def make_device_mesh(nprocy: int = 0, log=None):
+    """Build the jax device mesh for SPMD execution (the analog of the
+    reference's 2D process mesh, pmpfft.c:108-134 with -y NprocY).
+    Returns None on a single device. nprocy=0 picks a near-square 2D
+    pencil for >= 4 devices, else a 1D slab."""
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    n = len(devs)
+    if n <= 1:
+        return None
+    if nprocy == 0:
+        ny = 1
+        if n >= 4:
+            ny = int(np.sqrt(n))
+            while n % ny:
+                ny -= 1
+    else:
+        ny = int(nprocy)
+        if n % ny:
+            raise SystemExit(f"-y {ny} does not divide {n} devices")
+    arr = np.array(devs)
+    if ny == 1:
+        mesh = Mesh(arr, ("x",))
+    else:
+        mesh = Mesh(arr.reshape(n // ny, ny), ("x", "y"))
+    if log is not None:
+        log.info("Using a %s device mesh over %d devices",
+                 dict(mesh.shape), n)
+    return mesh
+
+
 def run_fastpm(p: Params, log=None, restart: str = None,
-               memory_bound_mb: int = 0) -> Solver:
+               memory_bound_mb: int = 0, nprocy: int = 0) -> Solver:
     """The full run (src/fastpm.c:run_fastpm)."""
     if log is None:
         log = Log()
@@ -562,7 +594,7 @@ def run_fastpm(p: Params, log=None, restart: str = None,
         a0 = float(hdr["ScalingFactor"])
         cfg.time_step = _prepare_time_step(list(p.time_step), a0)
         log.info("Restarting from %s at a = %0.4f", restart, a0)
-    solver = Solver(cfg, c)
+    solver = Solver(cfg, c, mesh=make_device_mesh(nprocy, log))
     if p.ncdm_linearresponse:
         z_t = (p.ncdm_transfer_redshift
                if p.ncdm_transfer_redshift is not None
@@ -687,7 +719,10 @@ def main(argv=None):
         description="TPU-native FastPM cosmological N-body solver")
     ap.add_argument("-T", type=int, default=0, help="ignored (XLA threads)")
     ap.add_argument("-W", type=int, default=0, help="number of IO writers")
-    ap.add_argument("-y", type=int, default=0, help="ignored (NprocY)")
+    ap.add_argument("-y", dest="nprocy", type=int, default=0,
+                    help="2nd dimension of the device mesh (NprocY): "
+                         "0 = auto (1D slab over all devices; near-"
+                         "square 2D pencil when devices >= 4)")
     ap.add_argument("-m", dest="memory_bound_mb", type=int, default=0,
                     help="abort cleanly when memory usage exceeds this "
                          "many MB (0 = unbounded)")
@@ -702,7 +737,7 @@ def main(argv=None):
     faulthandler.enable()  # crash backtraces (src/stacktrace.c)
     p = load_params(ns.params, ns.args)
     run_fastpm(p, restart=ns.restart,
-               memory_bound_mb=ns.memory_bound_mb)
+               memory_bound_mb=ns.memory_bound_mb, nprocy=ns.nprocy)
     return 0
 
 
