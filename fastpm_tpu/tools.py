@@ -18,7 +18,7 @@ from .cosmology import Cosmology
 from .store import Store
 from .diagnostics import Log
 
-__all__ = ["main_fof", "main_rfof", "main_power", "main_pklin", "main_gadget1", "main_paint", "main_cutslice"]
+__all__ = ["main_fof", "main_rfof", "main_power", "main_pklin", "main_gadget1", "main_paint", "main_cutslice", "main_mpgadget", "main_halobias"]
 
 
 def _load_snapshot_store(path: str, dataset: str = "1"):
@@ -490,4 +490,116 @@ def main_cutslice(argv=None):
     root.attrs.set("los", np.int32(d), "i4")
     print("wrote %d particles in slice around halo %d -> %s/%s"
           % (int(sel.sum()), ns.haloid, ns.output, dsname))
+    return 0
+
+
+# ---- python/convert-to-mpgadget.py equivalent ----
+
+def main_mpgadget(argv=None):
+    """Copy Position/Velocity/ID into an MP-Gadget-style bigfile and add
+    the per-particle Mass column (python/convert-to-mpgadget.py)."""
+    ap = argparse.ArgumentParser(prog="fastpm-tpu-mpgadget")
+    ap.add_argument("source")
+    ap.add_argument("dest")
+    ns = ap.parse_args(argv)
+
+    src = BigFile(ns.source)
+    dst = BigFile(ns.dest, create=True)
+    hdr = src.open_block("Header").attrs
+    npart = None
+    for name in ("Position", "Velocity", "ID"):
+        arr = src.open_block(f"1/{name}").read_all()
+        dst.create_block(f"1/{name}", arr)
+        npart = len(arr)
+    mt = np.asarray(hdr.get("MassTable"))
+    mass = np.full(npart, mt[1], dtype="f4")
+    dst.create_block("1/Mass", mass)
+    h = dst.create_block("Header")
+    for key in hdr.keys():
+        v = hdr.get(key)
+        if isinstance(v, str):
+            continue   # text attrs (ParamFile) are fastpm-specific
+        v = np.atleast_1d(np.asarray(v))
+        dt = {"f": "f8", "i": "i8", "u": "i8"}.get(v.dtype.kind)
+        if dt:
+            h.attrs.set(key, v, dt)
+    print("converted %d particles -> %s" % (npart, ns.dest))
+    return 0
+
+
+# ---- python/halobias.py equivalent ----
+
+def main_halobias(argv=None):
+    """Halo bias from the halo-matter cross spectrum:
+    b(k) = P_hm / P_mm on large scales (python/halobias.py without the
+    Kaiser-model fit; bias per halo-mass bin via --nmin/--nmax/--nn)."""
+    import jax.numpy as jnp
+    from .mesh import PM
+    from .painter import Painter
+    from .powerspectrum import measure_power
+    from . import transfers
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--" in argv:
+        i = argv.index("--")
+        argv, argv2 = argv[:i], argv[i + 1:]
+    else:
+        raise SystemExit("usage: fastpm-tpu-halobias out dmcat "
+                         "[--dataset 1] -- halocat [--dataset LL-0.200]")
+
+    ap = argparse.ArgumentParser(prog="fastpm-tpu-halobias")
+    ap.add_argument("output")
+    ap.add_argument("catalog")
+    ap.add_argument("--dataset", default="1")
+    ap.add_argument("--nmesh", type=int, default=256)
+    ap.add_argument("--nmin", type=int, default=8)
+    ap.add_argument("--nmax", type=int, default=1000)
+    ap.add_argument("--nn", type=int, default=10)
+    ap.add_argument("--kmax", type=float, default=0.04)
+    ns = ap.parse_args(argv)
+    hap = argparse.ArgumentParser()
+    hap.add_argument("catalog")
+    hap.add_argument("--dataset", default="LL-0.200")
+    hns = hap.parse_args(argv2)
+
+    hdr = read_snapshot_header(ns.catalog)
+    boxsize = float(hdr["BoxSize"])
+    pm = PM(ns.nmesh, boxsize)
+    painter = Painter(pm, "cic", 2)
+
+    def delta_k_of(x):
+        xw = jnp.asarray(np.asarray(x, np.float32))
+        xw = xw - jnp.floor(xw / boxsize) * boxsize
+        rho = painter.paint(xw)
+        dk = pm.r2c(rho / (len(x) / pm.Norm) - 1.0)
+        return transfers.apply_decic(pm, dk)
+
+    bf = BigFile(ns.catalog)
+    xm = bf.open_block(f"{ns.dataset}/Position").read_all()
+    dk_m = delta_k_of(xm)
+    ps_mm = measure_power(pm, dk_m)
+
+    hbf = BigFile(hns.catalog)
+    xh = hbf.open_block(f"{hns.dataset}/Position").read_all()
+    length = hbf.open_block(f"{hns.dataset}/Length").read_all()
+
+    edges = np.unique(np.geomspace(ns.nmin, ns.nmax, ns.nn + 1)
+                      .astype(int))
+    rows = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        sel = (length >= lo) & (length < hi)
+        if sel.sum() < 2:
+            continue
+        dk_h = delta_k_of(xh[sel])
+        ps_hm = measure_power(pm, dk_h, dk_m)
+        good = (ps_mm.Nmodes > 0) & (ps_mm.k < ns.kmax) & (ps_mm.p > 0)
+        b = float(np.sum(ps_hm.p[good] * ps_mm.Nmodes[good])
+                  / np.sum(ps_mm.p[good] * ps_mm.Nmodes[good]))
+        rows.append((lo, hi, int(sel.sum()), b))
+    with open(ns.output, "w") as f:
+        f.write("# nmin nmax nhalo bias\n")
+        for r in rows:
+            f.write("%d %d %d %.6f\n" % r)
+    for r in rows:
+        print("halos %d-%d (%d): b = %.3f" % r)
     return 0
