@@ -18,7 +18,7 @@ from .cosmology import Cosmology
 from .store import Store
 from .diagnostics import Log
 
-__all__ = ["main_fof", "main_rfof", "main_power", "main_pklin", "main_gadget1", "main_paint", "main_cutslice", "main_mpgadget", "main_halobias"]
+__all__ = ["main_fof", "main_rfof", "main_power", "main_pklin", "main_gadget1", "main_paint", "main_cutslice", "main_mpgadget", "main_halobias", "main_from_gadget1"]
 
 
 def _load_snapshot_store(path: str, dataset: str = "1"):
@@ -602,4 +602,69 @@ def main_halobias(argv=None):
             f.write("%d %d %d %.6f\n" % r)
     for r in rows:
         print("halos %d-%d (%d): b = %.3f" % r)
+    return 0
+
+
+# ---- python/convert-from-gadget-1.py equivalent ----
+
+def main_from_gadget1(argv=None):
+    """Convert Gadget-1 binary files back into a bigfile snapshot
+    (python/convert-from-gadget-1.py): velocity u*sqrt(a) -> peculiar,
+    Nall+NallHW -> TotNumPart."""
+    import glob
+
+    ap = argparse.ArgumentParser(prog="fastpm-tpu-from-gadget1")
+    ap.add_argument("source", help="gadget file base (reads base.N)")
+    ap.add_argument("dest")
+    ap.add_argument("--precision", default="f4")
+    ns = ap.parse_args(argv)
+
+    files = sorted(glob.glob(ns.source + ".*"),
+                   key=lambda s: int(s.rsplit(".", 1)[1]))
+    if not files:
+        files = [ns.source]
+    pos_l, vel_l, id_l = [], [], []
+    hdr0 = None
+    for fn in files:
+        with open(fn, "rb") as f:
+            nb = np.fromfile(f, "i4", 1)[0]
+            assert nb == 256, f"bad header record in {fn}"
+            hdr = np.frombuffer(f.read(256), dtype=np.uint8)
+            assert np.fromfile(f, "i4", 1)[0] == 256
+            g = np.frombuffer(hdr.tobytes()[:_GADGET1_HEADER.itemsize],
+                              dtype=_GADGET1_HEADER)[0]
+            if hdr0 is None:
+                hdr0 = g
+            for lst, dt, ncol in ((pos_l, ns.precision, 3),
+                                  (vel_l, ns.precision, 3),
+                                  (id_l, "u8", 1)):
+                nb = np.fromfile(f, "i4", 1)[0]
+                arr = np.fromfile(f, dt, nb // np.dtype(dt).itemsize)
+                assert np.fromfile(f, "i4", 1)[0] == nb
+                lst.append(arr.reshape(-1, ncol) if ncol > 1 else arr)
+
+    a = float(hdr0["Time"])
+    pos = np.concatenate(pos_l)
+    vel = np.concatenate(vel_l) * np.sqrt(a)   # gadget u -> peculiar
+    pid = np.concatenate(id_l)
+    tot = (np.int64(hdr0["Nall"][1])
+           + (np.int64(hdr0["NallHW"][1]) << 32))
+
+    bf = BigFile(ns.dest, create=True)
+    bf.create_block("1/Position", pos.astype("f4"))
+    bf.create_block("1/Velocity", vel.astype("f4"))
+    bf.create_block("1/ID", pid.astype("i8"))
+    h = bf.create_block("Header")
+    h.attrs.set("BoxSize", float(hdr0["BoxSize"]), "f8")
+    h.attrs.set("Time", a, "f8")
+    h.attrs.set("ScalingFactor", a, "f8")
+    h.attrs.set("MassTable",
+                np.asarray(hdr0["Massarr"], dtype="f8"), "f8")
+    h.attrs.set("TotNumPart",
+                np.array([0, tot, 0, 0, 0, 0], dtype="i8"), "i8")
+    h.attrs.set("HubbleParam", float(hdr0["HubbleParam"]), "f8")
+    h.attrs.set("Omega0", float(hdr0["Omega0"]), "f8")
+    h.attrs.set("OmegaLambda", float(hdr0["OmegaLambda"]), "f8")
+    print("converted %d particles from %d file(s) -> %s"
+          % (len(pos), len(files), ns.dest))
     return 0
