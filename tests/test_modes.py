@@ -1,0 +1,122 @@
+"""Coverage of the reference's standard.lua argument matrix and C API
+tests not exercised elsewhere: pm force mode, constrained Gaussians
+(testconstrained.c), subsampling (testsubsample.c), shell/bbox culling
+(testboxsphere.c), and the ncdm split (testpm.c ncdm branch)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastpm_tpu.mesh import PM
+from fastpm_tpu.cosmology import Cosmology
+from fastpm_tpu.powerspectrum import FuncK, measure_power
+from fastpm_tpu.solver import Solver, SolverConfig
+from fastpm_tpu import ic
+
+COSMO = Cosmology(h=0.6774, Omega_m=0.307494, T_cmb=0.0,
+                  growth_mode="lcdm")
+PK = FuncK.from_file("/root/reference/tests/powerspec.txt")
+
+
+def _evolve(force_mode, nc=16, **kw):
+    cfg = SolverConfig(nc=nc, boxsize=64.0, time_step=[0.3, 0.6, 1.0],
+                       force_mode=force_mode, pm_nc_factor=1, **kw)
+    s = Solver(cfg, COSMO)
+    dk, _ = ic.linear_field(s.lptpm, COSMO, PK, seed=5, aout=1.0)
+    s.setup_lpt(dk, 0.3)
+    s.evolve()
+    return s
+
+
+def test_pm_mode_runs():
+    """Plain-PM (no growth boost) integrates sanely; its late-time
+    growth lags the fastpm scheme's (the very point of fastpm)."""
+    s_pm = _evolve("pm")
+    s_fp = _evolve("fastpm")
+    for s in (s_pm, s_fp):
+        x = np.asarray(s.species["cdm"].x)
+        assert np.isfinite(x).all()
+    from fastpm_tpu.painter import Painter
+    from fastpm_tpu.gravity import paint_delta_k
+    pm = s_pm.basepm
+    painter = Painter(pm, "cic", 2)
+    p_pm = measure_power(pm, paint_delta_k(
+        pm, painter, [s_pm.species["cdm"].wrap(pm.BoxSize)]))
+    p_fp = measure_power(pm, paint_delta_k(
+        pm, painter, [s_fp.species["cdm"].wrap(pm.BoxSize)]))
+    lo = slice(1, 4)
+    assert np.sum(p_pm.p[lo]) < np.sum(p_fp.p[lo])
+
+
+def test_constrained_gaussian_raises_peak():
+    """Hoffman-Ribak constraint pins the smoothed peak height at the
+    requested position (testconstrained.c semantics)."""
+    from fastpm_tpu.constrained import apply_constraints
+    from fastpm_tpu import transfers
+
+    pm = PM(32, 128.0)
+    dk = ic.gaussian_white_noise(pm, seed=9)
+    dk = ic.induce_correlation(pm, dk, PK)
+    target = [64.0, 64.0, 64.0, 4.0]     # 4-sigma peak at the center
+    dk_c = apply_constraints(pm, dk, [target], PK, None)
+    # smoothed field value at the constraint point rises
+    sml = 8.0
+    def peak_val(d):
+        sm = transfers.apply_smoothing(pm, d, sml)
+        f = np.asarray(pm.c2r(sm))
+        return f[16, 16, 16]
+    assert peak_val(dk_c) > peak_val(dk)
+    # and the power spectrum stays finite/positive
+    ps = measure_power(pm, dk_c)
+    assert np.isfinite(ps.p[ps.Nmodes > 0]).all()
+
+
+def test_subsample_mask():
+    """fill_subsample_mask keeps ~fraction of particles, selected by
+    the persistent rand column (store.c:961-1036)."""
+    from fastpm_tpu.store import lattice_store
+    pm = PM(16, 64.0)
+    p = lattice_store(pm, columns=("v", "id", "rand"))
+    keep = p.subsample_mask(0.25)
+    frac = float(np.asarray(keep).mean())
+    assert abs(frac - 0.25) < 0.05
+    # deterministic given the rand column
+    keep2 = p.subsample_mask(0.25)
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep2))
+
+
+def test_shell_bbox_culling():
+    """Conservative shell/AABB intersection (spherebox.h semantics)."""
+    from fastpm_tpu.lightcone import LightCone, USMesh
+    lc = LightCone(cosmology=COSMO, glmatrix=np.eye(4), fov=361.0,
+                   octants=(True,) * 8)
+    mesh = USMesh(lc, lambda: None, np.zeros((1, 3)), amin=0.1, amax=1.0)
+    # box [10,20]^3: distance range [sqrt(300), sqrt(1200)]
+    lo, hi = np.full(3, 10.0), np.full(3, 20.0)
+    shift = np.zeros(3)
+    assert mesh._shell_hits_bbox(lo, hi, shift, 17.4, 34.0)
+    assert not mesh._shell_hits_bbox(lo, hi, shift, 40.0, 50.0)   # outside
+    assert not mesh._shell_hits_bbox(lo, hi, shift, 5.0, 10.0)    # inside
+
+
+def test_ncdm_split_smoke():
+    """Fermi-Dirac split populates the ncdm store with thermal
+    velocities and conserved total mass (thermalvelocity.c)."""
+    from fastpm_tpu.ncdm import NcdmInitData, split_ncdm
+    from fastpm_tpu.store import lattice_store
+    c = Cosmology(h=0.6774, Omega_m=0.307494, N_nu=3.0,
+                  m_ncdm=(0.2,), growth_mode="lcdm")
+    nid = NcdmInitData(boxsize=64.0, cosmology=c, z=9.0, n_shells=4,
+                       n_side=2, lvk=True, sphere_scheme="fibonacci")
+    pm = PM(16, 64.0)
+    sites = lattice_store(pm, Nc=8, columns=("v", "acc", "id", "rand"),
+                          name="ncdm")
+    sites = sites.replace(v=jnp.zeros_like(sites.x), a_x=0.1, a_v=0.1,
+                          M0=1.0)
+    ncdm = split_ncdm(nid, sites)
+    assert ncdm.np_local == 8 ** 3 * nid.n_split
+    v = np.asarray(ncdm.v)
+    assert np.isfinite(v).all() and np.abs(v).max() > 0
+    m = np.asarray(ncdm.mass)
+    assert np.isfinite(m).all() and (m > 0).all()
