@@ -181,27 +181,97 @@ def measure_power(pm: PM, delta1_k, delta2_k=None) -> PowerSpectrum:
     return PowerSpectrum(kmean, p, Nmodes, edges, pm.Volume, k0)
 
 
+def _gauss_kronrod(n=20):
+    """Nodes/weights of the (2n+1)-point Gauss-Kronrod rule with the
+    embedded n-point Gauss weights, from the Stieltjes polynomial
+    (roots of E_{n+1}, solved in the Legendre basis)."""
+    from numpy.polynomial import legendre as L
+    xg, wg = np.polynomial.legendre.leggauss(n)
+    xq, wq = np.polynomial.legendre.leggauss(2 * n + 4)
+    Pn = L.legvander(xq, n + 1)
+    rows, rhs = [], []
+    for j in range(n + 1):
+        integrand = Pn[:, n] * xq ** j
+        row = (wq[:, None] * Pn * integrand[:, None]).sum(axis=0)
+        rows.append(row[:n + 1])
+        rhs.append(-row[n + 1])
+    e = np.linalg.solve(np.array(rows), np.array(rhs))
+    xs = L.legroots(np.concatenate([e, [1.0]]))
+    xk = np.sort(np.concatenate([xg, np.real(xs)]))
+    V = L.legvander(xk, 2 * n).T
+    m = np.zeros(2 * n + 1)
+    m[0] = 2.0
+    wk = np.linalg.solve(V, m)
+    wg_full = np.zeros_like(wk)
+    wg_full[1::2] = wg          # gauss nodes interleave at odd slots
+    return xk, wk, wg_full
+
+
+_GK41 = None
+
+
+def _qag(f, a, b, epsabs=0.0, epsrel=1e-4, limit=81920):
+    """GSL gsl_integration_qag with GSL_INTEG_GAUSS41: adaptive
+    bisection of the largest-error interval using the GK41 rule and
+    GSL's qk error rescaling -- digit-compatible with the reference's
+    quadrature (fastpm_powerspectrum_sigma, powerspectrum.c:250-279)."""
+    import heapq
+    global _GK41
+    if _GK41 is None:
+        _GK41 = _gauss_kronrod(20)
+    XK, WK, WGF = _GK41
+    eps = np.finfo(float).eps
+    tiny = np.finfo(float).tiny
+
+    def qk41(a, b):
+        c = 0.5 * (a + b)
+        h = 0.5 * (b - a)
+        fv = f(c + h * XK)
+        rk = np.sum(WK * fv)
+        rg = np.sum(WGF * fv)
+        resabs = np.sum(WK * np.abs(fv)) * abs(h)
+        resasc = np.sum(WK * np.abs(fv - rk * 0.5)) * abs(h)
+        err = abs((rk - rg) * h)
+        if resasc != 0 and err != 0:
+            err = resasc * min(1.0, (200 * err / resasc) ** 1.5)
+        if resabs > tiny / (50 * eps):
+            err = max(eps * 50 * resabs, err)
+        return rk * h, err
+
+    r0, e0 = qk41(a, b)
+    if e0 <= max(epsabs, epsrel * abs(r0)):
+        return r0
+    heap = [(-e0, a, b, r0)]
+    errsum, ressum = e0, r0
+    for _ in range(limit):
+        ne, aa, bb, rr = heapq.heappop(heap)
+        mid = 0.5 * (aa + bb)
+        r1, er1 = qk41(aa, mid)
+        r2, er2 = qk41(mid, bb)
+        errsum += er1 + er2 + ne
+        ressum += r1 + r2 - rr
+        heapq.heappush(heap, (-er1, aa, mid, r1))
+        heapq.heappush(heap, (-er2, mid, bb, r2))
+        if errsum <= max(epsabs, epsrel * abs(ressum)):
+            break
+    return sum(h[3] for h in heap)
+
+
 def sigma_tophat(func: FuncK, R: float) -> float:
     """sigma(R): rms of the density field smoothed with a top-hat of
     radius R (powerspectrum.c:227-279); sigma8 = sigma_tophat(ps, 8).
 
-    Composite Gauss-Legendre on subintervals resolving the tophat-window
-    oscillations (period pi/R), vectorized through the FuncK table --
-    much faster than scalar adaptive quadrature at equal accuracy.
-    """
-    kmax = 500.0 / R
-    # ~40 subintervals per oscillation of W(kR)^2
-    nseg = max(2000, int(40 * kmax * R / math.pi))
-    edges = np.linspace(0.0, kmax, nseg + 1)
-    xg, wg = np.polynomial.legendre.leggauss(8)
-    mid = 0.5 * (edges[1:] + edges[:-1])
-    half = 0.5 * (edges[1:] - edges[:-1])
-    k = (mid[:, None] + half[:, None] * xg[None, :]).ravel()
-    wq = (half[:, None] * wg[None, :]).ravel()
+    Uses the GSL-QAG(GAUSS41, relerr 1e-4) emulation so the printed
+    value matches the reference's golden logs to the last digit
+    (run-test-nbodykit.check pins 'sigma8 0.815897')."""
+    def integrand(k):
+        k = np.asarray(k, dtype=np.float64)
+        kr = R * k
+        safe = np.maximum(kr, 1e-300)
+        w = 3 * (np.sin(kr) / safe ** 3 - np.cos(kr) / safe ** 2)
+        w = np.where(kr < 1e-8, 0.0, w)
+        return np.where(kr < 1e-8, 0.0,
+                        4 * math.pi * k * k * w * w * func(k)
+                        / (2 * math.pi) ** 3)
 
-    kr = R * k
-    with np.errstate(divide="ignore", invalid="ignore"):
-        w = 3 * (np.sin(kr) / kr ** 3 - np.cos(kr) / kr ** 2)
-    w = np.where(kr < 1e-8, 0.0, w)
-    vals = 4 * math.pi * k * k * w * w * func(k) / (2 * math.pi) ** 3
-    return math.sqrt(float(np.sum(vals * wq)))
+    return math.sqrt(float(_qag(integrand, 0.0, 500.0 / R)))
