@@ -719,6 +719,9 @@ def main(argv=None):
         description="TPU-native FastPM cosmological N-body solver")
     ap.add_argument("-T", type=int, default=0, help="ignored (XLA threads)")
     ap.add_argument("-W", type=int, default=0, help="number of IO writers")
+    ap.add_argument("-f", dest="fftw", action="store_true",
+                    help="force the 1D slab decomposition (the FFTW-MPI "
+                         "analog; same as -y 1)")
     ap.add_argument("-y", dest="nprocy", type=int, default=0,
                     help="2nd dimension of the device mesh (NprocY): "
                          "0 = auto (1D slab over all devices; near-"
@@ -737,7 +740,8 @@ def main(argv=None):
     faulthandler.enable()  # crash backtraces (src/stacktrace.c)
     p = load_params(ns.params, ns.args)
     run_fastpm(p, restart=ns.restart,
-               memory_bound_mb=ns.memory_bound_mb, nprocy=ns.nprocy)
+               memory_bound_mb=ns.memory_bound_mb,
+               nprocy=1 if ns.fftw else ns.nprocy)
     return 0
 
 
