@@ -82,7 +82,9 @@ def remove_variance(dk):
     """Fix every mode's amplitude to 1, keeping its phase ("fixed" ICs,
     initialcondition.c:66-98)."""
     mag = jnp.abs(dk)
-    return jnp.where(mag == 0, 0.0 + 0.0j, dk / jnp.where(mag == 0, 1.0, mag))
+    # real-valued factor (a complex-zero constant would need a complex
+    # upload in eager mode, rejected by the axon tunnel)
+    return dk * jnp.where(mag == 0, 0.0, 1.0 / jnp.where(mag == 0, 1.0, mag))
 
 
 def induce_correlation(pm: PM, dk, pk: FuncK):

@@ -133,8 +133,9 @@ class SlabPM:
     def apply_grad(self, dk, dir: int, order: int):
         name = ["k", "k_finite"][order]
         kd = self.broadcast_table_local(name, dir)
-        out = dk * (1j * kd).astype(self.pm.cdtype)
-        return jnp.where(self.nyquist_mask_local(), 0.0 + 0.0j, out)
+        ik = jax.lax.complex(jnp.zeros_like(kd), kd).astype(self.pm.cdtype)
+        out = dk * ik
+        return out * (~self.nyquist_mask_local()).astype(self.pm.dtype)
 
     def apply_decic(self, dk):
         out = dk
