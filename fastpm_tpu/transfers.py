@@ -141,11 +141,18 @@ def set_mode(pm: PM, dk, mode, value: float, method: str = "override"):
             # handled via its conjugate partner
             return dk, False
         cur = dk[i, j, l]
+        # assemble on device with lax.complex: eager complex scalar
+        # constants would need a complex upload (axon rejects those)
+        cre, cim = jnp.real(cur), jnp.imag(cur)
+        v = jnp.asarray(val, dtype=pm.dtype)
         if ri == 0:
-            new = (val if method == "override" else cur.real + val) + 1j * cur.imag
+            nre = v if method == "override" else cre + v
+            nim = cim
         else:
-            new = cur.real + 1j * (val if method == "override" else cur.imag + val)
-        return dk.at[i, j, l].set(new.astype(pm.cdtype)), True
+            nre = cre
+            nim = v if method == "override" else cim + v
+        new = jax.lax.complex(nre, nim).astype(pm.cdtype)
+        return dk.at[i, j, l].set(new), True
 
     dk, _ = apply_at(dk, (ix, iy, iz), value)
     if not self_conj:
