@@ -30,7 +30,7 @@ _FUSED_CACHE = {}
 
 def _fused_cache(pm, kind, builder):
     """Per-PM cache of the prepared-bundle kernel builders."""
-    key = (id(pm), kind)
+    key = (pm.cache_key, kind)
     fn = _FUSED_CACHE.get(key)
     if fn is None:
         fn = builder(pm)

@@ -197,5 +197,11 @@ class PM:
                     + dk.imag.astype(np.float64) ** 2) * w)
         return float(v / self.Norm)
 
+    @property
+    def cache_key(self):
+        """Hashable geometry identity for kernel caches (id() reuse
+        after GC would silently serve kernels for the wrong mesh)."""
+        return (self.Nmesh, self.BoxSize, str(self.dtype))
+
     def __repr__(self):
         return f"PM(Nmesh={self.Nmesh}, BoxSize={self.BoxSize})"

@@ -134,7 +134,7 @@ class Painter:
 
     def _pallas_paint_fn(self):
         from .ops.paint_pallas import make_paint_fn
-        key = id(self.pm)
+        key = self.pm.cache_key
         fn = _PALLAS_PAINT_CACHE.get(key)
         if fn is None:
             fn = make_paint_fn(self.pm, K=512, C=8192)
@@ -241,7 +241,7 @@ class Painter:
         if (self.support == 2 and self.diffdir < 0 and self._use_pallas
                 and int(np.prod(self.pm.Nmesh)) > _PACK8_MAX_CELLS):
             from .ops.readout_pallas import make_readout3_fn
-            key = ("readout3", id(self.pm))
+            key = ("readout3", self.pm.cache_key)
             fn = _PALLAS_PAINT_CACHE.get(key)
             if fn is None:
                 fn = make_readout3_fn(self.pm, K=1024, C=8192)

@@ -222,7 +222,7 @@ class Solver:
         from .parallel.psolver import (_force_local, particle_spec,
                                        deltak_spec)
 
-        key = id(pm)
+        key = pm.cache_key
         fn = self._sharded_force_cache.get(key)
         if fn is None:
             spm = make_engine(pm, self.mesh)
