@@ -694,7 +694,6 @@ def prepare_ncdm(solver: Solver, p: Params, a0: float, log: Log):
                  "instead.")
         dk, _ = prepare_deltak(solver, p, log)
     else:
-        import dataclasses as _dc
         ns = dict(p.asdict())
         ns["read_lineark"] = p.read_lineark_ncdm
         ns["read_powerspectrum"] = p.read_powerspectrum_ncdm

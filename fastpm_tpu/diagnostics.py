@@ -8,7 +8,7 @@ These produce the golden-log lines the reference's regression suite pins
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -17,7 +17,6 @@ The generic path normalizes kernel weights per-axis to conserve mass
 
 from __future__ import annotations
 
-from functools import partial
 import itertools
 
 import numpy as np

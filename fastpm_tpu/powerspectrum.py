@@ -14,7 +14,6 @@ import math
 
 import numpy as np
 import jax.numpy as jnp
-from scipy import integrate as _sint
 
 from .mesh import PM
 

@@ -10,7 +10,6 @@ does not block in block_until_ready).
 from __future__ import annotations
 
 import time
-from collections import defaultdict
 from contextlib import contextmanager
 from typing import Dict, Optional
 
