@@ -22,6 +22,7 @@ from .kdk import KickFactor, DriftFactor
 from .timemachine import (StateTable, Transition, ACTION_FORCE, ACTION_KICK,
                           ACTION_DRIFT)
 from .mesh import PM
+from . import prof
 from .painter import Painter
 from .store import Store, lattice_store
 from .gravity import compute_force
@@ -67,6 +68,9 @@ class SolverConfig:
     pgdc_B: float = 8.0
     pgdc_kl: float = 2.0
     pgdc_ks: float = 10.0
+    # NaN/Inf scan of the force output after every force step
+    # (pm_check_values, gravity.c:350-383); off by default for speed
+    check_values: bool = False
 
     def __post_init__(self):
         if self.force_mode == "zola":
@@ -339,6 +343,15 @@ class Solver:
                 delta_transfer=delta_transfer)
         for n, s in zip(names, new_stores):
             self.species[n] = s
+        if self.config.check_values:
+            # pm_check_values analog (gravity.c:350-352, 477): NaN/Inf
+            # scan of the force output; fail fast like fastpm_raise
+            for n in names:
+                acc = self.species[n].acc
+                if not bool(jnp.isfinite(acc).all()):
+                    raise FloatingPointError(
+                        f"force produced non-finite values for {n} "
+                        f"at a_f={trans.a_f}")
 
         # PGD correction from the (softened, pre-decic) delta_k
         # (solver.c:458-464)
@@ -445,11 +458,14 @@ class Solver:
             self.event_handlers.emit(ev.EVENT_TRANSITION, ev.STAGE_BEFORE,
                                      solver=self, transition=trans)
             if trans.action == ACTION_KICK:
-                self.do_kick(trans, states, i)
+                with prof.clock("kick"):
+                    self.do_kick(trans, states, i)
             elif trans.action == ACTION_DRIFT:
-                self.do_drift(trans, states, i)
+                with prof.clock("drift"):
+                    self.do_drift(trans, states, i)
             elif trans.action == ACTION_FORCE:
-                self.do_force(trans, states, i)
+                with prof.clock("force"):
+                    self.do_force(trans, states, i)
             self.event_handlers.emit(ev.EVENT_TRANSITION, ev.STAGE_AFTER,
                                      solver=self, transition=trans)
             if i == 1:
