@@ -270,6 +270,55 @@ def _prepare_time_step(all_steps, a0):
     return [a0] + [a for a in all_steps[i + 1:] if a > a0 + 1e-7]
 
 
+def prepare_runpbic(solver: Solver, path: str, a0: float, log: Log):
+    """Initialize from a RunPB TPM IC set (read_runpb_ic,
+    src/runpb.c:150-299): recover the ZA/2LPT displacements from the
+    file's (position, velocity) pair using the fitting growth rates
+    f1 = Omega^(4/7), f2 = Omega^(6/11), reset particles to the
+    half-cell-shifted lattice, then evolve with 2LPT to a0."""
+    import jax.numpy as jnp
+    from .io.legacy import read_runpb_snapshot
+
+    data = read_runpb_snapshot(path)
+    aa = float(data["aa"])
+    log.info("RunPB IC at a = %g from %s", aa, path)
+    c = solver.cosmology
+    nc = solver.config.nc
+    boxsize = solver.config.boxsize
+    D = c.growth_info(aa).D1
+    omega = c.Omega_cdm_a(aa)
+    f1 = omega ** (4.0 / 7)
+    f2 = omega ** (6.0 / 11)
+
+    ids = data["id"].astype(np.int64)
+    x = data["x"].astype(np.float64)          # box units [0,1)
+    v = data["v"].astype(np.float64)          # RunPB RSD units
+    strides = np.array([nc * nc, nc, 1], dtype=np.int64)
+    lattice = np.stack([(ids // strides[d]) % nc for d in range(3)],
+                       axis=-1)
+    opos = lattice * (1.0 / nc) + 0.5 / nc
+    disp = x - opos
+    disp = np.where(disp < -0.5, disp + 1.0, disp)
+    disp = np.where(disp > 0.5, disp - 1.0, disp)
+    dx1 = (v - disp * 2 * f2) / (f1 - 2 * f2) / D * boxsize
+    dx2 = (v - disp * f1) / (2 * f2 - f1) / (D * D) * boxsize
+    q = np.remainder(opos * boxsize, boxsize)
+    log.info("dx1 disp: %g %g %g", *np.sqrt((dx1 ** 2).mean(axis=0)))
+    log.info("dx2 disp: %g %g %g", *np.sqrt((dx2 ** 2).mean(axis=0)))
+
+    p = solver.species["cdm"]
+    cell = boxsize / nc
+    p = p.replace(x=jnp.asarray(q.astype(np.float32)),
+                  v=jnp.zeros_like(p.v),
+                  id=jnp.asarray(ids),
+                  dx1=jnp.asarray(dx1.astype(np.float32)),
+                  dx2=jnp.asarray(dx2.astype(np.float32)),
+                  q_shift=(0.5 * cell,) * 3,
+                  q_scale=(cell,) * 3, q_nc=(nc, nc, nc))
+    solver.species["cdm"] = p
+    solver.setup_lpt(None, a0)
+
+
 def restore_species(solver: Solver, path: str, dataset: str, log: Log):
     """Read a species back from a snapshot, inverting the unit
     conversion (prepare_cdm restart path, src/fastpm.c:616-648)."""
@@ -637,6 +686,9 @@ def run_fastpm(p: Params, log=None, restart: str = None,
         solver.species["cdm"] = store
         # do not rewrite snapshots at or before the restart time
         checker.iout = sum(1 for a in checker.aout if a <= a0 + 1e-7)
+    elif p.read_runpbic:
+        a0 = p.time_step[0]
+        prepare_runpbic(solver, p.read_runpbic, a0, log)
     else:
         dk, pk = prepare_deltak(solver, p, log)
         a0 = p.time_step[0]
