@@ -163,6 +163,11 @@ def prepare_deltak(solver: Solver, p: Params, log: Log):
     elif p.write_lineark:
         log.info("Writing fourier space linear field to %s", p.write_lineark)
         write_complex(pm, dk, p.write_lineark, "LinearDensityK")
+    if p.write_linearr:
+        # real-space linear field (src/fastpm.c:685-689)
+        log.info("Writing real space linear field to %s", p.write_linearr)
+        from .io.fields import write_real
+        write_real(pm, pm.c2r(dk), p.write_linearr, "LinearDensityR")
     return dk, pk
 
 

@@ -13,7 +13,7 @@ import numpy as np
 from .bigfile import BigFile
 from ..mesh import PM, fetch_complex
 
-__all__ = ["write_complex", "read_complex"]
+__all__ = ["write_complex", "read_complex", "write_real", "read_real"]
 
 
 def write_complex(pm: PM, data, filename: str, blockname: str,
@@ -37,3 +37,26 @@ def read_complex(pm: PM, filename: str, blockname: str) -> np.ndarray:
     block = bf.open_block(blockname)
     arr = block.read_all().reshape(pm.kshape)
     return arr.astype(np.complex64)
+
+
+def write_real(pm: PM, data, filename: str, blockname: str,
+               Nfile: int = 1):
+    """Real-space field block (the write_linearr path,
+    src/fastpm.c:685-689)."""
+    arr = np.ascontiguousarray(np.asarray(data), dtype=np.float32)
+    nm = pm.Nmesh[0]
+    bf = BigFile(filename, create=True)
+    block = bf.create_block(blockname, arr.reshape(-1, 1), Nfile=Nfile)
+    block.attrs.set("ndarray.ndim", np.int32(3), "i4")
+    block.attrs.set("ndarray.strides",
+                    np.asarray([nm * nm, nm, 1], dtype=np.int64), "i8")
+    block.attrs.set("ndarray.shape",
+                    np.asarray([nm, nm, nm], dtype=np.int64), "i8")
+    block.attrs.set("Nmesh", np.int32(nm), "i4")
+    block.attrs.set("BoxSize", float(pm.BoxSize[0]), "f8")
+
+
+def read_real(pm: PM, filename: str, blockname: str) -> np.ndarray:
+    bf = BigFile(filename)
+    block = bf.open_block(blockname)
+    return block.read_all().reshape(pm.rshape).astype(np.float32)

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from .mesh import PM
 
-__all__ = ["PowerSpectrum", "FuncK", "measure_power", "sigma_tophat"]
+__all__ = ["PowerSpectrum", "FuncK", "measure_power",
+           "measure_transfer", "sigma_tophat"]
 
 
 class FuncK:
@@ -274,3 +275,13 @@ def sigma_tophat(func: FuncK, R: float) -> float:
                         / (2 * math.pi) ** 3)
 
     return math.sqrt(float(_qag(integrand, 0.0, 500.0 / R)))
+
+
+def measure_transfer(pm: PM, src_k, dest_k) -> PowerSpectrum:
+    """Binned transfer function sqrt(P_dest / P_src)
+    (fastpm_transferfunction_init, powerspectrum.c:125-140)."""
+    ps = measure_power(pm, src_k)
+    ps2 = measure_power(pm, dest_k)
+    good = ps.p > 0
+    t = np.where(good, np.sqrt(ps2.p / np.where(good, ps.p, 1.0)), 0.0)
+    return PowerSpectrum(ps.k, t, ps.Nmodes, ps.edges, ps.Volume, ps.k0)
