@@ -210,6 +210,16 @@ class SnapshotChecker:
         log.info("Growth factor of snapshot %6.4f (a=%0.4f)", gi.D1, aout)
         log.info("Growth rate of snapshot %6.4f (a=%0.4f)", gi.f1, aout)
 
+        if p.write_runpb_snapshot:
+            # RunPB only has CDM (src/fastpm.c:1533-1545)
+            from .io.legacy import write_runpb_snapshot
+            path = "%s_%0.04f.bin" % (p.write_runpb_snapshot, aout)
+            v_internal = np.asarray(cdm.v) * aout / 100.0
+            write_runpb_snapshot(path, np.asarray(cdm.x), v_internal,
+                                 np.asarray(cdm.id).reshape(-1), aout,
+                                 s.cosmology.E(aout), p.boxsize)
+            log.info("runpb snapshot %s written z = %6.4f a = %6.4f",
+                     path, 1.0 / aout - 1, aout)
         if p.write_snapshot:
             path = "%s_%0.04f" % (p.write_snapshot, aout)
             log.info("Writing a snapshot header to %s", path)
