@@ -338,7 +338,7 @@ def make_readout3_from_fn(pm: PM, K: int = 1024, C: int = 8192,
         return flat.reshape(npad_blocks, 128)
 
     def readout3_from(prepared, cx, cy, cz):
-        n = prepared["n"]
+        n = prepared["orig"].shape[0]   # static even under jit
         n_padded = prepared["cell_2d"].shape[1]
         if n_padded % K:
             raise ValueError("prepared padding not a multiple of K")
