@@ -126,9 +126,9 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
     out = []
     for p in stores:
         if fused:
-            from .ops.readout_pallas import make_readout3_from_fn
+            from .ops.readout_pallas import make_readout3_from4_fn
             readout3_from = _fused_cache(pm, "readout3_from",
-                                         make_readout3_from_fn)
+                                         make_readout3_from4_fn)
             acc = readout3_from(prepared, acc_fields[0], acc_fields[1],
                                 acc_fields[2])
         else:

@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..mesh import PM
 from .paint_pallas import _corner_offsets_padded
 
-__all__ = ["make_readout3_fn", "make_readout3_from_fn"]
+__all__ = ["make_readout3_fn", "make_readout3_from_fn",
+           "make_readout3_from4_fn"]
 
 
 def _readout_kernel(ranges_ref,      # SMEM (1, 8, 2) i32: [o] -> (s, e)
@@ -349,6 +350,223 @@ def make_readout3_from_fn(pm: PM, K: int = 1024, C: int = 8192,
             prepared["ranges"], prepared["cell_2d"], prepared["w8T"],
             canvases, val_init)
         vals = jnp.sum(val8.reshape(8, 3, n_padded), axis=0)[:, :n]
+        inv = jax.lax.sort((prepared["orig"],
+                            jnp.arange(n, dtype=jnp.int32)),
+                           num_keys=1)[1]
+        return jnp.take(vals.T, inv, axis=0)
+
+    return readout3_from
+
+
+def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
+                     cell_hbm,       # (1, Npad) i32 sorted padded cells
+                     w8T_hbm,        # (8, 1, Npad) f32 corner weights
+                     canvases_hbm,   # ANY (3, W*CLh + HR, 128)
+                     val_io,         # ANY (6, 1, Npad) f32 [p*3+comp]
+                     out_ref,        # aliased with val_io
+                     canvas_scratch,  # VMEM (3, CLh+HR, 128)
+                     cell_scratch,   # VMEM (2, 1, K) i32
+                     w_scratch,      # VMEM (2, 4, 1, K) f32
+                     val_scratch,    # VMEM (2, 3, 1, K) f32
+                     csem,           # DMA sem () canvas
+                     sems,           # DMA sems (2, 5): cell, w8, val x3
+                     wsems,          # DMA sems (2, 3)
+                     *, K, C, CLh, HR, nyp, nzp):
+    """4-corners-per-pass variant: pass p = dx handles the corner
+    quadruple delta = (0, 1, nzp, nzp+1) against ONE halo'd canvas
+    block, so the chunk loop runs 4x fewer rounds than the per-corner
+    kernel (the rounds are sync-bound, not MXU-bound)."""
+    del val_io
+    w = pl.program_id(0)
+    base_window = w * C
+    hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, K), 0)
+    lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    deltas = (0, 1, nzp, nzp + 1)
+
+    # one halo'd canvas block per window, shared by both passes
+    ccopy = pltpu.make_async_copy(
+        canvases_hbm.at[:, pl.ds(pl.multiple_of(w * CLh, 8), CLh + HR)],
+        canvas_scratch, csem)
+    ccopy.start()
+    ccopy.wait()
+
+    for p in range(2):
+        base_off = p * nyp * nzp
+        s = ranges_ref[0, p, 0]
+        e = ranges_ref[0, p, 1]
+        j0 = s // K
+        j1 = jax.lax.div(e + K - 1, K)
+        nrounds = jnp.maximum(j1 - j0, 0)
+        base_target = base_window - base_off
+
+        def make_in_copies(slot, r, j0=j0, p=p):
+            start = pl.multiple_of((j0 + r) * K, 128)
+            copies = [pltpu.make_async_copy(
+                          cell_hbm.at[:, pl.ds(start, K)],
+                          cell_scratch.at[slot], sems.at[slot, 0]),
+                      pltpu.make_async_copy(
+                          w8T_hbm.at[pl.ds(4 * p, 4), :,
+                                     pl.ds(start, K)],
+                          w_scratch.at[slot], sems.at[slot, 1])]
+            for comp in range(3):
+                copies.append(pltpu.make_async_copy(
+                    out_ref.at[p * 3 + comp, :, pl.ds(start, K)],
+                    val_scratch.at[slot, comp],
+                    sems.at[slot, 2 + comp]))
+            return copies
+
+        def make_out_copies(slot, r, j0=j0, p=p):
+            start = pl.multiple_of((j0 + r) * K, 128)
+            return [pltpu.make_async_copy(
+                        val_scratch.at[slot, comp],
+                        out_ref.at[p * 3 + comp, :, pl.ds(start, K)],
+                        wsems.at[slot, comp])
+                    for comp in range(3)]
+
+        @pl.when(nrounds > 0)
+        def _run(j0=j0, p=p, s=s, e=e, nrounds=nrounds,
+                 base_target=base_target,
+                 make_in_copies=make_in_copies,
+                 make_out_copies=make_out_copies):
+            for cp in make_in_copies(0, 0):
+                cp.start()
+
+            def body(r, carry):
+                slot = r % 2
+                nxt = (r + 1) % 2
+
+                @pl.when(r + 1 < nrounds)
+                def _prefetch():
+                    @pl.when(r >= 1)
+                    def _drain():
+                        for cp in make_out_copies(nxt, r - 1):
+                            cp.wait()
+                    for cp in make_in_copies(nxt, r + 1):
+                        cp.start()
+
+                for cp in make_in_copies(slot, r):
+                    cp.wait()
+
+                start = (j0 + r) * K
+                cells = cell_scratch[slot]             # (1, K)
+                gidx = start + lane
+                valid = (gidx >= s) & (gidx < e)
+                rel0 = jnp.where(valid, cells - base_target, -2)
+                acc = [None, None, None]
+                for ci, d in enumerate(deltas):
+                    rel = rel0 + d
+                    rel = jnp.where(valid, rel, -1)
+                    hi = rel >> 7
+                    lo = rel & 127
+                    A = (hi == hi_row).astype(jnp.float32)
+                    Bm = (lo == lo_row)
+                    weights = w_scratch[slot, ci]      # (1, K)
+                    for comp in range(3):
+                        block = canvas_scratch[comp]
+                        tmp = jax.lax.dot_general(
+                            block, A,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                        sel = jnp.where(Bm, tmp, 0.0)
+                        v = jnp.sum(sel, axis=0, keepdims=True) * weights
+                        acc[comp] = v if acc[comp] is None \
+                            else acc[comp] + v
+                for comp in range(3):
+                    val_scratch[slot, comp] = \
+                        val_scratch[slot, comp] + acc[comp]
+                for cp in make_out_copies(slot, r):
+                    cp.start()
+                return carry
+
+            jax.lax.fori_loop(0, nrounds, body, 0)
+            for cp in make_out_copies((nrounds - 1) % 2, nrounds - 1):
+                cp.wait()
+
+            @pl.when(nrounds > 1)
+            def _drain_prev():
+                for cp in make_out_copies((nrounds - 2) % 2,
+                                          nrounds - 2):
+                    cp.wait()
+
+
+def make_readout3_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
+                           interpret=False):
+    """readout3_from with the 4-corners-per-pass kernel."""
+    nx, ny, nz = pm.Nmesh
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024")
+    if K % 128:
+        raise ValueError("K must be a multiple of 128")
+    CLh = C // 128
+    # halo rows covering delta up to nzp+1 (multiple of 8 for tiling)
+    HR = ((nzp + 1 + 127) // 128 + 1)
+    HR = ((HR + 7) // 8) * 8
+    npad_blocks = W * CLh + HR
+    kernel = functools.partial(_readout_kernel4, K=K, C=C, CLh=CLh,
+                               HR=HR, nyp=nyp, nzp=nzp)
+
+    def build_call(n_padded):
+        return pl.pallas_call(
+            kernel,
+            grid=(W,),
+            in_specs=[
+                pl.BlockSpec((1, 2, 2), lambda w: (w, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((3, CLh + HR, 128), jnp.float32),
+                pltpu.VMEM((2, 1, K), jnp.int32),
+                pltpu.VMEM((2, 4, 1, K), jnp.float32),
+                pltpu.VMEM((2, 3, 1, K), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2, 5)),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            out_shape=jax.ShapeDtypeStruct((6, 1, n_padded),
+                                           jnp.float32),
+            input_output_aliases={4: 0},
+            interpret=interpret,
+        )
+
+    def pad_canvas(canvas):
+        p = jnp.zeros((nxp, nyp, nzp), dtype=jnp.float32)
+        p = p.at[:nx, :ny, :nz].set(canvas)
+        p = p.at[nx, :ny, :nz].set(canvas[0])
+        p = p.at[:nx, ny, :nz].set(canvas[:, 0])
+        p = p.at[:nx, :ny, nz].set(canvas[:, :, 0])
+        p = p.at[nx, ny, :nz].set(canvas[0, 0])
+        p = p.at[nx, :ny, nz].set(canvas[0, :, 0])
+        p = p.at[:nx, ny, nz].set(canvas[:, 0, 0])
+        p = p.at[nx, ny, nz].set(canvas[0, 0, 0])
+        flat = p.reshape(-1)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((npad_blocks * 128 - mpad,), jnp.float32)])
+        return flat.reshape(npad_blocks, 128)
+
+    def readout3_from(prepared, cx, cy, cz):
+        n = prepared["orig"].shape[0]
+        n_padded = prepared["cell_2d"].shape[1]
+        if n_padded % K:
+            raise ValueError("prepared padding not a multiple of K")
+        # pass p = dx uses the base corner o = 4p range
+        ranges2 = prepared["ranges"][:, (0, 4), :]
+        canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
+                              pad_canvas(cz)])
+        val_init = jnp.zeros((6, 1, n_padded), jnp.float32)
+        val2 = build_call(n_padded)(
+            ranges2, prepared["cell_2d"], prepared["w8T"],
+            canvases, val_init)
+        vals = jnp.sum(val2.reshape(2, 3, n_padded), axis=0)[:, :n]
         inv = jax.lax.sort((prepared["orig"],
                             jnp.arange(n, dtype=jnp.int32)),
                            num_keys=1)[1]

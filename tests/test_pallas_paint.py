@@ -3,6 +3,7 @@ exactly (interpret mode on CPU; on-device correctness is asserted in the
 TPU benchmarks)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -93,6 +94,27 @@ def test_pallas_readout3_boundary_particles():
           for _ in range(3)]
     f = make_readout3_fn(pm, K=256, C=1024, interpret=True)
     got = np.asarray(f(cs[0], cs[1], cs[2], pos))
+    want = np.stack([np.asarray(painter.readout(c, pos)) for c in cs],
+                    axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_readout3_v3_matches_painter():
+    """4-corners-per-pass readout (make_readout3_from4_fn) against the
+    XLA painter, including the shared prepared bundle."""
+    from fastpm_tpu.ops.paint_pallas import make_prepare_fn
+    from fastpm_tpu.ops.readout_pallas import make_readout3_from4_fn
+
+    pm = PM(16, 64.0)
+    painter = Painter(pm, "cic", 2, backend="xla")
+    rng = np.random.default_rng(11)
+    n = 3777
+    pos = jnp.asarray(rng.uniform(0, 64, (n, 3)).astype(np.float32))
+    cs = [jnp.asarray(rng.standard_normal((16, 16, 16))
+                      .astype(np.float32)) for _ in range(3)]
+    prepared = jax.jit(make_prepare_fn(pm, C=1024))(pos)
+    f = make_readout3_from4_fn(pm, K=256, C=1024, interpret=True)
+    got = np.asarray(f(prepared, *cs))
     want = np.stack([np.asarray(painter.readout(c, pos)) for c in cs],
                     axis=-1)
     np.testing.assert_allclose(got, want, atol=1e-5)
