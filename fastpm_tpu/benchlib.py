@@ -32,10 +32,10 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
     if fused:
         # one sort + one range table serve both the paint and the
         # 3-component readout (make_prepare_fn)
-        from .ops.paint_pallas import make_prepare_fn, make_paint_from_fn
+        from .ops.paint_pallas import make_prepare_fn, make_paint_from4_fn
         from .ops.readout_pallas import make_readout3_from4_fn
         prepare = make_prepare_fn(pm, C=8192)
-        paint_from = make_paint_from_fn(pm, K=512, C=8192)
+        paint_from = make_paint_from4_fn(pm, K=1024, C=8192)
         readout3_from = make_readout3_from4_fn(pm, K=1024, C=8192)
 
     def step(x, v, coeffs):

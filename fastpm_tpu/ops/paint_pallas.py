@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..mesh import PM
 
-__all__ = ["paint_sorted", "make_paint_fn", "make_prepare_fn", "make_paint_from_fn"]
+__all__ = ["paint_sorted", "make_paint_fn", "make_prepare_fn", "make_paint_from_fn", "make_paint_from4_fn"]
 
 
 def _corner_offsets_padded(nyp, nzp):
@@ -331,6 +331,167 @@ def make_paint_from_fn(pm: PM, K: int = 512, C: int = 8192,
     def paint_from(prepared, mass=1.0):
         padded = paint_call(prepared["ranges"], prepared["cell_2d"],
                             prepared["w8T"]).reshape(-1)[:mpad]
+        padded = padded.reshape(nxp, nyp, nzp)
+        canvas = padded[:nx, :ny, :nz]
+        canvas = canvas.at[0, :, :].add(padded[nx, :ny, :nz])
+        canvas = canvas.at[:, 0, :].add(padded[:nx, ny, :nz])
+        canvas = canvas.at[:, :, 0].add(padded[:nx, :ny, nz])
+        canvas = canvas.at[0, 0, :].add(padded[nx, ny, :nz])
+        canvas = canvas.at[0, :, 0].add(padded[nx, :ny, nz])
+        canvas = canvas.at[:, 0, 0].add(padded[:nx, ny, nz])
+        canvas = canvas.at[0, 0, 0].add(padded[nx, ny, nz])
+        if not (jnp.ndim(mass) == 0 and isinstance(mass, float)
+                and mass == 1.0):
+            canvas = canvas * mass
+        return canvas
+
+    return paint_from
+
+
+def _paint_kernel4(ranges_ref,      # SMEM (1, 2, 2) i32: [p] -> (s, e)
+                   cell_hbm,        # (1, Npad) i32 sorted padded cells
+                   w8T_hbm,         # (8, 1, Npad) f32 corner weights
+                   acc_io,          # ANY aliased zeros input (unused)
+                   out_ref,         # ANY (W*CLh + HR, 128) output
+                   acc_scratch,     # VMEM (CLh+HR, 128) f32 window acc
+                   io_scratch,      # VMEM (CLh+HR, 128) f32 RMW staging
+                   cell_scratch,    # VMEM (2, 1, K) i32
+                   w_scratch,       # VMEM (2, 4, 1, K) f32
+                   sems,            # DMA sems (2, 2): cell, w8
+                   iosem,           # DMA sem () RMW
+                   *, K, C, CLh, HR, nyp, nzp):
+    """4-corners-per-pass deposit: each pass p = dx scatters the corner
+    quadruple delta = (0, 1, nzp, nzp+1) into one halo'd accumulator,
+    then read-modify-writes it into the padded canvas. Half the MXU
+    passes and a quarter of the chunk rounds of the per-corner paint."""
+    del acc_io
+    w = pl.program_id(0)
+    base_window = w * C
+    hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, K), 0)
+    lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    deltas = (0, 1, nzp, nzp + 1)
+
+    acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    for p in range(2):
+        base_off = p * nyp * nzp
+        s = ranges_ref[0, p, 0]
+        e = ranges_ref[0, p, 1]
+        j0 = s // K
+        j1 = jax.lax.div(e + K - 1, K)
+        nrounds = jnp.maximum(j1 - j0, 0)
+        base_target = base_window - base_off
+
+        def make_in_copies(slot, r, j0=j0, p=p):
+            start = pl.multiple_of((j0 + r) * K, 128)
+            return [pltpu.make_async_copy(
+                        cell_hbm.at[:, pl.ds(start, K)],
+                        cell_scratch.at[slot], sems.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        w8T_hbm.at[pl.ds(4 * p, 4), :, pl.ds(start, K)],
+                        w_scratch.at[slot], sems.at[slot, 1])]
+
+        @pl.when(nrounds > 0)
+        def _run(j0=j0, p=p, s=s, e=e, nrounds=nrounds,
+                 base_target=base_target, make_in_copies=make_in_copies):
+            for cp in make_in_copies(0, 0):
+                cp.start()
+
+            def body(r, carry):
+                slot = r % 2
+                nxt = (r + 1) % 2
+
+                @pl.when(r + 1 < nrounds)
+                def _prefetch():
+                    for cp in make_in_copies(nxt, r + 1):
+                        cp.start()
+
+                for cp in make_in_copies(slot, r):
+                    cp.wait()
+
+                start = (j0 + r) * K
+                cells = cell_scratch[slot]
+                gidx = start + lane
+                valid = (gidx >= s) & (gidx < e)
+                rel0 = jnp.where(valid, cells - base_target, -2)
+                acc = acc_scratch[...]
+                for ci, d in enumerate(deltas):
+                    rel = jnp.where(valid, rel0 + d, -1)
+                    hi = rel >> 7
+                    lo = rel & 127
+                    A = (hi == hi_row).astype(jnp.float32)
+                    B = jnp.where(lo == lo_row, w_scratch[slot, ci], 0.0)
+                    acc = acc + jax.lax.dot_general(
+                        A, B, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                acc_scratch[...] = acc
+                return carry
+
+            jax.lax.fori_loop(0, nrounds, body, 0)
+
+    # RMW the window accumulator into the padded canvas; windows
+    # overlap by HR halo rows, the sequential grid + waits order them
+    start = pl.multiple_of(w * CLh, 8)
+    rd = pltpu.make_async_copy(out_ref.at[pl.ds(start, CLh + HR)],
+                               io_scratch, iosem)
+    rd.start()
+    rd.wait()
+    io_scratch[...] = io_scratch[...] + acc_scratch[...]
+    wb = pltpu.make_async_copy(io_scratch,
+                               out_ref.at[pl.ds(start, CLh + HR)], iosem)
+    wb.start()
+    wb.wait()
+
+
+def make_paint_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
+                        interpret=False):
+    """paint_from with the 4-corners-per-pass kernel."""
+    nx, ny, nz = pm.Nmesh
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024")
+    if K % 128:
+        raise ValueError("K must be a multiple of 128")
+    CLh = C // 128
+    HR = ((nzp + 1 + 127) // 128 + 1)
+    HR = ((HR + 7) // 8) * 8
+    npad_blocks = W * CLh + HR
+    kernel = functools.partial(_paint_kernel4, K=K, C=C, CLh=CLh,
+                               HR=HR, nyp=nyp, nzp=nzp)
+
+    paint_call = pl.pallas_call(
+        kernel,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((1, 2, 2), lambda w: (w, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((CLh + HR, 128), jnp.float32),
+            pltpu.VMEM((CLh + HR, 128), jnp.float32),
+            pltpu.VMEM((2, 1, K), jnp.int32),
+            pltpu.VMEM((2, 4, 1, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        out_shape=jax.ShapeDtypeStruct((npad_blocks, 128), jnp.float32),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )
+
+    def paint_from(prepared, mass=1.0):
+        ranges2 = prepared["ranges"][:, (0, 4), :]
+        init = jnp.zeros((npad_blocks, 128), jnp.float32)
+        padded = paint_call(ranges2, prepared["cell_2d"],
+                            prepared["w8T"], init).reshape(-1)[:mpad]
         padded = padded.reshape(nxp, nyp, nzp)
         canvas = padded[:nx, :ny, :nz]
         canvas = canvas.at[0, :, :].add(padded[nx, :ny, :nz])

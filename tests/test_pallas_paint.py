@@ -118,3 +118,21 @@ def test_pallas_readout3_v3_matches_painter():
     want = np.stack([np.asarray(painter.readout(c, pos)) for c in cs],
                     axis=-1)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_paint_v3_matches_painter():
+    """4-corners-per-pass paint (make_paint_from4_fn) vs the XLA
+    painter, sharing the prepared bundle."""
+    from fastpm_tpu.ops.paint_pallas import (make_prepare_fn,
+                                             make_paint_from4_fn)
+
+    pm = PM(16, 64.0)
+    painter = Painter(pm, "cic", 2, backend="xla")
+    rng = np.random.default_rng(12)
+    pos = jnp.asarray(rng.uniform(0, 64, (4321, 3)).astype(np.float32))
+    prepared = jax.jit(make_prepare_fn(pm, C=1024))(pos)
+    f = make_paint_from4_fn(pm, K=256, C=1024, interpret=True)
+    got = np.asarray(f(prepared))
+    want = np.asarray(painter.paint(pos))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert got.sum() == pytest.approx(4321.0, rel=1e-6)
