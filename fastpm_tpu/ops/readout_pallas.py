@@ -402,27 +402,25 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
 
         def make_in_copies(slot, r, j0=j0, p=p):
             start = pl.multiple_of((j0 + r) * K, 128)
-            copies = [pltpu.make_async_copy(
-                          cell_hbm.at[:, pl.ds(start, K)],
-                          cell_scratch.at[slot], sems.at[slot, 0]),
-                      pltpu.make_async_copy(
-                          w8T_hbm.at[pl.ds(4 * p, 4), :,
-                                     pl.ds(start, K)],
-                          w_scratch.at[slot], sems.at[slot, 1])]
-            for comp in range(3):
-                copies.append(pltpu.make_async_copy(
-                    out_ref.at[p * 3 + comp, :, pl.ds(start, K)],
-                    val_scratch.at[slot, comp],
-                    sems.at[slot, 2 + comp]))
-            return copies
+            # the value rows for all 3 components move in ONE DMA
+            # (a leading-dim slice of 3 rows is tiling-legal)
+            return [pltpu.make_async_copy(
+                        cell_hbm.at[:, pl.ds(start, K)],
+                        cell_scratch.at[slot], sems.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        w8T_hbm.at[pl.ds(4 * p, 4), :,
+                                   pl.ds(start, K)],
+                        w_scratch.at[slot], sems.at[slot, 1]),
+                    pltpu.make_async_copy(
+                        out_ref.at[pl.ds(p * 3, 3), :, pl.ds(start, K)],
+                        val_scratch.at[slot], sems.at[slot, 2])]
 
         def make_out_copies(slot, r, j0=j0, p=p):
             start = pl.multiple_of((j0 + r) * K, 128)
             return [pltpu.make_async_copy(
-                        val_scratch.at[slot, comp],
-                        out_ref.at[p * 3 + comp, :, pl.ds(start, K)],
-                        wsems.at[slot, comp])
-                    for comp in range(3)]
+                        val_scratch.at[slot],
+                        out_ref.at[pl.ds(p * 3, 3), :, pl.ds(start, K)],
+                        wsems.at[slot, 0])]
 
         @pl.when(nrounds > 0)
         def _run(j0=j0, p=p, s=s, e=e, nrounds=nrounds,
