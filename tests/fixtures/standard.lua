@@ -10,7 +10,7 @@ pm_nc_factor = 2
 force_mode = "fastpm"
 growth_mode = "LCDM"
 np_alloc_factor = 2.0
-read_powerspectrum = "/root/reference/tests/powerspec.txt"
+read_powerspectrum = "/root/repo/tests/fixtures/powerspec.txt"
 random_seed = 100
 write_snapshot = "output/fastpm"
 write_powerspectrum = "output/powerspec"

@@ -90,7 +90,7 @@ h = 0.7
 pm_nc_factor = 1
 np_alloc_factor = 2.0
 random_seed = 1
-read_powerspectrum = '/root/reference/tests/powerspec.txt'
+read_powerspectrum = '/root/repo/tests/fixtures/powerspec.txt'
 """)
     assert p.time_step == pytest.approx([0.1, 0.325, 0.55, 0.775, 1.0])
 
@@ -186,7 +186,7 @@ h = 0.7
 pm_nc_factor = 1
 force_mode = "fastpm"
 np_alloc_factor = 1.5
-read_powerspectrum = "/root/reference/tests/powerspec.txt"
+read_powerspectrum = "/root/repo/tests/fixtures/powerspec.txt"
 random_seed = 1
 function main()
     nc = 16

@@ -15,7 +15,7 @@ from fastpm_tpu import ic, native
 from fastpm_tpu.lpt import lpt_solve, lpt_evolve
 from fastpm_tpu.store import lattice_store
 
-POWERSPEC = "/root/reference/tests/powerspec.txt"
+POWERSPEC = "/root/repo/tests/fixtures/powerspec.txt"
 
 
 @pytest.fixture(scope="module")

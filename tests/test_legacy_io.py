@@ -62,7 +62,7 @@ def test_runpbic_roundtrip(tmp_path):
     from fastpm_tpu.diagnostics import Log
 
     c = Cosmology(h=0.6774, Omega_m=0.307494, growth_mode="lcdm")
-    pk = FuncK.from_file("/root/reference/tests/powerspec.txt")
+    pk = FuncK.from_file("/root/repo/tests/fixtures/powerspec.txt")
     nc, box, aa = 16, 64.0, 0.1
 
     # cola keeps the dx1/dx2 columns on the store for comparison

@@ -117,7 +117,7 @@ time_step = linspace(0.2, 1, 4)
 output_redshifts = {0.0}
 Omega_m = 0.307494
 h = 0.6774
-read_powerspectrum = "/root/reference/tests/powerspec.txt"
+read_powerspectrum = "/root/repo/tests/fixtures/powerspec.txt"
 random_seed = 100
 force_mode = "fastpm"
 growth_mode = "LCDM"

@@ -189,7 +189,7 @@ def test_funck_loglog_interp():
 def test_sigma8_golden():
     """Golden: sigma8 of tests/powerspec.txt is 0.815897
     (run-test-nbodykit.sh:14)."""
-    f = FuncK.from_file("/root/reference/tests/powerspec.txt")
+    f = FuncK.from_file("/root/repo/tests/fixtures/powerspec.txt")
     # digit-exact with the reference's GSL QAG quadrature
     assert "%f" % sigma_tophat(f, 8.0) == "0.815897"
 

@@ -16,7 +16,7 @@ from fastpm_tpu import ic
 
 COSMO = Cosmology(h=0.6774, Omega_m=0.307494, T_cmb=0.0,
                   growth_mode="lcdm")
-PK = FuncK.from_file("/root/reference/tests/powerspec.txt")
+PK = FuncK.from_file("/root/repo/tests/fixtures/powerspec.txt")
 
 
 def _evolve(force_mode, nc=16, **kw):

@@ -165,7 +165,7 @@ def test_pencil_solver_cycle():
     cfg = SolverConfig(nc=16, boxsize=64.0, time_step=[0.5, 1.0],
                        force_mode="fastpm", pm_nc_factor=1)
     cosmo = Cosmology(h=0.6774, Omega_m=0.307494, growth_mode="lcdm")
-    pk = FuncK.from_file("/root/reference/tests/powerspec.txt")
+    pk = FuncK.from_file("/root/repo/tests/fixtures/powerspec.txt")
 
     def run(mesh):
         s = Solver(cfg, cosmo, mesh=mesh)

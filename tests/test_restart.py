@@ -20,7 +20,7 @@ time_step = linspace(0.2, 1, 5)
 aout = {0.6, 1.0}
 Omega_m = 0.307494
 h = 0.6774
-read_powerspectrum = "/root/reference/tests/powerspec.txt"
+read_powerspectrum = "/root/repo/tests/fixtures/powerspec.txt"
 random_seed = 100
 force_mode = "fastpm"
 growth_mode = "LCDM"

@@ -19,7 +19,7 @@ COSMO = Cosmology(h=0.6774, Omega_m=0.307494, T_cmb=0.0, growth_mode="lcdm")
 def test_sharded_solver_matches_single_device():
     cfg = SolverConfig(nc=16, boxsize=64.0, time_step=[0.3, 0.6, 1.0],
                        force_mode="fastpm", pm_nc_factor=1)
-    pk = FuncK.from_file("/root/reference/tests/powerspec.txt")
+    pk = FuncK.from_file("/root/repo/tests/fixtures/powerspec.txt")
 
     def run(mesh):
         s = Solver(cfg, COSMO, mesh=mesh)

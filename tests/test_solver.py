@@ -13,7 +13,7 @@ from fastpm_tpu import ic
 from fastpm_tpu.solver import Solver, SolverConfig
 from fastpm_tpu.diagnostics import attach_standard_handlers, Log
 
-POWERSPEC = "/root/reference/tests/powerspec.txt"
+POWERSPEC = "/root/repo/tests/fixtures/powerspec.txt"
 COSMO = Cosmology(h=0.6774, Omega_m=0.307494, T_cmb=0.0, growth_mode="lcdm")
 
 

@@ -10,7 +10,7 @@ from fastpm_tpu.powerspectrum import FuncK, sigma_tophat
 def test_eisenstein_hu_close_to_class():
     """EH98 with wiggles tracks the CLASS-generated reference table to
     a few percent over the BAO range once sigma8-matched."""
-    ref = np.loadtxt("/root/reference/tests/powerspec.txt")
+    ref = np.loadtxt("/root/repo/tests/fixtures/powerspec.txt")
     k = np.logspace(-3, 2, 4000)
     p = eisenstein_hu_pk(k)
     s8 = sigma_tophat(FuncK(k, p), 8.0)
