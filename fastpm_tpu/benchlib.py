@@ -46,11 +46,13 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
             canvas = painter.paint(x, 1.0)
         canvas = canvas / (x.shape[0] / pm.Norm)
         delta_k = pm.r2c(canvas)
-        fields = []
+        fks = []
         for d in range(3):
             fk = transfers.apply_pot(pm, delta_k, potorder)
-            fk = transfers.apply_grad(pm, fk, d, gradorder)
-            fields.append(pm.c2r(fk))
+            fks.append(transfers.apply_grad(pm, fk, d, gradorder))
+        # 3 c2r -> one packed complex iFFT + one c2r (mesh.c2r_pair)
+        f0, f1 = pm.c2r_pair(fks[0], fks[1])
+        fields = [f0, f1, pm.c2r(fks[2])]
         if fused:
             acc = readout3_from(prepared, *fields)
         else:

@@ -104,10 +104,11 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
     if delta_transfer is not None:
         delta_k = delta_transfer(pm, delta_k)
 
-    acc_fields = []
-    for d in range(3):
-        fk = kernels.apply_kernel_transfer(pm, delta_k, kernel_type, "acc", d)
-        acc_fields.append(pm.c2r(fk))
+    acc_ks = [kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
+                                            "acc", d) for d in range(3)]
+    # 3 c2r -> one packed complex iFFT + one c2r (mesh.c2r_pair)
+    f0, f1 = pm.c2r_pair(acc_ks[0], acc_ks[1])
+    acc_fields = [f0, f1, pm.c2r(acc_ks[2])]
 
     pot_field = None
     if compute_potential:

@@ -371,7 +371,7 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                      csem,           # DMA sem () canvas
                      sems,           # DMA sems (2, 5): cell, w8, val x3
                      wsems,          # DMA sems (2, 3)
-                     *, K, C, CLh, HR, nyp, nzp):
+                     *, K, C, CLh, HR, nyp, nzp, gather_mode="split"):
     """4-corners-per-pass variant: pass p = dx handles the corner
     quadruple delta = (0, 1, nzp, nzp+1) against ONE halo'd canvas
     block, so the chunk loop runs 4x fewer rounds than the per-corner
@@ -457,16 +457,40 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                     rel = jnp.where(valid, rel, -1)
                     hi = rel >> 7
                     lo = rel & 127
-                    A = (hi == hi_row).astype(jnp.float32)
                     Bm = (lo == lo_row)
                     weights = w_scratch[slot, ci]      # (1, K)
+                    if gather_mode == "split":
+                        # the one-hot operand is exact in bf16, so split
+                        # the f32 canvas block into bf16 hi+lo parts and
+                        # run 2 single-pass dots instead of one 6-pass
+                        # HIGHEST dot (3x less MXU work; reconstruction
+                        # error ~2^-18 relative)
+                        A = (hi == hi_row).astype(jnp.bfloat16)
+                    else:
+                        A = (hi == hi_row).astype(jnp.float32)
                     for comp in range(3):
                         block = canvas_scratch[comp]
-                        tmp = jax.lax.dot_general(
-                            block, A,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                        if gather_mode == "split":
+                            b_hi = block.astype(jnp.bfloat16)
+                            b_lo = (block - b_hi.astype(jnp.float32)
+                                    ).astype(jnp.bfloat16)
+                            tmp = jax.lax.dot_general(
+                                b_hi, A,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ) + jax.lax.dot_general(
+                                b_lo, A,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                        else:
+                            tmp = jax.lax.dot_general(
+                                block, A,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=(jax.lax.Precision.HIGHEST
+                                           if gather_mode == "highest"
+                                           else jax.lax.Precision.HIGH))
                         sel = jnp.where(Bm, tmp, 0.0)
                         v = jnp.sum(sel, axis=0, keepdims=True) * weights
                         acc[comp] = v if acc[comp] is None \
@@ -490,8 +514,11 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
 
 
 def make_readout3_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
-                           interpret=False):
-    """readout3_from with the 4-corners-per-pass kernel."""
+                           interpret=False, gather_mode="split"):
+    """readout3_from with the 4-corners-per-pass kernel.
+
+    gather_mode: 'split' (bf16 hi/lo two-pass gather, default),
+    'high' or 'highest' (f32 emulated matmul at that precision)."""
     nx, ny, nz = pm.Nmesh
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
     mpad = nxp * nyp * nzp
@@ -506,7 +533,8 @@ def make_readout3_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
     HR = ((HR + 7) // 8) * 8
     npad_blocks = W * CLh + HR
     kernel = functools.partial(_readout_kernel4, K=K, C=C, CLh=CLh,
-                               HR=HR, nyp=nyp, nzp=nzp)
+                               HR=HR, nyp=nyp, nzp=nzp,
+                               gather_mode=gather_mode)
 
     def build_call(n_padded):
         return pl.pallas_call(

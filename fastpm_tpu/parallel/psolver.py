@@ -1,6 +1,8 @@
 """SPMD force + KDK step over a device mesh (the multi-chip hot loop).
 
-Design (v1, correctness-first):
+Two force designs:
+
+v1 (correctness-first, any displacement):
 - particles are index-sharded (block of N/P particles per device); no
   spatial homing is required for correctness
 - paint: each device scatters its particles into a full-size local canvas,
@@ -11,6 +13,27 @@ Design (v1, correctness-first):
 - readout: per force component, all_gather the x-slabs and gather locally
   (the analog of ghost readout)
 - kick/drift: purely local
+Memory is O(Nmesh^3) per device and traffic O(P * Nmesh^3) -- fine for
+small meshes, unusable at 1024^3+.
+
+v2 "homed" (scalable; the pmghosts.c:31-131 + store.c:486-657 analog):
+- the Lagrangian lattice is filled in x-major id order, so index-sharding
+  IS q-slab spatial homing: device d owns particles whose unperturbed
+  position lies in x-slab d. Displacements |x - q| are bounded (~tens of
+  Mpc/h), so each device's particles live within +-H mesh planes of its
+  slab for a modest halo width H.
+- paint: each device deposits into its slab extended by H halo planes on
+  each side (nloc + 2H + 1 planes, O(Nmesh^3/P) memory), then two
+  `ppermute`s send the halo blocks to the +-1 neighbors which add them
+  into their interiors -- the ghost reduce of pmghosts.c:247-307 as two
+  neighbor block exchanges instead of a full-canvas psum.
+- readout: the mirror image -- fetch H(+1) planes from each neighbor via
+  two `ppermute`s, gather locally.
+- the halo width is chosen adaptively per force step from the measured
+  maximum displacement (bucketed to limit recompiles); a particle beyond
+  H triggers the overflow contract (the alloc_factor abort of
+  store.c:507-509): the solver either re-compiles with a larger H or
+  falls back to v1.
 
 The whole step is one jitted, donated-buffer SPMD program.
 """
@@ -30,7 +53,7 @@ from ..kernels import kernel_orders
 from .pfft import SlabPM, PencilPM, make_engine
 
 __all__ = ["make_sharded_step", "sharded_force_fn", "particle_spec",
-           "deltak_spec"]
+           "deltak_spec", "required_halo_planes", "halo_ladder"]
 
 
 def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str,
@@ -62,6 +85,190 @@ def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str,
     if return_delta_k:
         return acc, delta_k
     return acc
+
+
+# ---- v2 "homed" slab force: halo-exchange paint/readout ----------------
+
+
+def _ring_perms(nproc: int):
+    """(to_left, to_right) ppermute permutations on a ring."""
+    to_left = [(i, (i - 1) % nproc) for i in range(nproc)]
+    to_right = [(i, (i + 1) % nproc) for i in range(nproc)]
+    return to_left, to_right
+
+
+def _cic_rel(pm: PM, x, r0, H):
+    """Base cell / fraction / extended-slab x-index for CIC on the
+    extended local slab. Returns (relx, iy, iz, frac, valid)."""
+    n0, n1, n2 = pm.Nmesh
+    inv_cell = jnp.asarray(pm.InvCellSize, dtype=x.dtype)
+    gpos = x * inv_cell
+    base = jnp.floor(gpos).astype(jnp.int32)
+    frac = (gpos - base).astype(jnp.float32)
+    bx = jnp.remainder(base[:, 0], n0)
+    iy = jnp.remainder(base[:, 1], n1)
+    iz = jnp.remainder(base[:, 2], n2)
+    relx = jnp.remainder(bx - r0 + H, n0)
+    return relx, iy, iz, frac
+
+
+def _paint_homed(pm: PM, nloc: int, H: int, r0, x):
+    """CIC-deposit unit mass into the extended local slab
+    (nloc + 2H + 1, Ny, Nz). Particles beyond the halo are dropped and
+    counted (the overflow contract of store.c:507-509). Returns
+    (canvas_ext, local bad count)."""
+    n0, n1, n2 = pm.Nmesh
+    ext = nloc + 2 * H + 1
+    relx, iy, iz, frac = _cic_rel(pm, x, r0, H)
+    valid = relx < nloc + 2 * H
+    bad = jnp.sum(~valid).astype(jnp.int32)
+    relx = jnp.where(valid, relx, 0)
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    w0 = jnp.where(valid, 1.0, 0.0)
+    canvas = jnp.zeros((ext * n1 * n2,), dtype=pm.dtype)
+    for dx in (0, 1):
+        wx = (1.0 - fx) if dx == 0 else fx
+        ix = relx + dx
+        for dy in (0, 1):
+            wy = (1.0 - fy) if dy == 0 else fy
+            jy = iy + dy
+            jy = jnp.where(jy == n1, 0, jy)
+            for dz in (0, 1):
+                wz = (1.0 - fz) if dz == 0 else fz
+                jz = iz + dz
+                jz = jnp.where(jz == n2, 0, jz)
+                flat = (ix * n1 + jy) * n2 + jz
+                canvas = canvas.at[flat].add(
+                    (w0 * wx * wy * wz).astype(pm.dtype))
+    return canvas.reshape(ext, n1, n2), bad
+
+
+def _readout_homed(pm: PM, nloc: int, H: int, r0, x, fields_ext):
+    """CIC-interpolate each extended field (nloc + 2H + 1, Ny, Nz) at x.
+    Returns (N, len(fields_ext))."""
+    n0, n1, n2 = pm.Nmesh
+    relx, iy, iz, frac = _cic_rel(pm, x, r0, H)
+    valid = relx < nloc + 2 * H
+    relx = jnp.where(valid, relx, 0)
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    w0 = jnp.where(valid, 1.0, 0.0)
+    flats = []
+    weights = []
+    for dx in (0, 1):
+        wx = (1.0 - fx) if dx == 0 else fx
+        ix = relx + dx
+        for dy in (0, 1):
+            wy = (1.0 - fy) if dy == 0 else fy
+            jy = iy + dy
+            jy = jnp.where(jy == n1, 0, jy)
+            for dz in (0, 1):
+                wz = (1.0 - fz) if dz == 0 else fz
+                jz = iz + dz
+                jz = jnp.where(jz == n2, 0, jz)
+                flats.append((ix * n1 + jy) * n2 + jz)
+                weights.append(w0 * wx * wy * wz)
+    outs = []
+    for f in fields_ext:
+        ff = f.reshape(-1)
+        acc = 0.0
+        for flat, w in zip(flats, weights):
+            acc = acc + ff[flat] * w
+        outs.append(acc)
+    return jnp.stack(outs, axis=-1)
+
+
+def _halo_reduce(canvas_ext, axis: str, nloc: int, H: int, nproc: int):
+    """Ghost reduce: add each device's halo blocks into the neighbors'
+    interiors, return the complete interior slab (nloc, Ny, Nz)."""
+    to_left, to_right = _ring_perms(nproc)
+    # my planes [0, H) belong to the left neighbor's interior tail
+    from_right = jax.lax.ppermute(canvas_ext[:H], axis, to_left)
+    # my planes [nloc+H, nloc+2H+1) belong to the right neighbor's head
+    from_left = jax.lax.ppermute(canvas_ext[nloc + H:], axis, to_right)
+    c = canvas_ext.at[nloc:nloc + H].add(from_right)
+    c = c.at[H:2 * H + 1].add(from_left)
+    return c[H:H + nloc]
+
+
+def _halo_gather(field_slab, axis: str, nloc: int, H: int, nproc: int):
+    """Readout mirror of _halo_reduce: extend the local slab with H
+    planes from the left neighbor's tail and H+1 from the right's head."""
+    to_left, to_right = _ring_perms(nproc)
+    from_left = jax.lax.ppermute(field_slab[nloc - H:], axis, to_right)
+    from_right = jax.lax.ppermute(field_slab[:H + 1], axis, to_left)
+    return jnp.concatenate([from_left, field_slab, from_right], axis=0)
+
+
+def _force_local_homed(spm: SlabPM, x, kernel_type: str, H: int,
+                       return_delta_k: bool = False):
+    """Shard-local homed force body: positions (Nloc,3) -> (acc, bad
+    [, delta_k shard]). bad is the global count of particles beyond the
+    halo (must be 0 for a correct force)."""
+    pm = spm.pm
+    nproc = spm.nproc
+    nloc = pm.Nmesh[0] // nproc
+    potorder, gradorder, difforder, _ = kernel_orders(kernel_type)
+    r0 = jax.lax.axis_index(spm.axis) * nloc
+
+    canvas_ext, bad = _paint_homed(pm, nloc, H, r0, x)
+    canvas = _halo_reduce(canvas_ext, spm.axis, nloc, H, nproc)
+    ntotal = jax.lax.psum(jnp.float32(x.shape[0]), spm.axis)
+    bad = jax.lax.psum(bad, spm.axis)
+    canvas = canvas / (ntotal / pm.Norm)
+
+    delta_k = spm.r2c_local(canvas)
+
+    fields_ext = []
+    for d in range(3):
+        fk = spm.apply_pot(delta_k, potorder)
+        fk = spm.apply_grad(fk, d, gradorder)
+        local = spm.c2r_local(fk)
+        fields_ext.append(_halo_gather(local, spm.axis, nloc, H, nproc))
+    acc = _readout_homed(pm, nloc, H, r0, x, fields_ext)
+    if return_delta_k:
+        return acc, bad, delta_k
+    return acc, bad
+
+
+def halo_ladder(nloc: int):
+    """Candidate halo widths: powers of two capped at nloc - 1 (the +-1
+    neighbor exchange bound)."""
+    out = []
+    h = 2
+    while h < nloc - 1:
+        out.append(h)
+        h *= 2
+    if nloc - 1 >= 1:
+        out.append(nloc - 1)
+    return out
+
+
+def required_halo_planes(pm: PM, mesh: Mesh, x) -> int:
+    """Measured halo requirement: the maximum distance (in mesh planes)
+    any particle strays outside its index-shard's x-slab. Positions must
+    be wrapped. Runs as one jitted global reduction."""
+    names = tuple(mesh.axis_names)
+    nproc = int(np.prod([mesh.shape[n] for n in names]))
+    n0 = pm.Nmesh[0]
+    nloc = n0 // nproc
+
+    @jax.jit
+    def req(x):
+        npart = x.shape[0]
+        pper = npart // nproc
+        dev = jnp.arange(npart, dtype=jnp.int32) // pper
+        r0 = dev * nloc
+        bx = jnp.remainder(
+            jnp.floor(x[:, 0] * jnp.float32(pm.InvCellSize[0])
+                      ).astype(jnp.int32), n0)
+        rel = jnp.remainder(bx - r0, n0)
+        inside = rel < nloc
+        right = rel - (nloc - 1)       # planes beyond the right edge
+        left = n0 - rel                # planes beyond the left edge
+        d = jnp.minimum(right, left)
+        return jnp.max(jnp.where(inside, 0, d))
+
+    return int(req(x))
 
 
 def particle_spec(mesh: Mesh) -> P:

@@ -221,12 +221,32 @@ class Solver:
 
     # ---- SPMD force (parallel/psolver.py) ----
 
+    def _pick_halo(self, pm: PM, x) -> Optional[int]:
+        """Choose the halo width for the homed slab force: the smallest
+        ladder value covering the measured maximum displacement, or None
+        when the v1 full-canvas path is required (pencil mesh, uneven
+        particle split, or displacement beyond one slab)."""
+        from .parallel.psolver import required_halo_planes, halo_ladder
+        if len(self.mesh.axis_names) != 1:
+            return None                      # pencil: v1 for now
+        nproc = self.mesh.shape[self.mesh.axis_names[0]]
+        if pm.Nmesh[0] % nproc or int(x.shape[0]) % nproc:
+            return None
+        nloc = pm.Nmesh[0] // nproc
+        hreq = max(1, required_halo_planes(pm, self.mesh, x))
+        for h in halo_ladder(nloc):
+            if h >= hreq:
+                return h
+        return None                          # beyond +-1 slab: v1
+
     def _sharded_force(self, pm: PM, stores):
         from .parallel.pfft import make_engine
-        from .parallel.psolver import (_force_local, particle_spec,
-                                       deltak_spec)
+        from .parallel.psolver import (_force_local, _force_local_homed,
+                                       particle_spec, deltak_spec)
 
-        key = pm.cache_key
+        p = stores[0]
+        H = self._pick_halo(pm, p.x)
+        key = (pm.cache_key, H)
         fn = self._sharded_force_cache.get(key)
         if fn is None:
             spm = make_engine(pm, self.mesh)
@@ -235,16 +255,34 @@ class Solver:
             kernel_type = self.config.kernel_type
             pspec = particle_spec(self.mesh)
 
-            def local(x):
-                return _force_local(spm, painter, x, kernel_type,
-                                    return_delta_k=True)
+            if H is not None:
+                def local(x):
+                    acc, bad, dk = _force_local_homed(
+                        spm, x, kernel_type, H, return_delta_k=True)
+                    return acc, bad, dk
 
-            fn = jax.jit(jax.shard_map(
-                local, mesh=self.mesh, in_specs=pspec,
-                out_specs=(pspec, deltak_spec(spm))))
+                fn = jax.jit(jax.shard_map(
+                    local, mesh=self.mesh, in_specs=pspec,
+                    out_specs=(pspec, jax.sharding.PartitionSpec(),
+                               deltak_spec(spm))))
+            else:
+                def local(x):
+                    acc, dk = _force_local(spm, painter, x, kernel_type,
+                                           return_delta_k=True)
+                    return acc, jnp.int32(0), dk
+
+                fn = jax.jit(jax.shard_map(
+                    local, mesh=self.mesh, in_specs=pspec,
+                    out_specs=(pspec, jax.sharding.PartitionSpec(),
+                               deltak_spec(spm))))
             self._sharded_force_cache[key] = fn
-        p = stores[0]
-        acc, delta_k = fn(p.x)
+        acc, bad, delta_k = fn(p.x)
+        if H is not None and int(bad) != 0:
+            # overflow contract (store.c:507-509): the measured halo no
+            # longer covers every particle -- should be unreachable since
+            # H is picked from the same positions
+            raise RuntimeError(
+                f"{int(bad)} particles beyond the +-{H}-plane halo")
         # the pencil layout pads kz to a multiple of Py; drop the pad so
         # downstream consumers see the standard (Nx, Ny, Nz/2+1) array
         if delta_k.shape[2] != pm.kshape[2]:
