@@ -22,14 +22,26 @@ import numpy as np
 
 _LIBNAME = "_native.so"
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(os.path.dirname(_HERE), "csrc", "ranlxd.c")
+_CSRC = os.path.join(os.path.dirname(_HERE), "csrc")
+_SRCS = [os.path.join(_CSRC, f) for f in ("ranlxd.c", "fof.c")]
 
 _lib = None
 
 
+def _has_all_symbols(path: str) -> bool:
+    """A stale .so built from a subset of csrc/ must be rebuilt."""
+    try:
+        lib = ctypes.CDLL(path)
+        return all(hasattr(lib, s)
+                   for s in ("ranlxd_selftest", "fof_label"))
+    except OSError:
+        return False
+
+
 def _build():
     out = os.path.join(_HERE, _LIBNAME)
-    cmd = ["cc", "-O3", "-fopenmp", "-fPIC", "-shared", _SRC, "-o", out, "-lm"]
+    cmd = (["cc", "-O3", "-fopenmp", "-fPIC", "-shared"] + _SRCS
+           + ["-o", out, "-lm"])
     subprocess.run(cmd, check=True)
     return out
 
@@ -39,8 +51,8 @@ def get_lib() -> ctypes.CDLL:
     if _lib is not None:
         return _lib
     path = os.path.join(_HERE, _LIBNAME)
-    if not os.path.exists(path):
-        if not os.path.exists(_SRC):
+    if not os.path.exists(path) or not _has_all_symbols(path):
+        if not all(os.path.exists(s) for s in _SRCS):
             raise RuntimeError("native library missing and csrc/ not found")
         path = _build()
     lib = ctypes.CDLL(path)
