@@ -154,6 +154,46 @@ class SlabPM:
             out = out * tj.reshape(shape)
         return out
 
+    def custom_table_local(self, values, d: int):
+        """Slice a caller-provided per-dimension 1D HOST table (full
+        mesh length along d, hermitian half for d=2) to the local k
+        shard, mirroring ktable_local's layout."""
+        t = jnp.asarray(np.asarray(values), dtype=self.pm.dtype)
+        if d != 1:
+            return t
+        nloc = self.pm.Nmesh[1] // self.nproc
+        idx = jax.lax.axis_index(self.axis)
+        return jax.lax.dynamic_slice(t, (idx * nloc,), (nloc,))
+
+    def apply_softening(self, dk, softening_type: str):
+        """Shard-local mirror of kernels.apply_softening
+        (apply_softening_transfer, gravity.c:243-270)."""
+        import math
+        pm = self.pm
+        if softening_type == "none":
+            return dk
+        if softening_type == "twothird":
+            k_nq = math.pi / pm.BoxSize[0] * pm.Nmesh[0]
+            kk = sum(self.broadcast_table_local("kk", d) for d in range(3))
+            return dk * (kk <= (2.0 / 3 * k_nq) ** 2).astype(pm.dtype)
+        if softening_type in ("gaussian", "gadget_long_range"):
+            N = 1.0 if softening_type == "gaussian" else math.sqrt(2) * 1.25
+            r0 = N * pm.BoxSize[0] / pm.Nmesh[0]
+            out = dk
+            for d in range(3):
+                kern = np.exp(-0.5 * (pm.table("k", d) * r0) ** 2)
+                tj = self.custom_table_local(kern, d)
+                shape = [1, 1, 1]
+                shape[d] = tj.shape[0]
+                out = out * tj.reshape(shape)
+            return out
+        if softening_type in ("gaussian36", "aggressive"):
+            k_nq = math.pi / pm.BoxSize[0] * pm.Nmesh[0]
+            kk = sum(self.broadcast_table_local("kk", d) for d in range(3))
+            k = jnp.sqrt(kk)
+            return dk * jnp.exp(-36.0 * (k / k_nq) ** 36).astype(pm.dtype)
+        raise ValueError(f"unknown softening type {softening_type!r}")
+
     # ---- canvas collectives (paint reduce / readout gather) ----
 
     def reduce_canvas(self, canvas_full):
@@ -291,6 +331,19 @@ class PencilPM:
     apply_laplace = SlabPM.apply_laplace
     apply_pot = SlabPM.apply_pot
     apply_grad = SlabPM.apply_grad
+    apply_softening = SlabPM.apply_softening
+
+    def custom_table_local(self, values, d: int):
+        """Pencil-layout counterpart of SlabPM.custom_table_local; the
+        kz pad region maps to zero."""
+        t = jnp.asarray(np.asarray(values), dtype=self.pm.dtype)
+        idx = self._kindex(d)
+        if d == 2:
+            safe = jnp.minimum(idx, self.nzh - 1)
+            return jnp.where(idx < self.nzh, t[safe], 0.0)
+        if d == 0:
+            return t
+        return t[idx]
 
     def apply_decic(self, dk):
         out = dk

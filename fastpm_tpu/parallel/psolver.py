@@ -56,35 +56,110 @@ __all__ = ["make_sharded_step", "sharded_force_fn", "particle_spec",
            "deltak_spec", "required_halo_planes", "halo_ladder"]
 
 
-def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str,
-                 return_delta_k: bool = False):
-    """Shard-local body: positions (Nloc,3) -> acc (Nloc,3)
-    [, delta_k shard]. Runs INSIDE shard_map; collectives are explicit.
-    """
-    pm = spm.pm
-    potorder, gradorder, difforder, _ = kernel_orders(kernel_type)
+def _apply_kernel_local(spm, delta_k, kernel_type: str, field: str,
+                        memb: int = 0):
+    """Shard-local mirror of kernels.apply_kernel_transfer
+    (gravity.c:173-242)."""
+    potorder, gradorder, difforder, deconvolveorder = \
+        kernel_orders(kernel_type)
+    out = delta_k
+    for _ in range(deconvolveorder):
+        out = spm.apply_decic(out)
+    if field == "potential":
+        return spm.apply_pot(out, potorder)
+    if field == "acc":
+        out = spm.apply_pot(out, potorder)
+        return spm.apply_grad(out, memb, gradorder)
+    if field == "tidal":
+        pairs = [(0, 0), (1, 1), (2, 2), (0, 1), (1, 2), (2, 0)]
+        d1, d2 = pairs[memb]
+        out = spm.apply_pot(out, potorder)
+        out = spm.apply_grad(out, d1, gradorder)
+        return spm.apply_grad(out, d2, gradorder)
+    raise ValueError(f"unknown gravity field {field!r}")
 
-    canvas_full = painter.paint(x, 1.0)              # (Nx, Ny, Nz) local
-    # sum over devices and shard (ghost reduce analogue)
+
+def _paint_delta_k_local(spm, painter, xs, masses):
+    """Paint every species into one canvas, reduce to shards, normalize
+    to 1+delta, r2c (the _fastpm_solver_compute_delta_k analog,
+    gravity.c:304-356). masses[i] is a scalar M0 or a (Nloc,) column."""
+    canvas_full = None
+    total_mass = 0.0
+    for x, mass in zip(xs, masses):
+        canvas_full = painter.paint(x, mass, canvas=canvas_full)
+        if jnp.ndim(mass) == 0:
+            total_mass = total_mass + jnp.float32(mass) * x.shape[0]
+        else:
+            total_mass = total_mass + jnp.sum(mass)
     canvas = spm.reduce_canvas(canvas_full)
-    ntotal = jnp.float32(x.shape[0])
+    ntotal = total_mass
     for ax in spm.particle_axes:
         ntotal = jax.lax.psum(ntotal, ax)
+    return canvas, ntotal
+
+
+def _force_local(spm: SlabPM, painter: Painter, x, kernel_type: str,
+                 return_delta_k: bool = False,
+                 softening_type: str = "none",
+                 compute_potential: bool = False,
+                 compute_tidal: bool = False):
+    """Shard-local body: positions (Nloc,3) -> dict(acc[, potential,
+    tidal])[, delta_k shard]. Runs INSIDE shard_map; collectives are
+    explicit. Multi-species callers use _force_local_multi."""
+    out, dk = _force_local_multi(
+        spm, painter, (x,), (1.0,), kernel_type,
+        softening_type=softening_type,
+        compute_potential=compute_potential,
+        compute_tidal=compute_tidal)
+    res = out[0] if (compute_potential or compute_tidal) \
+        else out[0]["acc"]
+    return (res, dk) if return_delta_k else res
+
+
+def _force_local_multi(spm, painter: Painter, xs, masses,
+                       kernel_type: str, softening_type: str = "none",
+                       compute_potential: bool = False,
+                       compute_tidal: bool = False):
+    """Multi-species shard-local force (v1 full-canvas exchange).
+
+    xs: tuple of per-species positions; masses: scalar M0 or (Nloc,)
+    mass column per species (the mass enters the delta normalization;
+    with a single species and scalar mass it cancels,
+    gravity.c:311-319). Returns ([dict(acc[, potential, tidal])...],
+    delta_k shard)."""
+    pm = spm.pm
+    canvas, ntotal = _paint_delta_k_local(spm, painter, xs, masses)
     canvas = canvas / (ntotal / pm.Norm)
-
     delta_k = spm.r2c_local(canvas)
+    delta_k = spm.apply_softening(delta_k, softening_type)
 
-    accs = []
+    fields = []       # (name, memb) in readout order
     for d in range(3):
-        fk = spm.apply_pot(delta_k, potorder)
-        fk = spm.apply_grad(fk, d, gradorder)
+        fields.append(("acc", d))
+    if compute_potential:
+        fields.append(("potential", 0))
+    if compute_tidal:
+        for m in range(6):
+            fields.append(("tidal", m))
+
+    fulls = []
+    for name, memb in fields:
+        fk = _apply_kernel_local(spm, delta_k, kernel_type, name, memb)
         local = spm.c2r_local(fk)
-        full = spm.gather_canvas(local)
-        accs.append(painter.readout(full, x))
-    acc = jnp.stack(accs, axis=-1)
-    if return_delta_k:
-        return acc, delta_k
-    return acc
+        fulls.append(spm.gather_canvas(local))
+
+    outs = []
+    for x in xs:
+        vals = [painter.readout(f, x) for f in fulls]
+        d = dict(acc=jnp.stack(vals[:3], axis=-1))
+        i = 3
+        if compute_potential:
+            d["potential"] = vals[i]
+            i += 1
+        if compute_tidal:
+            d["tidal"] = jnp.stack(vals[i:i + 6], axis=-1)
+        outs.append(d)
+    return outs, delta_k
 
 
 # ---- v2 "homed" slab force: halo-exchange paint/readout ----------------
@@ -112,11 +187,12 @@ def _cic_rel(pm: PM, x, r0, H):
     return relx, iy, iz, frac
 
 
-def _paint_homed(pm: PM, nloc: int, H: int, r0, x):
-    """CIC-deposit unit mass into the extended local slab
-    (nloc + 2H + 1, Ny, Nz). Particles beyond the halo are dropped and
-    counted (the overflow contract of store.c:507-509). Returns
-    (canvas_ext, local bad count)."""
+def _paint_homed(pm: PM, nloc: int, H: int, r0, x, mass=1.0,
+                 canvas=None):
+    """CIC-deposit mass (scalar or (Nloc,) column) into the extended
+    local slab (nloc + 2H + 1, Ny, Nz). Particles beyond the halo are
+    dropped and counted (the overflow contract of store.c:507-509).
+    Returns (canvas_ext, local bad count)."""
     n0, n1, n2 = pm.Nmesh
     ext = nloc + 2 * H + 1
     relx, iy, iz, frac = _cic_rel(pm, x, r0, H)
@@ -124,8 +200,11 @@ def _paint_homed(pm: PM, nloc: int, H: int, r0, x):
     bad = jnp.sum(~valid).astype(jnp.int32)
     relx = jnp.where(valid, relx, 0)
     fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
-    w0 = jnp.where(valid, 1.0, 0.0)
-    canvas = jnp.zeros((ext * n1 * n2,), dtype=pm.dtype)
+    w0 = jnp.where(valid, 1.0, 0.0) * mass
+    if canvas is None:
+        canvas = jnp.zeros((ext * n1 * n2,), dtype=pm.dtype)
+    else:
+        canvas = canvas.reshape(-1)
     for dx in (0, 1):
         wx = (1.0 - fx) if dx == 0 else fx
         ix = relx + dx
@@ -201,33 +280,70 @@ def _halo_gather(field_slab, axis: str, nloc: int, H: int, nproc: int):
 
 def _force_local_homed(spm: SlabPM, x, kernel_type: str, H: int,
                        return_delta_k: bool = False):
-    """Shard-local homed force body: positions (Nloc,3) -> (acc, bad
-    [, delta_k shard]). bad is the global count of particles beyond the
+    """Single-species shard-local homed force body: positions (Nloc,3)
+    -> (acc, bad[, delta_k shard])."""
+    outs, bad, dk = _force_local_homed_multi(spm, (x,), (1.0,),
+                                             kernel_type, H)
+    acc = outs[0]["acc"]
+    return (acc, bad, dk) if return_delta_k else (acc, bad)
+
+
+def _force_local_homed_multi(spm, xs, masses, kernel_type: str, H: int,
+                             softening_type: str = "none",
+                             compute_potential: bool = False,
+                             compute_tidal: bool = False):
+    """Multi-species shard-local homed force (halo-exchange paint and
+    readout). Returns ([dict(acc[, potential, tidal])...], bad,
+    delta_k shard); bad is the global count of particles beyond the
     halo (must be 0 for a correct force)."""
     pm = spm.pm
     nproc = spm.nproc
     nloc = pm.Nmesh[0] // nproc
-    potorder, gradorder, difforder, _ = kernel_orders(kernel_type)
     r0 = jax.lax.axis_index(spm.axis) * nloc
 
-    canvas_ext, bad = _paint_homed(pm, nloc, H, r0, x)
+    canvas_ext = None
+    total_mass = 0.0
+    bad = jnp.int32(0)
+    for x, mass in zip(xs, masses):
+        canvas_ext, b = _paint_homed(pm, nloc, H, r0, x, mass=mass,
+                                     canvas=canvas_ext)
+        bad = bad + b
+        if jnp.ndim(mass) == 0:
+            total_mass = total_mass + jnp.float32(mass) * x.shape[0]
+        else:
+            total_mass = total_mass + jnp.sum(mass)
     canvas = _halo_reduce(canvas_ext, spm.axis, nloc, H, nproc)
-    ntotal = jax.lax.psum(jnp.float32(x.shape[0]), spm.axis)
+    ntotal = jax.lax.psum(jnp.float32(total_mass), spm.axis)
     bad = jax.lax.psum(bad, spm.axis)
     canvas = canvas / (ntotal / pm.Norm)
 
     delta_k = spm.r2c_local(canvas)
+    delta_k = spm.apply_softening(delta_k, softening_type)
+
+    fields = [("acc", d) for d in range(3)]
+    if compute_potential:
+        fields.append(("potential", 0))
+    if compute_tidal:
+        fields += [("tidal", m) for m in range(6)]
 
     fields_ext = []
-    for d in range(3):
-        fk = spm.apply_pot(delta_k, potorder)
-        fk = spm.apply_grad(fk, d, gradorder)
+    for name, memb in fields:
+        fk = _apply_kernel_local(spm, delta_k, kernel_type, name, memb)
         local = spm.c2r_local(fk)
         fields_ext.append(_halo_gather(local, spm.axis, nloc, H, nproc))
-    acc = _readout_homed(pm, nloc, H, r0, x, fields_ext)
-    if return_delta_k:
-        return acc, bad, delta_k
-    return acc, bad
+
+    outs = []
+    for x in xs:
+        vals = _readout_homed(pm, nloc, H, r0, x, fields_ext)
+        d = dict(acc=vals[:, :3])
+        i = 3
+        if compute_potential:
+            d["potential"] = vals[:, i]
+            i += 1
+        if compute_tidal:
+            d["tidal"] = vals[:, i:i + 6]
+        outs.append(d)
+    return outs, bad, delta_k
 
 
 def halo_ladder(nloc: int):

@@ -150,6 +150,8 @@ class Solver:
     # ---- species management (solver.c:248-280) ----
 
     def add_species(self, name: str, store: Store) -> None:
+        if self.mesh is not None:
+            store = _shard_store(store, self.mesh)
         self.species[name] = store
 
     def get_species(self, name: str) -> Optional[Store]:
@@ -221,73 +223,104 @@ class Solver:
 
     # ---- SPMD force (parallel/psolver.py) ----
 
-    def _pick_halo(self, pm: PM, x) -> Optional[int]:
+    def _pick_halo(self, pm: PM, stores) -> Optional[int]:
         """Choose the halo width for the homed slab force: the smallest
-        ladder value covering the measured maximum displacement, or None
-        when the v1 full-canvas path is required (pencil mesh, uneven
-        particle split, or displacement beyond one slab)."""
+        ladder value covering the measured maximum displacement of ANY
+        species, or None when the v1 full-canvas path is required
+        (pencil mesh, uneven particle split, non-CIC painter, or
+        displacement beyond one slab)."""
         from .parallel.psolver import required_halo_planes, halo_ladder
         if len(self.mesh.axis_names) != 1:
             return None                      # pencil: v1 for now
+        if self.config.painter_type != "cic":
+            return None                      # homed paint is CIC-only
         nproc = self.mesh.shape[self.mesh.axis_names[0]]
-        if pm.Nmesh[0] % nproc or int(x.shape[0]) % nproc:
+        if pm.Nmesh[0] % nproc:
             return None
+        hreq = 1
+        for p in stores:
+            if int(p.x.shape[0]) % nproc:
+                return None
+            hreq = max(hreq, required_halo_planes(pm, self.mesh, p.x))
         nloc = pm.Nmesh[0] // nproc
-        hreq = max(1, required_halo_planes(pm, self.mesh, x))
         for h in halo_ladder(nloc):
             if h >= hreq:
                 return h
         return None                          # beyond +-1 slab: v1
 
     def _sharded_force(self, pm: PM, stores):
+        from jax.sharding import PartitionSpec
         from .parallel.pfft import make_engine
-        from .parallel.psolver import (_force_local, _force_local_homed,
+        from .parallel.psolver import (_force_local_multi,
+                                       _force_local_homed_multi,
                                        particle_spec, deltak_spec)
 
-        p = stores[0]
-        H = self._pick_halo(pm, p.x)
-        key = (pm.cache_key, H)
+        cfg = self.config
+        H = self._pick_halo(pm, stores)
+        has_col = tuple(p.mass is not None for p in stores)
+        M0s = tuple(float(p.M0) for p in stores)
+        key = (pm.cache_key, H, has_col, M0s)
         fn = self._sharded_force_cache.get(key)
         if fn is None:
             spm = make_engine(pm, self.mesh)
-            painter = Painter(pm, self.config.painter_type,
-                              self.config.painter_support)
-            kernel_type = self.config.kernel_type
+            painter = Painter(pm, cfg.painter_type, cfg.painter_support)
+            kernel_type = cfg.kernel_type
+            softening = cfg.softening_type
+            pot, tid = cfg.compute_potential, cfg.compute_tidal
             pspec = particle_spec(self.mesh)
 
+            def assemble_masses(mass_cols):
+                it = iter(mass_cols)
+                return tuple(next(it) if h else M0
+                             for h, M0 in zip(has_col, M0s))
+
             if H is not None:
-                def local(x):
-                    acc, bad, dk = _force_local_homed(
-                        spm, x, kernel_type, H, return_delta_k=True)
-                    return acc, bad, dk
-
-                fn = jax.jit(jax.shard_map(
-                    local, mesh=self.mesh, in_specs=pspec,
-                    out_specs=(pspec, jax.sharding.PartitionSpec(),
-                               deltak_spec(spm))))
+                def local(xs, mass_cols):
+                    return _force_local_homed_multi(
+                        spm, xs, assemble_masses(mass_cols),
+                        kernel_type, H, softening, pot, tid)
             else:
-                def local(x):
-                    acc, dk = _force_local(spm, painter, x, kernel_type,
-                                           return_delta_k=True)
-                    return acc, jnp.int32(0), dk
+                def local(xs, mass_cols):
+                    outs, dk = _force_local_multi(
+                        spm, painter, xs, assemble_masses(mass_cols),
+                        kernel_type, softening, pot, tid)
+                    return outs, jnp.int32(0), dk
 
-                fn = jax.jit(jax.shard_map(
-                    local, mesh=self.mesh, in_specs=pspec,
-                    out_specs=(pspec, jax.sharding.PartitionSpec(),
-                               deltak_spec(spm))))
+            n = len(stores)
+            nmass = sum(has_col)
+            out_one = dict(acc=pspec)
+            if pot:
+                out_one["potential"] = pspec
+            if tid:
+                out_one["tidal"] = pspec
+            fn = jax.jit(jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=((pspec,) * n, (pspec,) * nmass),
+                out_specs=([dict(out_one) for _ in range(n)],
+                           PartitionSpec(), deltak_spec(spm))))
             self._sharded_force_cache[key] = fn
-        acc, bad, delta_k = fn(p.x)
+        xs = tuple(p.x for p in stores)
+        mass_cols = tuple(p.mass for p in stores if p.mass is not None)
+        outs, bad, delta_k = fn(xs, mass_cols)
         if H is not None and int(bad) != 0:
             # overflow contract (store.c:507-509): the measured halo no
             # longer covers every particle -- should be unreachable since
             # H is picked from the same positions
             raise RuntimeError(
                 f"{int(bad)} particles beyond the +-{H}-plane halo")
+        new_stores = []
+        for p, out in zip(stores, outs):
+            updates = dict(acc=out["acc"])
+            if cfg.compute_potential and p.potential is not None:
+                updates["potential"] = out["potential"]
+            if cfg.compute_tidal and p.tidal is not None:
+                updates["tidal"] = out["tidal"]
+            new_stores.append(p.replace(**updates))
         # the pencil layout pads kz to a multiple of Py; drop the pad so
         # downstream consumers see the standard (Nx, Ny, Nz/2+1) array
         if delta_k.shape[2] != pm.kshape[2]:
             delta_k = delta_k[:, :, :pm.kshape[2]]
-        return [p.replace(acc=acc)], delta_k
+        return new_stores, delta_k
 
     # ---- neutrino linear response (gravity.c:457-529) ----
 
@@ -366,12 +399,11 @@ class Solver:
             def delta_transfer(pm_, dk):
                 return self._apply_lra_transfer(pm_, dk, trans.a_f)
 
-        if (self.mesh is not None and len(stores) == 1
-                and delta_transfer is None and not cfg.compute_potential
-                and not cfg.compute_tidal
-                and cfg.softening_type == "none"
-                and cfg.painter_type == "cic"):
-            # SPMD fast path: shard-mapped slab-pencil force
+        if self.mesh is not None and delta_transfer is None:
+            # SPMD path: shard-mapped slab/pencil force (homed halo
+            # exchange when displacements allow, full-canvas v1
+            # otherwise). The neutrino linear response needs a host
+            # round-trip per step, so it stays on the global path.
             new_stores, delta_k = self._sharded_force(pm, stores)
         else:
             new_stores, delta_k = compute_force(

@@ -1,0 +1,37 @@
+"""End-to-end FOF golden regression: the reference CI pins the halo
+catalog sizes of the nbodykit.lua run (128^3, linspace(0.1,1,3),
+LL=0.2) to EXACTLY 1894 (z=0.5) and 1668 (z=0) objects
+(/root/reference/tests/run-test-nbodykit.sh:11-12). Matching them
+object-for-object validates the whole pipeline: GADGET seed-exact ICs,
+2LPT, the FastPM kick/drift factors, snapshot interpolation, and FOF.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from fastpm_tpu.io.bigfile import BigFile
+
+
+@pytest.mark.slow
+def test_nbodykit_fof_golden_counts(tmp_path):
+    src = open(os.path.join(os.path.dirname(__file__), "fixtures",
+                            "nbodykit.lua")).read()
+    outdir = str(tmp_path / "out")
+    conf = tmp_path / "nbodykit.lua"
+    conf.write_text(src.replace("OUTDIR", outdir))
+
+    from fastpm_tpu import cli
+    cli.main([str(conf)])
+
+    want = {"fastpm_0.6667": 1894, "fastpm_1.0000": 1668}
+    for name, count in want.items():
+        bf = BigFile(os.path.join(outdir, name))
+        length = bf.open_block("LL-0.200/Length").read_all()
+        assert len(length) == count, (name, len(length))
+        # every halo passed the nmin=20 cut
+        assert (length >= 20).all()
+        # full particle snapshot came along
+        ids = bf.open_block("1/ID").read_all()
+        assert len(ids) == 128 ** 3
