@@ -50,6 +50,39 @@ def test_lightcone_lua_broadband_goldens():
         assert log.contains(g), g
 
 
+@pytest.mark.slow
+def test_lightcone_ODE_broadband_goldens():
+    """Same run with growth_mode='ode' (RKF45-integrated D1/D2 system);
+    pins the ODE growth path end-to-end
+    (tests/run-test-lightcone-ODE.check)."""
+    cosmo = Cosmology(h=0.6774, Omega_m=0.307494, T_cmb=0.0,
+                      growth_mode="ode")
+    cfg = SolverConfig(nc=64, boxsize=512.0,
+                       time_step=list(np.linspace(0.1, 1, 8)),
+                       force_mode="fastpm", pm_nc_factor=1,
+                       lpt_nc_factor=1)
+    s = Solver(cfg, cosmo)
+    log = attach_standard_handlers(s, Log())
+    pk = FuncK.from_file(POWERSPEC)
+    dk, var = ic.linear_field(s.lptpm, cosmo, pk, seed=100, aout=1.0,
+                              remove_cosmic_variance=True)
+    assert "%.8f" % var == "0.99999619"
+    s.setup_lpt(dk, cfg.time_step[0])
+    s.evolve()
+    goldens = [
+        "D^2(0.1, 1.0) P(k<0.0490625) = 17305.5",
+        "D^2(0.228571, 1.0) P(k<0.0490625) = 17201.1",
+        "D^2(0.357143, 1.0) P(k<0.0490625) = 17110.2",
+        "D^2(0.485714, 1.0) P(k<0.0490625) = 17064.9",
+        "D^2(0.614286, 1.0) P(k<0.0490625) = 17043.7",
+        "D^2(0.742857, 1.0) P(k<0.0490625) = 17028.4",
+        "D^2(0.871429, 1.0) P(k<0.0490625) = 17014.5",
+        "D^2(1, 1.0) P(k<0.0490625) = 17002.5",
+    ]
+    for g in goldens:
+        assert log.contains(g), g
+
+
 def test_za_mode_is_analytic():
     """force_mode='za': the drift moves particles exactly along
     x = q + D1(a) dx1; no force needed."""
