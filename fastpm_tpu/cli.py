@@ -58,6 +58,7 @@ def build_config(p: Params) -> SolverConfig:
         compute_potential=p.compute_potential,
         compute_tidal=bool(p.get("compute_tidal", False)),
         np_alloc_factor=p.np_alloc_factor,
+        rand_ntask=int(p.get("rand_ntask", 1)),
         pgdc=p.pgdc, pgdc_alpha0=p.pgdc_alpha0, pgdc_A=p.pgdc_A,
         pgdc_B=p.pgdc_B, pgdc_kl=p.pgdc_kl, pgdc_ks=p.pgdc_ks,
     )
@@ -388,7 +389,11 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
     log.info("Unstructured Lightcone amin= %g amax=%g", lc_amin, lc_amax)
 
     tiles = np.asarray(p.lc_usmesh_tiles, dtype=np.float64) * p.boxsize
-    nupper = int(p.lc_usmesh_alloc_factor * p.nc ** 3)
+    # global capacity = sum of per-rank capacities: lc_usmesh_alloc *
+    # (CDM np_upper = nc^3 * np_alloc_factor); sets the ready-flush
+    # threshold (lightcone-usmesh.c:584 checks np > 0.5 np_upper)
+    nupper = int(p.lc_usmesh_alloc_factor * p.np_alloc_factor
+                 * p.nc ** 3)
     mesh = USMesh(lc, lambda: solver.species["cdm"], tiles,
                   amin=lc_amin, amax=lc_amax,
                   target_volume=p.lc_usmesh_alloc_factor * p.boxsize ** 3,
@@ -530,10 +535,11 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
                              1 / max(event.af, 1e-3) - 1,
                              lc.horizon) / density * density,
                          event.af)
-            keep = rec["rand"] < frac if "rand" in rec else \
+            # reference keeps on rand <= fraction (store.c:993)
+            keep = rec["rand"] <= frac if "rand" in rec else \
                 np.ones(len(frac), dtype=bool)
         elif p.particle_fraction < 1:
-            keep = rec["rand"] < p.particle_fraction
+            keep = rec["rand"] <= p.particle_fraction
         else:
             keep = np.ones(n, dtype=bool)
         rec = {k: v[keep] for k, v in rec.items()}

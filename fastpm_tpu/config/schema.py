@@ -51,6 +51,9 @@ SCHEMA: Dict[str, Entry] = {e.name: e for e in [
     E("pm_nc_factor", "array:number", required=True),
     E("lpt_nc_factor", "number", default=1.0),
     E("np_alloc_factor", "number", required=True),
+    # extension: emulate the reference's per-rank rand streams
+    # (store.c:693-718) for golden-count reproduction of N-rank runs
+    E("rand_ntask", "number", default=1),
     E("compute_potential", "boolean", default=False),
     E("compute_tidal", "boolean", default=False),
     E("n_shell", "number", default=10),

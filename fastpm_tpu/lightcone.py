@@ -87,6 +87,10 @@ def volume_density_from_ell(ell_lim: float, z: float,
     theta_lim = math.pi / ell_lim
     r = float(horizon.distance(1.0 / (1 + z)))
     s_lim = r * theta_lim
+    if s_lim == 0.0:
+        # z = 0: the C reference computes pow(1/0., 3) = inf (the
+        # subsample fraction then clamps to 1: keep everything)
+        return math.inf
     return (1.0 / s_lim) ** 3
 
 

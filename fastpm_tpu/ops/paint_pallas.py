@@ -32,7 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..mesh import PM
 
-__all__ = ["paint_sorted", "make_paint_fn", "make_prepare_fn", "make_paint_from_fn", "make_paint_from4_fn"]
+__all__ = ["paint_sorted", "make_paint_fn", "make_prepare_fn",
+           "make_paint_from_fn", "make_paint_from4_fn",
+           "make_prepare_homed_fn", "make_paint_from4_homed_fn"]
 
 
 def _corner_offsets_padded(nyp, nzp):
@@ -348,6 +350,51 @@ def make_paint_from_fn(pm: PM, K: int = 512, C: int = 8192,
     return paint_from
 
 
+def make_prepare_homed_fn(shape, C: int = 8192, pad_to: int = 1024):
+    """Prepared-bundle builder for the HOMED local slab (open x axis,
+    periodic y/z): input is the precomputed (relx, iy, iz, frac) of
+    parallel.psolver._cic_rel, so the cell math is bit-identical to the
+    XLA homed paint. shape = (nx_local, Ny, Nz); the padded canvas is
+    (nx_local + 1, Ny + 1, Nz + 1) and the x face is NOT folded."""
+    nx, ny, nz = shape
+    nyp, nzp = ny + 1, nz + 1
+    mpad = (nx + 1) * nyp * nzp
+    W = (mpad + C - 1) // C
+    offsets = _corner_offsets_padded(nyp, nzp)
+    min_pad = pad_to - 256
+
+    def prepare(relx, iy, iz, frac):
+        n = relx.shape[0]
+        cell = ((relx * nyp + iy) * nzp + iz)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        cell_s, fx, fy, fz, orig = jax.lax.sort(
+            (cell, frac[:, 0], frac[:, 1], frac[:, 2], iota), num_keys=1)
+        f = (fx, fy, fz)
+        t = (1.0 - fx, 1.0 - fy, 1.0 - fz)
+        w8_s = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
+                          * (t[2], f[2])[dz]
+                          for dx in (0, 1) for dy in (0, 1)
+                          for dz in (0, 1)], axis=-1)
+
+        n_padded = ((n + min_pad + pad_to - 1) // pad_to) * pad_to
+        extra = n_padded - n
+        cell_2d = jnp.concatenate(
+            [cell_s, jnp.full((extra,), mpad - 1, jnp.int32)])[None, :]
+        w8T = jnp.concatenate(
+            [w8_s.T, jnp.zeros((8, extra), jnp.float32)],
+            axis=1)[:, None, :]
+
+        edges = jnp.arange(W + 1, dtype=jnp.int32) * C
+        bounds = jnp.stack(
+            [jnp.searchsorted(cell_s, edges - off).astype(jnp.int32)
+             for off in offsets], axis=1)
+        ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
+        return dict(ranges=ranges, cell_2d=cell_2d, w8T=w8T, orig=orig,
+                    n=n)
+
+    return prepare
+
+
 def _paint_kernel4(ranges_ref,      # SMEM (1, 2, 2) i32: [p] -> (s, e)
                    cell_hbm,        # (1, Npad) i32 sorted padded cells
                    w8T_hbm,         # (8, 1, Npad) f32 corner weights
@@ -515,6 +562,73 @@ def make_paint_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
         canvas = canvas.at[0, :, 0].add(padded[nx, :ny, nz])
         canvas = canvas.at[:, 0, 0].add(padded[:nx, ny, nz])
         canvas = canvas.at[0, 0, 0].add(padded[nx, ny, nz])
+        if not (jnp.ndim(mass) == 0 and isinstance(mass, float)
+                and mass == 1.0):
+            canvas = canvas * mass
+        return canvas
+
+    return paint_from
+
+
+def make_paint_from4_homed_fn(shape, K: int = 1024, C: int = 8192,
+                              interpret=False, vma=None):
+    """Homed-slab paint (open x): returns the (nx_local + 1, Ny, Nz)
+    extended canvas with the periodic y/z faces folded and the x face
+    KEPT (the +1 plane is the halo the caller ppermutes to the right
+    neighbor). Consumes bundles from make_prepare_homed_fn(shape)."""
+    nx, ny, nz = shape
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024")
+    if K % 128:
+        raise ValueError("K must be a multiple of 128")
+    CLh = C // 128
+    HR = ((nzp + 1 + 127) // 128 + 1)
+    HR = ((HR + 7) // 8) * 8
+    npad_blocks = W * CLh + HR
+    kernel = functools.partial(_paint_kernel4, K=K, C=C, CLh=CLh,
+                               HR=HR, nyp=nyp, nzp=nzp)
+
+    out_sds = jax.ShapeDtypeStruct((npad_blocks, 128), jnp.float32)
+    if vma is not None:
+        out_sds = jax.ShapeDtypeStruct((npad_blocks, 128), jnp.float32,
+                                       vma=frozenset(vma))
+    paint_call = pl.pallas_call(
+        kernel,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((1, 2, 2), lambda w: (w, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((CLh + HR, 128), jnp.float32),
+            pltpu.VMEM((CLh + HR, 128), jnp.float32),
+            pltpu.VMEM((2, 1, K), jnp.int32),
+            pltpu.VMEM((2, 4, 1, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        out_shape=out_sds,
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )
+
+    def paint_from(prepared, mass=1.0):
+        ranges2 = prepared["ranges"][:, (0, 4), :]
+        init = jnp.zeros((npad_blocks, 128), jnp.float32)
+        padded = paint_call(ranges2, prepared["cell_2d"],
+                            prepared["w8T"], init).reshape(-1)[:mpad]
+        padded = padded.reshape(nxp, nyp, nzp)
+        canvas = padded[:, :ny, :nz]            # keep all x planes
+        canvas = canvas.at[:, 0, :].add(padded[:, ny, :nz])
+        canvas = canvas.at[:, :, 0].add(padded[:, :ny, nz])
+        canvas = canvas.at[:, 0, 0].add(padded[:, ny, nz])
         if not (jnp.ndim(mass) == 0 and isinstance(mass, float)
                 and mass == 1.0):
             canvas = canvas * mass

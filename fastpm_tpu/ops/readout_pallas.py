@@ -39,7 +39,7 @@ from ..mesh import PM
 from .paint_pallas import _corner_offsets_padded
 
 __all__ = ["make_readout3_fn", "make_readout3_from_fn",
-           "make_readout3_from4_fn"]
+           "make_readout3_from4_fn", "make_readout3_from4_homed_fn"]
 
 
 def _readout_kernel(ranges_ref,      # SMEM (1, 8, 2) i32: [o] -> (s, e)
@@ -585,6 +585,96 @@ def make_readout3_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
         if n_padded % K:
             raise ValueError("prepared padding not a multiple of K")
         # pass p = dx uses the base corner o = 4p range
+        ranges2 = prepared["ranges"][:, (0, 4), :]
+        canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
+                              pad_canvas(cz)])
+        val_init = jnp.zeros((6, 1, n_padded), jnp.float32)
+        val2 = build_call(n_padded)(
+            ranges2, prepared["cell_2d"], prepared["w8T"],
+            canvases, val_init)
+        vals = jnp.sum(val2.reshape(2, 3, n_padded), axis=0)[:, :n]
+        inv = jax.lax.sort((prepared["orig"],
+                            jnp.arange(n, dtype=jnp.int32)),
+                           num_keys=1)[1]
+        return jnp.take(vals.T, inv, axis=0)
+
+    return readout3_from
+
+
+def make_readout3_from4_homed_fn(shape, K: int = 1024, C: int = 8192,
+                                 interpret=False, gather_mode="split",
+                                 vma=None):
+    """Homed-slab 3-component readout (open x axis): the input fields
+    are the EXTENDED local slabs (nx_local + 1, Ny, Nz) -- interior
+    plus halo planes already fetched by the caller's ppermutes -- so
+    only the periodic y/z faces are padded. Consumes bundles from
+    paint_pallas.make_prepare_homed_fn(shape)."""
+    nx, ny, nz = shape
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024")
+    if K % 128:
+        raise ValueError("K must be a multiple of 128")
+    CLh = C // 128
+    HR = ((nzp + 1 + 127) // 128 + 1)
+    HR = ((HR + 7) // 8) * 8
+    npad_blocks = W * CLh + HR
+    kernel = functools.partial(_readout_kernel4, K=K, C=C, CLh=CLh,
+                               HR=HR, nyp=nyp, nzp=nzp,
+                               gather_mode=gather_mode)
+
+    def build_call(n_padded):
+        return pl.pallas_call(
+            kernel,
+            grid=(W,),
+            in_specs=[
+                pl.BlockSpec((1, 2, 2), lambda w: (w, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((3, CLh + HR, 128), jnp.float32),
+                pltpu.VMEM((2, 1, K), jnp.int32),
+                pltpu.VMEM((2, 4, 1, K), jnp.float32),
+                pltpu.VMEM((2, 3, 1, K), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2, 5)),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            out_shape=(jax.ShapeDtypeStruct((6, 1, n_padded),
+                                            jnp.float32)
+                       if vma is None else
+                       jax.ShapeDtypeStruct((6, 1, n_padded),
+                                            jnp.float32,
+                                            vma=frozenset(vma))),
+            input_output_aliases={4: 0},
+            interpret=interpret,
+        )
+
+    def pad_canvas(field_ext):
+        """(nxp, ny, nz) extended field -> padded (nxp, nyp, nzp)
+        blocks; only y/z faces are periodic."""
+        p = jnp.zeros((nxp, nyp, nzp), dtype=jnp.float32)
+        p = p.at[:, :ny, :nz].set(field_ext)
+        p = p.at[:, ny, :nz].set(field_ext[:, 0])
+        p = p.at[:, :ny, nz].set(field_ext[:, :, 0])
+        p = p.at[:, ny, nz].set(field_ext[:, 0, 0])
+        flat = p.reshape(-1)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((npad_blocks * 128 - mpad,), jnp.float32)])
+        return flat.reshape(npad_blocks, 128)
+
+    def readout3_from(prepared, cx, cy, cz):
+        n = prepared["orig"].shape[0]
+        n_padded = prepared["cell_2d"].shape[1]
+        if n_padded % K:
+            raise ValueError("prepared padding not a multiple of K")
         ranges2 = prepared["ranges"][:, (0, 4), :]
         canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
                               pad_canvas(cz)])

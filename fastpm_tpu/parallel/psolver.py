@@ -288,27 +288,97 @@ def _force_local_homed(spm: SlabPM, x, kernel_type: str, H: int,
     return (acc, bad, dk) if return_delta_k else (acc, bad)
 
 
+_HOMED_KERNEL_CACHE = {}
+
+
+def _homed_kernels(shape, axis, interpret=False):
+    """Cached Pallas kernel builders for a homed local mesh shape.
+    axis is the shard_map mesh axis (the pallas outputs' vma)."""
+    key = (tuple(shape), axis, bool(interpret))
+    fns = _HOMED_KERNEL_CACHE.get(key)
+    if fns is None:
+        from ..ops.paint_pallas import (make_prepare_homed_fn,
+                                        make_paint_from4_homed_fn)
+        from ..ops.readout_pallas import make_readout3_from4_homed_fn
+        vma = {axis}
+        fns = (make_prepare_homed_fn(shape),
+               make_paint_from4_homed_fn(shape, interpret=interpret,
+                                         vma=vma),
+               make_readout3_from4_homed_fn(shape, interpret=interpret,
+                                            vma=vma))
+        _HOMED_KERNEL_CACHE[key] = fns
+    return fns
+
+
+def _use_pallas_homed(shape) -> bool:
+    """The fused Pallas paint/readout engages on TPU-family backends
+    for local meshes past the packed-gather crossover (mirrors
+    painter._use_pallas + the _PACK8_MAX_CELLS gate)."""
+    from ..painter import _PACK8_MAX_CELLS
+    if int(np.prod(shape)) <= _PACK8_MAX_CELLS // 8:
+        return False
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return plat not in ("cpu", "gpu")
+
+
 def _force_local_homed_multi(spm, xs, masses, kernel_type: str, H: int,
                              softening_type: str = "none",
                              compute_potential: bool = False,
-                             compute_tidal: bool = False):
+                             compute_tidal: bool = False,
+                             pallas=None, pallas_interpret=False):
     """Multi-species shard-local homed force (halo-exchange paint and
     readout). Returns ([dict(acc[, potential, tidal])...], bad,
     delta_k shard); bad is the global count of particles beyond the
-    halo (must be 0 for a correct force)."""
+    halo (must be 0 for a correct force).
+
+    pallas: force the fused Pallas paint/readout on (True), off
+    (False), or auto by platform/size (None). Per-particle mass
+    columns always use the XLA deposit (the Pallas weights are
+    mass-free); the Pallas bundle is still shared with the readout."""
     pm = spm.pm
     nproc = spm.nproc
     nloc = pm.Nmesh[0] // nproc
     r0 = jax.lax.axis_index(spm.axis) * nloc
+    n0, n1, n2 = pm.Nmesh
+    nx_l = nloc + 2 * H
+    shape_local = (nx_l, n1, n2)
+    use_pallas = pallas if pallas is not None \
+        else _use_pallas_homed(shape_local)
+    if use_pallas:
+        prepare, paint_from, readout3_from = _homed_kernels(
+            shape_local, spm.axis, interpret=pallas_interpret)
 
     canvas_ext = None
     total_mass = 0.0
     bad = jnp.int32(0)
+    prepared_list = []
     for x, mass in zip(xs, masses):
-        canvas_ext, b = _paint_homed(pm, nloc, H, r0, x, mass=mass,
-                                     canvas=canvas_ext)
-        bad = bad + b
-        if jnp.ndim(mass) == 0:
+        scalar_mass = jnp.ndim(mass) == 0
+        if use_pallas:
+            relx, iy, iz, frac = _cic_rel(pm, x, r0, H)
+            valid = relx < nx_l
+            bad = bad + jnp.sum(~valid).astype(jnp.int32)
+            # invalid cells sort past the last window: painted nowhere,
+            # read out as zero (the caller raises on bad != 0 anyway)
+            relx = jnp.where(valid, relx, nx_l + 1)
+            prepared = prepare(relx, iy, iz, frac)
+            prepared_list.append(prepared)
+            if scalar_mass:
+                c = paint_from(prepared, float(mass))
+                canvas_ext = c if canvas_ext is None else canvas_ext + c
+            else:
+                canvas_ext, b = _paint_homed(pm, nloc, H, r0, x,
+                                             mass=mass,
+                                             canvas=canvas_ext)
+        else:
+            prepared_list.append(None)
+            canvas_ext, b = _paint_homed(pm, nloc, H, r0, x, mass=mass,
+                                         canvas=canvas_ext)
+            bad = bad + b
+        if scalar_mass:
             total_mass = total_mass + jnp.float32(mass) * x.shape[0]
         else:
             total_mass = total_mass + jnp.sum(mass)
@@ -333,8 +403,18 @@ def _force_local_homed_multi(spm, xs, masses, kernel_type: str, H: int,
         fields_ext.append(_halo_gather(local, spm.axis, nloc, H, nproc))
 
     outs = []
-    for x in xs:
-        vals = _readout_homed(pm, nloc, H, r0, x, fields_ext)
+    for x, prepared in zip(xs, prepared_list):
+        if use_pallas and prepared is not None:
+            acc3 = readout3_from(prepared, fields_ext[0], fields_ext[1],
+                                 fields_ext[2])
+            extra = fields_ext[3:]
+            if extra:
+                rest = _readout_homed(pm, nloc, H, r0, x, extra)
+                vals = jnp.concatenate([acc3, rest], axis=-1)
+            else:
+                vals = acc3
+        else:
+            vals = _readout_homed(pm, nloc, H, r0, x, fields_ext)
         d = dict(acc=vals[:, :3])
         i = 3
         if compute_potential:

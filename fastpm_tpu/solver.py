@@ -60,6 +60,10 @@ class SolverConfig:
     compute_potential: bool = False
     compute_tidal: bool = False
     np_alloc_factor: float = 4.0      # kept for parity; no arena here
+    # emulate the reference's per-MPI-rank rand streams
+    # (_fastpm_store_fill_rand, store.c:693-718): rand_ntask > 1
+    # reproduces the rand column of an rand_ntask-process reference run
+    rand_ntask: int = 1
     ExtraColumns: Tuple[str, ...] = ()
     # PGD correction (pgdcorrection.c)
     pgdc: bool = False
@@ -124,7 +128,7 @@ class Solver:
             columns.append("tidal")
         self.species[CDM] = lattice_store(
             self.basepm, Nc=nc, shift=shift, columns=tuple(columns),
-            name="cdm")
+            name="cdm", rand_ntask=config.rand_ntask)
         if mesh is not None:
             self.species[CDM] = _shard_store(self.species[CDM], mesh)
         self._sharded_force_cache = {}
@@ -293,11 +297,14 @@ class Solver:
                 out_one["potential"] = pspec
             if tid:
                 out_one["tidal"] = pspec
+            # check_vma=False: the homed body may contain pallas_call,
+            # whose outputs the vma checker cannot track yet
             fn = jax.jit(jax.shard_map(
                 local, mesh=self.mesh,
                 in_specs=((pspec,) * n, (pspec,) * nmass),
                 out_specs=([dict(out_one) for _ in range(n)],
-                           PartitionSpec(), deltak_spec(spm))))
+                           PartitionSpec(), deltak_spec(spm)),
+                check_vma=False))
             self._sharded_force_cache[key] = fn
         xs = tuple(p.x for p in stores)
         mass_cols = tuple(p.mass for p in stores if p.mass is not None)

@@ -110,12 +110,36 @@ class Store:
         """Boolean keep-mask from the rand column (store.c:fill_subsample)."""
         if fraction >= 1.0:
             return jnp.ones(self.np_local, dtype=bool)
-        return self.rand < fraction
+        # the reference keeps on rand <= fraction (store.c:977)
+        return self.rand <= fraction
+
+
+def _rank_emulated_rand(n: int, seed: int, ntask: int) -> np.ndarray:
+    """The reference's rand column, _fastpm_store_fill_rand
+    (store.c:693-718): rank 0 seeds ranlxd1 with `seed` directly; rank
+    k draws 8k uniforms from a seed-seeded generator and re-seeds with
+    0x7fffffff * (the last draw). Each rank's stream fills its
+    contiguous x-slab index block (x-major fill = slab partition), so
+    emulating ntask ranks reproduces the rand values of an
+    ntask-process reference run exactly. ntask=1 is the plain stream."""
+    if ntask <= 1:
+        return native.ranlxd_uniform(seed, n)
+    out = np.empty(n, dtype=np.float64)
+    bounds = [r * n // ntask for r in range(ntask + 1)]
+    for r in range(ntask):
+        if r == 0:
+            seed_r = seed
+        else:
+            u = native.ranlxd_uniform(seed, 8 * r)
+            seed_r = int(0x7fffffff * u[-1])
+        nr = bounds[r + 1] - bounds[r]
+        out[bounds[r]:bounds[r + 1]] = native.ranlxd_uniform(seed_r, nr)
+    return out
 
 
 def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand"),
                   rand_seed: int = 1231584, M0: float = 1.0,
-                  name: str = "1") -> Store:
+                  name: str = "1", rand_ntask: int = 1) -> Store:
     """Uniform Lagrangian lattice of Nc^3 particles (fastpm_store_fill,
     store.c:723-805): id = raveled lattice index, x = q = id*scale+shift.
     The rand column reproduces the reference's rank-0 ranlxd stream."""
@@ -148,9 +172,9 @@ def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand")
     if "id" in columns:
         kw["id"] = jnp.asarray(ids)
     if "rand" in columns:
-        # store.c:695-720 at rank 0: seed 1231584 directly
         kw["rand"] = jnp.asarray(
-            native.ranlxd_uniform(rand_seed, n).astype(np.float32))
+            _rank_emulated_rand(n, rand_seed,
+                                rand_ntask).astype(np.float32))
     if "mask" in columns:
         kw["mask"] = jnp.zeros(n, dtype=bool)
     if "potential" in columns:

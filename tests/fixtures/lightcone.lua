@@ -20,6 +20,9 @@ growth_mode = "LCDM"
 pm_nc_factor = 1
 lpt_nc_factor = 1
 np_alloc_factor = 2.0
+-- the reference golden log was produced with mpirun -n 4, and the
+-- rand subsample column is rank-dependent (store.c:693-718)
+rand_ntask = 4
 
 write_snapshot = "OUTDIR/fastpm"
 write_fof = "OUTDIR/fof"

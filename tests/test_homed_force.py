@@ -155,6 +155,38 @@ def test_solver_uses_homed_path(mesh8):
                                atol=2e-4)
 
 
+@pytest.mark.slow
+def test_homed_pallas_matches_xla(mesh8):
+    """The fused Pallas paint/readout inside the homed shard_map force
+    (interpret mode on CPU) matches the XLA scatter/gather body."""
+    from fastpm_tpu.parallel.psolver import _force_local_homed_multi
+
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)
+    x = jittered_lattice(nc, box, jitter_cells=1.8, seed=11)
+    spm = SlabPM(pm, mesh8, axis="x")
+    spec = particle_spec(mesh8)
+
+    def run(pallas):
+        def local(xx):
+            outs, bad, _dk = _force_local_homed_multi(
+                spm, (xx,), (1.0,), "1_4", 3, pallas=pallas,
+                pallas_interpret=True)
+            return outs[0]["acc"], bad
+
+        fn = jax.jit(jax.shard_map(local, mesh=mesh8, in_specs=spec,
+                                   out_specs=(spec, P()),
+                                   check_vma=False))
+        return fn(x)
+
+    acc_x, bad_x = run(False)
+    acc_p, bad_p = run(True)
+    assert int(bad_x) == 0 and int(bad_p) == 0
+    np.testing.assert_allclose(np.asarray(acc_p), np.asarray(acc_x),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_homed_memory_scales(mesh8):
     """The homed program's per-device temporaries stay O(Nmesh^3/P):
     its peak temp allocation is several times smaller than the v1
