@@ -525,15 +525,15 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
             if len(frac):
                 log.info("Subsampling to density %g (a = %06.4f) ~ %g "
                          "(a = %06.4f), ",
-                         volume_density_from_ell(
+                         min(1.0, volume_density_from_ell(
                              p.lc_usmesh_ell_limit,
                              1 / max(event.ai, 1e-3) - 1,
-                             lc.horizon) / density * density,
+                             lc.horizon) / density),
                          event.ai,
-                         volume_density_from_ell(
+                         min(1.0, volume_density_from_ell(
                              p.lc_usmesh_ell_limit,
                              1 / max(event.af, 1e-3) - 1,
-                             lc.horizon) / density * density,
+                             lc.horizon) / density),
                          event.af)
             # reference keeps on rand <= fraction (store.c:993)
             keep = rec["rand"] <= frac if "rand" in rec else \

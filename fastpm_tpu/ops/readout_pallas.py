@@ -270,10 +270,11 @@ def make_readout3_fn(pm: PM, K: int = 512, C: int = 4096,
                                     val_init)
         vals = jnp.sum(val8.reshape(8, 3, n_padded), axis=0)[:, :n]
 
-        # inverse permutation by sorting the original indices back
-        inv = jax.lax.sort((orig, jnp.arange(n, dtype=jnp.int32)),
-                           num_keys=1)[1]
-        return jnp.take(vals.T, inv, axis=0)       # (N, 3)
+        # un-sort by sorting (orig, values): one payload sort beats
+        # the inverse-permutation row gather ~3x on TPU
+        return jnp.stack(jax.lax.sort(
+            (orig, vals[0], vals[1], vals[2]), num_keys=1)[1:],
+            axis=-1)                                # (N, 3)
 
     return jax.jit(readout3)
 
@@ -350,10 +351,9 @@ def make_readout3_from_fn(pm: PM, K: int = 1024, C: int = 8192,
             prepared["ranges"], prepared["cell_2d"], prepared["w8T"],
             canvases, val_init)
         vals = jnp.sum(val8.reshape(8, 3, n_padded), axis=0)[:, :n]
-        inv = jax.lax.sort((prepared["orig"],
-                            jnp.arange(n, dtype=jnp.int32)),
-                           num_keys=1)[1]
-        return jnp.take(vals.T, inv, axis=0)
+        return jnp.stack(jax.lax.sort(
+            (prepared["orig"], vals[0], vals[1], vals[2]),
+            num_keys=1)[1:], axis=-1)
 
     return readout3_from
 
@@ -593,10 +593,9 @@ def make_readout3_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
             ranges2, prepared["cell_2d"], prepared["w8T"],
             canvases, val_init)
         vals = jnp.sum(val2.reshape(2, 3, n_padded), axis=0)[:, :n]
-        inv = jax.lax.sort((prepared["orig"],
-                            jnp.arange(n, dtype=jnp.int32)),
-                           num_keys=1)[1]
-        return jnp.take(vals.T, inv, axis=0)
+        return jnp.stack(jax.lax.sort(
+            (prepared["orig"], vals[0], vals[1], vals[2]),
+            num_keys=1)[1:], axis=-1)
 
     return readout3_from
 
@@ -683,9 +682,8 @@ def make_readout3_from4_homed_fn(shape, K: int = 1024, C: int = 8192,
             ranges2, prepared["cell_2d"], prepared["w8T"],
             canvases, val_init)
         vals = jnp.sum(val2.reshape(2, 3, n_padded), axis=0)[:, :n]
-        inv = jax.lax.sort((prepared["orig"],
-                            jnp.arange(n, dtype=jnp.int32)),
-                           num_keys=1)[1]
-        return jnp.take(vals.T, inv, axis=0)
+        return jnp.stack(jax.lax.sort(
+            (prepared["orig"], vals[0], vals[1], vals[2]),
+            num_keys=1)[1:], axis=-1)
 
     return readout3_from

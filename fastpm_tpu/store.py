@@ -114,26 +114,49 @@ class Store:
         return self.rand <= fraction
 
 
-def _rank_emulated_rand(n: int, seed: int, ntask: int) -> np.ndarray:
+def _pencil_procmesh(ntask: int):
+    """The reference's near-square 2D process mesh factorization
+    (pm_init, pmpfft.c:118-134): smallest Ny with Ny^2 >= NTask, backed
+    off to a divisor."""
+    ny = 1
+    while ny * ny < ntask:
+        ny += 1
+    while ny >= 1:
+        if ntask % ny == 0:
+            break
+        ny -= 1
+    return ntask // ny, ny
+
+
+def _rank_emulated_rand(Nc, seed: int, ntask: int) -> np.ndarray:
     """The reference's rand column, _fastpm_store_fill_rand
     (store.c:693-718): rank 0 seeds ranlxd1 with `seed` directly; rank
     k draws 8k uniforms from a seed-seeded generator and re-seeds with
-    0x7fffffff * (the last draw). Each rank's stream fills its
-    contiguous x-slab index block (x-major fill = slab partition), so
-    emulating ntask ranks reproduces the rand values of an
-    ntask-process reference run exactly. ntask=1 is the plain stream."""
+    0x7fffffff * (the last draw). Each rank fills its (x, y) PENCIL of
+    the lattice (the default PFFT 2D decomposition, rank = cx*Ny + cy)
+    in row-major (ix, iy, iz) order, so emulating ntask ranks
+    reproduces the rand values of an ntask-process reference run
+    exactly. ntask=1 is the plain stream. Returns the values in global
+    x-major lattice order."""
+    n = int(np.prod(Nc))
     if ntask <= 1:
         return native.ranlxd_uniform(seed, n)
+    nx_p, ny_p = _pencil_procmesh(ntask)
+    n0, n1, n2 = Nc
     out = np.empty(n, dtype=np.float64)
-    bounds = [r * n // ntask for r in range(ntask + 1)]
+    view = out.reshape(n0, n1, n2)
     for r in range(ntask):
         if r == 0:
             seed_r = seed
         else:
             u = native.ranlxd_uniform(seed, 8 * r)
             seed_r = int(0x7fffffff * u[-1])
-        nr = bounds[r + 1] - bounds[r]
-        out[bounds[r]:bounds[r + 1]] = native.ranlxd_uniform(seed_r, nr)
+        cx, cy = r // ny_p, r % ny_p
+        x0, x1 = cx * n0 // nx_p, (cx + 1) * n0 // nx_p
+        y0, y1 = cy * n1 // ny_p, (cy + 1) * n1 // ny_p
+        nr = (x1 - x0) * (y1 - y0) * n2
+        view[x0:x1, y0:y1, :] = native.ranlxd_uniform(
+            seed_r, nr).reshape(x1 - x0, y1 - y0, n2)
     return out
 
 
@@ -173,7 +196,7 @@ def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand")
         kw["id"] = jnp.asarray(ids)
     if "rand" in columns:
         kw["rand"] = jnp.asarray(
-            _rank_emulated_rand(n, rand_seed,
+            _rank_emulated_rand(Nc, rand_seed,
                                 rand_ntask).astype(np.float32))
     if "mask" in columns:
         kw["mask"] = jnp.zeros(n, dtype=bool)

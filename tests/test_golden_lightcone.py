@@ -1,0 +1,39 @@
+"""End-to-end lightcone golden regression: the reference CI pins the
+usmesh slice object counts and the a=1 FOF catalog of the lightcone.lua
+run (/root/reference/tests/run-test-lightcone.check). Matching them
+exactly validates the crossing solve, the rank-emulated rand
+subsampling, the ell-limit fractions, the flush policy, and the
+lightcone FOF."""
+
+import os
+
+import pytest
+
+from fastpm_tpu.config.params import load_params
+from fastpm_tpu.diagnostics import Log
+
+
+@pytest.mark.slow
+def test_lightcone_golden_counts(tmp_path):
+    src = open(os.path.join(os.path.dirname(__file__), "fixtures",
+                            "lightcone.lua")).read()
+    outdir = str(tmp_path / "out")
+    conf = tmp_path / "lightcone.lua"
+    conf.write_text(src.replace("OUTDIR", outdir))
+
+    from fastpm_tpu import cli
+    p = load_params(str(conf))
+    log = Log(echo=False)
+    cli.run_fastpm(p, log=log)
+
+    # run-test-lightcone.check: usmesh slice sizes, snapshot, and FOF
+    goldens = [
+        "Writing 422564 objects.",   # first usmesh slice (:23)
+        "Writing 569931 objects.",   # second slice
+        "Writing 622458 objects.",   # third slice
+        "Writing 200849 objects.",   # final slice
+        "Writing 262144 objects.",   # full z=0 snapshot
+        "Writing 52 objects.",       # z=0 FOF catalog
+    ]
+    for g in goldens:
+        assert log.contains(g), g
