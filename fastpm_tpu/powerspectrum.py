@@ -181,6 +181,64 @@ def measure_power(pm: PM, delta1_k, delta2_k=None) -> PowerSpectrum:
     return PowerSpectrum(kmean, p, Nmodes, edges, pm.Volume, k0)
 
 
+def measure_power_2d(pm: PM, delta1_k, delta2_k=None, Nmu: int = 10):
+    """(k, mu) wedge power spectrum with the z axis as the line of
+    sight (the nbodykit FFTPower mode='2d' convention used by
+    python/comparehalos.py). mu = kz / |k| in [0, 1] by hermitian
+    symmetry; Nmu bins over [0, 1]. Returns a dict of (nk, Nmu) arrays
+    k, mu, power, Nmodes."""
+    import jax.numpy as jnp
+    if delta2_k is None:
+        delta2_k = delta1_k
+    nbins = pm.Nmesh[0] // 2
+    k0 = 2 * math.pi / pm.BoxSize[0]
+
+    kk = pm.integer_kk
+    bin = jnp.floor(jnp.sqrt(kk.astype(jnp.float32))).astype(jnp.int32)
+    bin = jnp.where((bin + 1) * (bin + 1) <= kk, bin + 1, bin)
+    bin = jnp.where(bin * bin > kk, bin - 1, bin)
+
+    # integer kz of each mode (the hermitian axis is z)
+    nz = pm.Nmesh[2]
+    iz = np.arange(nz // 2 + 1)
+    kz2 = jnp.asarray((iz * iz).astype(np.int32))[None, None, :]
+    mu = jnp.sqrt(kz2.astype(pm.dtype)
+                  / jnp.maximum(kk.astype(pm.dtype), 1))
+    mu = jnp.where(kk == 0, 0.0, mu)
+    mubin = jnp.minimum((mu * Nmu).astype(jnp.int32), Nmu - 1)
+
+    w = pm.hermitian_weights * jnp.ones(pm.kshape, dtype=pm.dtype)
+    w = w.at[0, 0, 0].set(0.0)
+    value = (delta1_k.real * delta2_k.real
+             + delta1_k.imag * delta2_k.imag)
+    k_of_mode = jnp.sqrt(kk.astype(pm.dtype)) * k0
+
+    flat = (bin * Nmu + mubin).reshape(-1)
+    in_range = bin.reshape(-1) < nbins
+    flat = jnp.where(in_range, flat, nbins * Nmu)
+    wf = jnp.where(in_range, w.reshape(-1), 0.0)
+    length = nbins * Nmu + 1
+
+    Nmodes = jnp.bincount(flat, weights=wf, length=length)[:-1]
+    psum = jnp.bincount(flat, weights=wf * value.reshape(-1),
+                        length=length)[:-1]
+    ksum = jnp.bincount(flat, weights=wf * k_of_mode.reshape(-1),
+                        length=length)[:-1]
+    musum = jnp.bincount(flat, weights=wf * mu.reshape(-1),
+                         length=length)[:-1]
+
+    Nm = np.asarray(Nmodes, np.float64).reshape(nbins, Nmu)
+    ps = np.asarray(psum, np.float64).reshape(nbins, Nmu)
+    ks = np.asarray(ksum, np.float64).reshape(nbins, Nmu)
+    mus = np.asarray(musum, np.float64).reshape(nbins, Nmu)
+    good = Nm > 0
+    safe = np.where(good, Nm, 1.0)
+    return dict(k=np.where(good, ks / safe, 0.0),
+                mu=np.where(good, mus / safe, 0.0),
+                power=np.where(good, ps / safe * pm.Volume, 0.0),
+                Nmodes=Nm)
+
+
 def _gauss_kronrod(n=20):
     """Nodes/weights of the (2n+1)-point Gauss-Kronrod rule with the
     embedded n-point Gauss weights, from the Stieltjes polynomial

@@ -605,6 +605,117 @@ def main_halobias(argv=None):
     return 0
 
 
+def main_comparehalos(argv=None):
+    """Compare two (halo) catalogs by auto and cross (k, mu) power in
+    redshift space at abundance-matched nmin thresholds
+    (python/comparehalos.py). Usage:
+
+      fastpm-tpu-comparehalos out.txt cat1 [--dataset D] --
+                              cat2 [--dataset D]
+
+    For each nmin in a logspaced ladder, selects cat1 halos with
+    Length >= nmin, bisects cat2's threshold to match the count
+    (read_cat_nsel), and writes r1/r2/rx wedge spectra to
+    out-nmin-XXXXX-{r1,r2,rx}.txt with columns k mu power Nmodes."""
+    import jax.numpy as jnp
+    from .mesh import PM
+    from .painter import Painter
+    from .powerspectrum import measure_power_2d
+    from . import transfers
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--" in argv:
+        i = argv.index("--")
+        argv, argv2 = argv[:i], argv[i + 1:]
+    else:
+        argv2 = None
+
+    ap = argparse.ArgumentParser(prog="fastpm-tpu-comparehalos")
+    ap.add_argument("output")
+    ap.add_argument("catalog")
+    ap.add_argument("--dataset", default="LL-0.200")
+    ap.add_argument("--nmin", type=int, default=8)
+    ap.add_argument("--nmax", type=int, default=1000)
+    ap.add_argument("--nn", type=int, default=10)
+    ap.add_argument("--nmesh", type=int, default=256)
+    ap.add_argument("--Nmu", type=int, default=10)
+    ns = ap.parse_args(argv)
+    if argv2 is not None:
+        hap = argparse.ArgumentParser()
+        hap.add_argument("catalog")
+        hap.add_argument("--dataset", default="LL-0.200")
+        ns2 = hap.parse_args(argv2)
+    else:
+        ns2 = ns
+
+    def read_cat(path, dataset):
+        hdr = read_snapshot_header(path)
+        bf = BigFile(path)
+        x = bf.open_block(f"{dataset}/Position").read_all()
+        v = bf.open_block(f"{dataset}/Velocity").read_all()
+        length = (bf.open_block(f"{dataset}/Length").read_all()
+                  if bf.has_block(f"{dataset}/Length") else None)
+        rsd = float(hdr.get("RSDFactor", 0.0))
+        xr = np.array(x, dtype=np.float64)
+        xr[:, 2] += rsd * v[:, 2]
+        return xr, length, float(hdr["BoxSize"])
+
+    x1, len1, box = read_cat(ns.catalog, ns.dataset)
+    x2, len2, _ = read_cat(ns2.catalog, ns2.dataset)
+
+    pm = PM(ns.nmesh, box)
+    painter = Painter(pm, "cic", 2)
+
+    def delta_k_of(x):
+        xw = jnp.asarray(np.asarray(x, np.float32))
+        xw = xw - jnp.floor(xw / box) * box
+        rho = painter.paint(xw)
+        dk = pm.r2c(rho / (len(x) / pm.Norm) - 1.0)
+        return transfers.apply_decic(pm, dk)
+
+    nmins = np.unique(np.int32(np.geomspace(ns.nmin, ns.nmax, ns.nn)))
+    if len1 is not None:
+        nmins = nmins[(nmins >= len1.min()) & (nmins < len1.max())]
+    else:
+        nmins = np.array([0])
+
+    def match_nsel(length, nsel):
+        """Bisect the threshold so len(sel) best matches nsel
+        (read_cat_nsel)."""
+        if length is None:
+            return np.ones(len(x2), bool)
+        lo, hi = int(length.min()), int(length.max())
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if (length >= mid).sum() < nsel:
+                hi = mid
+            else:
+                lo = mid
+        return length >= lo
+
+    base = ns.output.rsplit(".", 1)[0]
+    for nmin1 in nmins:
+        sel1 = (len1 >= nmin1) if len1 is not None \
+            else np.ones(len(x1), bool)
+        if sel1.sum() < 2:
+            continue
+        sel2 = match_nsel(len2, int(sel1.sum()))
+        dk1 = delta_k_of(x1[sel1])
+        dk2 = delta_k_of(x2[sel2])
+        specs = dict(r1=measure_power_2d(pm, dk1, Nmu=ns.Nmu),
+                     r2=measure_power_2d(pm, dk2, Nmu=ns.Nmu),
+                     rx=measure_power_2d(pm, dk1, dk2, Nmu=ns.Nmu))
+        for tag, r in specs.items():
+            path = "%s-nmin-%05d-%s.txt" % (base, nmin1, tag)
+            cols = np.stack([r["k"].ravel(), r["mu"].ravel(),
+                             r["power"].ravel(),
+                             r["Nmodes"].ravel()], axis=-1)
+            np.savetxt(path, cols, header="k mu power Nmodes")
+        print("nmin = %d (n1=%d n2=%d) finished"
+              % (nmin1, int(sel1.sum()), int(sel2.sum())))
+    return 0
+
+
 # ---- python/convert-from-gadget-1.py equivalent ----
 
 def main_from_gadget1(argv=None):
