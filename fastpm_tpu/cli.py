@@ -508,6 +508,45 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
                        aemit=np.zeros(0, np.float32),
                        id=np.zeros(0, np.int64),
                        rand=np.zeros(0, np.float32))
+        # HEALPix shell maps from the PRE-subsample crossings
+        # (src/fastpm.c:1009-1012; io.c:1105-1227): NEST pixels, Mass +
+        # radial momentum per (slice, pixel)
+        nside = int(p.lc_usmesh_healpix_nside)
+        if nside > 0 and len(rec["aemit"]):
+            from .healpix import paint_hpmap_nest, nside2npix
+            M0 = solver.species["cdm"].M0
+            ids, mass_map, rmom_map, amid = paint_hpmap_nest(
+                rec["x"], rec["aemit"], rec["v"], M0, nside, nslices)
+            blocks = (("ID", ids.astype(np.int64)),
+                      ("Aemit", amid.astype(np.float32)),
+                      ("Mass", mass_map.astype(np.float32)),
+                      ("Rmom", rmom_map.astype(np.float32)))
+            bf = BigFile(filebase, create=True)
+            if not bf.has_block("HEALPIX/ID"):
+                for name, arr in blocks:
+                    bf.create_block("HEALPIX/" + name, arr)
+            else:
+                for name, arr in blocks:
+                    bf.open_block("HEALPIX/" + name).append(arr)
+            mroot = bf.open_block("HEALPIX")
+            mroot.attrs.set("healpix.nside", np.int64(nside), "i8")
+            mroot.attrs.set("healpix.npix",
+                            np.int64(nside2npix(nside)), "i8")
+            mroot.attrs.set("healpix.nslices", np.int64(nslices), "i8")
+            mroot.attrs.set("healpix.scheme", "NEST")
+            idx = np.searchsorted(edges, amid, side="right")
+            counts_hp = fof_counts.setdefault(
+                "healpix", np.zeros(nslices + 2, dtype=np.int64))
+            counts_hp += np.bincount(idx, minlength=nslices + 2)
+            mroot.attrs.set("aemitIndex.edges", edges, "f8")
+            mroot.attrs.set("aemitIndex.size",
+                            counts_hp[:nslices + 2], "i8")
+            mroot.attrs.set("aemitIndex.offset",
+                            np.concatenate([[0], np.cumsum(counts_hp)]),
+                            "i8")
+            log.info("Writing a catalog to %s [HEALPIX]", filebase)
+            log.info("Writing %d objects.", len(ids))
+
         for kind, want in (("fof", p.write_fof), ("rfof", p.write_rfof)):
             tail = state["tail_" + kind]
             flush = (event.whence == ev.TIMESTEP_END and tail is not None
@@ -582,28 +621,6 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
         offset = np.concatenate([[0], np.cumsum(counts)])
         root.attrs.set("aemitIndex.offset", offset, "i8")
         log.info("Writing %d objects.", int(keep.sum()))
-
-        # HEALPix shell maps (io.c:1073-1227)
-        nside = int(p.lc_usmesh_healpix_nside)
-        if nside > 0 and len(rec["aemit"]):
-            from .healpix import paint_hpmap, nside2npix
-            ids, values, amid = paint_hpmap(rec["x"], rec["aemit"],
-                                            nside, nslices)
-            blocks = (("ID", ids.astype(np.int64)),
-                      ("Value", values.astype(np.float32)),
-                      ("Aemit", amid.astype(np.float32)))
-            if not bf.has_block("HealpixMap/ID"):
-                for name, arr in blocks:
-                    bf.create_block("HealpixMap/" + name, arr)
-                mroot = bf.open_block("HealpixMap")
-                mroot.attrs.set("healpix.nside", np.int64(nside), "i8")
-                mroot.attrs.set("healpix.npix",
-                                np.int64(nside2npix(nside)), "i8")
-                mroot.attrs.set("healpix.nslices", np.int64(nslices), "i8")
-                mroot.attrs.set("healpix.scheme", "RING")
-            else:
-                for name, arr in blocks:
-                    bf.open_block("HealpixMap/" + name).append(arr)
 
     mesh.event_handlers.on(ev.EVENT_LIGHTCONE_READY, ev.STAGE_AFTER, ready)
 

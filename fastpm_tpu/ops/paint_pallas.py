@@ -463,30 +463,58 @@ def _paint_kernel4(ranges_ref,      # SMEM (1, 2, 2) i32: [p] -> (s, e)
                 valid = (gidx >= s) & (gidx < e)
                 rel0 = jnp.where(valid, cells - base_target, -2)
                 acc = acc_scratch[...]
-                for ci, d in enumerate(deltas):
-                    rel = jnp.where(valid, rel0 + d, -1)
-                    hi = rel >> 7
-                    lo = rel & 127
+
+                def deposit(acc, A_bf16, B):
                     # the one-hot A is exact in bf16; split the f32
                     # weights into bf16 hi+lo and run two single-pass
                     # dots instead of one 6-pass HIGHEST dot (3x less
-                    # MXU work, ~2^-18 relative splitting error)
-                    A = (hi == hi_row).astype(jnp.bfloat16)
-                    # mask in f32 (Mosaic cannot relayout the i1 mask to
-                    # bf16 tiling), then split the masked weights
-                    B = jnp.where(lo == lo_row, w_scratch[slot, ci], 0.0)
+                    # MXU work, ~2^-18 relative splitting error). Mask
+                    # in f32 first (Mosaic cannot relayout the i1 mask
+                    # to bf16 tiling).
                     B_hi = B.astype(jnp.bfloat16)
                     B_lo = (B - B_hi.astype(jnp.float32)
                             ).astype(jnp.bfloat16)
-                    acc = acc + jax.lax.dot_general(
-                        A, B_hi,
+                    return acc + jax.lax.dot_general(
+                        A_bf16, B_hi,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ) + jax.lax.dot_general(
-                        A, B_lo,
+                        A_bf16, B_lo,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
+
+                # corner-PAIR sharing: z-adjacent corners (d, d+1)
+                # deposit through ONE dot with a combined lane mask;
+                # the lane-127 crossing of corner d+1 (-> row hi+1,
+                # lane 0) goes through a shared fix dot (nzp odd: the
+                # two pairs never cross for the same particle). 3 dots
+                # (x2 split) per round instead of 4.
+                his, crossings, w_cross = [], [], None
+                for pi, d in enumerate((0, nzp)):
+                    rel = jnp.where(valid, rel0 + d, -1)
+                    hi = rel >> 7
+                    lo = rel & 127
+                    his.append(hi)
+                    cross = (lo == 127) & valid
+                    crossings.append(cross)
+                    A = (hi == hi_row).astype(jnp.bfloat16)
+                    # lo+1 == 128 matches no lane: crossing columns
+                    # fall out of B automatically
+                    B = (jnp.where(lo == lo_row,
+                                   w_scratch[slot, 2 * pi], 0.0)
+                         + jnp.where(lo + 1 == lo_row,
+                                     w_scratch[slot, 2 * pi + 1], 0.0))
+                    acc = deposit(acc, A, B)
+                    wc = jnp.where(cross, w_scratch[slot, 2 * pi + 1],
+                                   0.0)
+                    w_cross = wc if w_cross is None else w_cross + wc
+                hifix = jnp.where(
+                    crossings[0], his[0] + 1,
+                    jnp.where(crossings[1], his[1] + 1, -1))
+                A_fix = (hifix == hi_row).astype(jnp.bfloat16)
+                B_fix = jnp.where(lo_row == 0, w_cross, 0.0)
+                acc = deposit(acc, A_fix, B_fix)
                 acc_scratch[...] = acc
                 return carry
 

@@ -451,53 +451,71 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                 gidx = start + lane
                 valid = (gidx >= s) & (gidx < e)
                 rel0 = jnp.where(valid, cells - base_target, -2)
-                acc = [None, None, None]
-                for ci, d in enumerate(deltas):
-                    rel = rel0 + d
-                    rel = jnp.where(valid, rel, -1)
-                    hi = rel >> 7
-                    lo = rel & 127
-                    Bm = (lo == lo_row)
-                    weights = w_scratch[slot, ci]      # (1, K)
+
+                # corner-PAIR sharing: the z-adjacent corner deltas
+                # (d, d+1) share one row-gather dot -- corner d+1 reads
+                # lane lo+1 of the same tmp. The lane-127 crossing
+                # (lo == 127 -> row hi+1, lane 0) is handled by ONE
+                # shared fix dot: nzp is odd, so the two pairs never
+                # cross for the same particle. 3 dots per comp instead
+                # of 4.
+                his, los, crossings = [], [], []
+                for pi, d in enumerate((0, nzp)):
+                    rel = jnp.where(valid, rel0 + d, -1)
+                    his.append(rel >> 7)
+                    los.append(rel & 127)
+                    # invalid lanes have rel = -1 -> lo = 127; they must
+                    # NOT take the fix row (their tmp columns are zero)
+                    crossings.append(((rel & 127) == 127) & valid)
+                hifix = jnp.where(
+                    crossings[0], his[0] + 1,
+                    jnp.where(crossings[1], his[1] + 1, -1))
+
+                def gather(block, hi_idx):
                     if gather_mode == "split":
-                        # the one-hot operand is exact in bf16, so split
-                        # the f32 canvas block into bf16 hi+lo parts and
-                        # run 2 single-pass dots instead of one 6-pass
-                        # HIGHEST dot (3x less MXU work; reconstruction
-                        # error ~2^-18 relative)
-                        A = (hi == hi_row).astype(jnp.bfloat16)
-                    else:
-                        A = (hi == hi_row).astype(jnp.float32)
-                    for comp in range(3):
-                        block = canvas_scratch[comp]
-                        if gather_mode == "split":
-                            b_hi = block.astype(jnp.bfloat16)
-                            b_lo = (block - b_hi.astype(jnp.float32)
-                                    ).astype(jnp.bfloat16)
-                            tmp = jax.lax.dot_general(
-                                b_hi, A,
-                                dimension_numbers=(((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            ) + jax.lax.dot_general(
-                                b_lo, A,
-                                dimension_numbers=(((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )
-                        else:
-                            tmp = jax.lax.dot_general(
-                                block, A,
-                                dimension_numbers=(((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=(jax.lax.Precision.HIGHEST
-                                           if gather_mode == "highest"
-                                           else jax.lax.Precision.HIGH))
-                        sel = jnp.where(Bm, tmp, 0.0)
-                        v = jnp.sum(sel, axis=0, keepdims=True) * weights
-                        acc[comp] = v if acc[comp] is None \
-                            else acc[comp] + v
+                        A = (hi_idx == hi_row).astype(jnp.bfloat16)
+                        b_hi = block.astype(jnp.bfloat16)
+                        b_lo = (block - b_hi.astype(jnp.float32)
+                                ).astype(jnp.bfloat16)
+                        return jax.lax.dot_general(
+                            b_hi, A,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) + jax.lax.dot_general(
+                            b_lo, A,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    return jax.lax.dot_general(
+                        block, (hi_idx == hi_row).astype(jnp.float32),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=(jax.lax.Precision.HIGHEST
+                                   if gather_mode == "highest"
+                                   else jax.lax.Precision.HIGH))
+
                 for comp in range(3):
+                    block = canvas_scratch[comp]
+                    fixrow = gather(block, hifix)[0:1, :]   # lane 0
+                    acc = None
+                    for pi in range(2):
+                        tmp = gather(block, his[pi])
+                        lo = los[pi]
+                        v_even = jnp.sum(
+                            jnp.where(lo == lo_row, tmp, 0.0),
+                            axis=0, keepdims=True)
+                        # lo+1 == 128 matches no lane: crossing columns
+                        # contribute 0 here and take the fix row instead
+                        v_odd = jnp.sum(
+                            jnp.where(lo + 1 == lo_row, tmp, 0.0),
+                            axis=0, keepdims=True)
+                        v_odd = v_odd + jnp.where(crossings[pi],
+                                                  fixrow, 0.0)
+                        v = (v_even * w_scratch[slot, 2 * pi]
+                             + v_odd * w_scratch[slot, 2 * pi + 1])
+                        acc = v if acc is None else acc + v
                     val_scratch[slot, comp] = \
-                        val_scratch[slot, comp] + acc[comp]
+                        val_scratch[slot, comp] + acc
                 for cp in make_out_copies(slot, r):
                     cp.start()
                 return carry
