@@ -256,26 +256,85 @@ def _readout_homed(pm: PM, nloc: int, H: int, r0, x, fields_ext):
     return jnp.stack(outs, axis=-1)
 
 
+def _hop_perms(nproc: int, m: int):
+    """(to_left_by_m, to_right_by_m) ppermute permutations."""
+    to_left = [(i, (i - m) % nproc) for i in range(nproc)]
+    to_right = [(i, (i + m) % nproc) for i in range(nproc)]
+    return to_left, to_right
+
+
 def _halo_reduce(canvas_ext, axis: str, nloc: int, H: int, nproc: int):
     """Ghost reduce: add each device's halo blocks into the neighbors'
-    interiors, return the complete interior slab (nloc, Ny, Nz)."""
-    to_left, to_right = _ring_perms(nproc)
-    # my planes [0, H) belong to the left neighbor's interior tail
-    from_right = jax.lax.ppermute(canvas_ext[:H], axis, to_left)
-    # my planes [nloc+H, nloc+2H+1) belong to the right neighbor's head
-    from_left = jax.lax.ppermute(canvas_ext[nloc + H:], axis, to_right)
-    c = canvas_ext.at[nloc:nloc + H].add(from_right)
-    c = c.at[H:2 * H + 1].add(from_left)
+    interiors, return the complete interior slab (nloc, Ny, Nz).
+
+    Multi-hop: when H spans more than one slab (H >= nloc), the ghost
+    block is split into per-neighbor pieces sent m hops along the ring
+    (the reference's pm_ghosts can also reach non-adjacent ranks,
+    pmghosts.c:31-131). Requires ceil((H+1)/nloc) <= nproc - 1 ghosts
+    per side (checked by the caller's halo ladder) unless nproc == 1,
+    where every hop wraps to self (periodic fold)."""
+    c = canvas_ext
+    R = max(1, -(-H // nloc)) if H else 0
+    Rr = max(1, -(-(H + 1) // nloc))
+    for m in range(1, R + 1):
+        to_left, _ = _hop_perms(nproc, m)
+        # my ghost planes belonging to the m-th left neighbor:
+        # globals [r0 - min(H, m nloc), r0 - (m-1) nloc)
+        a = H - min(H, m * nloc)
+        b = H - (m - 1) * nloc
+        if b <= a:
+            continue
+        blk = jax.lax.ppermute(c[a:b], axis, to_left)
+        # lands on the receiver's interior tail: ext indices
+        # [H + max(0, m nloc - H), H + nloc)
+        lo = H + max(0, m * nloc - H)
+        c = c.at[lo:H + nloc].add(blk)
+    for m in range(1, Rr + 1):
+        _, to_right = _hop_perms(nproc, m)
+        # my right ghost piece for the m-th right neighbor:
+        # globals [r0 + m nloc, r0 + min(nloc + H + 1, (m+1) nloc))
+        a = m * nloc + H
+        b = min(nloc + H + 1, (m + 1) * nloc) + H
+        if b <= a:
+            continue
+        blk = jax.lax.ppermute(c[a:b], axis, to_right)
+        # lands on the receiver's interior head: [H, H + (b - a))
+        c = c.at[H:H + (b - a)].add(blk)
     return c[H:H + nloc]
 
 
 def _halo_gather(field_slab, axis: str, nloc: int, H: int, nproc: int):
     """Readout mirror of _halo_reduce: extend the local slab with H
-    planes from the left neighbor's tail and H+1 from the right's head."""
-    to_left, to_right = _ring_perms(nproc)
-    from_left = jax.lax.ppermute(field_slab[nloc - H:], axis, to_right)
-    from_right = jax.lax.ppermute(field_slab[:H + 1], axis, to_left)
-    return jnp.concatenate([from_left, field_slab, from_right], axis=0)
+    planes from the left side and H+1 from the right, fetching from as
+    many neighbors as the halo spans."""
+    R = max(1, -(-H // nloc)) if H else 0
+    Rr = max(1, -(-(H + 1) // nloc))
+    left_parts = []
+    for m in range(R, 0, -1):
+        _, to_right = _hop_perms(nproc, m)
+        # ext planes [H - min(H, m nloc), H - (m-1) nloc) come from the
+        # m-th left neighbor's interior tail
+        a = H - min(H, m * nloc)
+        b = H - (m - 1) * nloc
+        if b <= a:
+            continue
+        # the sender's planes [max(0, m nloc - H), nloc)
+        lo = max(0, m * nloc - H)
+        piece = field_slab[lo:nloc]
+        left_parts.append(jax.lax.ppermute(piece, axis, to_right))
+    right_parts = []
+    for m in range(1, Rr + 1):
+        to_left, _ = _hop_perms(nproc, m)
+        # ext planes [m nloc + H, min(nloc+H+1, (m+1) nloc) + H) come
+        # from the m-th right neighbor's head
+        a = m * nloc
+        b = min(nloc + H + 1, (m + 1) * nloc)
+        if b <= a:
+            continue
+        piece = field_slab[:b - a]
+        right_parts.append(jax.lax.ppermute(piece, axis, to_left))
+    return jnp.concatenate(left_parts + [field_slab] + right_parts,
+                           axis=0)
 
 
 def _force_local_homed(spm: SlabPM, x, kernel_type: str, H: int,
@@ -426,16 +485,22 @@ def _force_local_homed_multi(spm, xs, masses, kernel_type: str, H: int,
     return outs, bad, delta_k
 
 
-def halo_ladder(nloc: int):
-    """Candidate halo widths: powers of two capped at nloc - 1 (the +-1
-    neighbor exchange bound)."""
+def halo_ladder(nloc: int, n0: int = None):
+    """Candidate halo widths: powers of two up to the memory cap
+    ext = nloc + 2H + 1 <= n0 (the extended slab must not exceed the
+    full mesh -- beyond that the v1 full-canvas path is cheaper).
+    Multi-hop exchange lifts the old nloc - 1 bound."""
+    if n0 is None:
+        cap = nloc - 1
+    else:
+        cap = (n0 - nloc - 1) // 2
     out = []
     h = 2
-    while h < nloc - 1:
+    while h < cap:
         out.append(h)
         h *= 2
-    if nloc - 1 >= 1:
-        out.append(nloc - 1)
+    if cap >= 1:
+        out.append(cap)
     return out
 
 

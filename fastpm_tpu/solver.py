@@ -247,10 +247,10 @@ class Solver:
                 return None
             hreq = max(hreq, required_halo_planes(pm, self.mesh, p.x))
         nloc = pm.Nmesh[0] // nproc
-        for h in halo_ladder(nloc):
+        for h in halo_ladder(nloc, pm.Nmesh[0]):
             if h >= hreq:
                 return h
-        return None                          # beyond +-1 slab: v1
+        return None              # halo memory beats full canvas: v1
 
     def _sharded_force(self, pm: PM, stores):
         from jax.sharding import PartitionSpec

@@ -13,19 +13,23 @@ from fastpm_tpu.config.params import load_params
 from fastpm_tpu.diagnostics import Log
 
 
-@pytest.mark.slow
-def test_lightcone_golden_counts(tmp_path):
+def _run_config(tmp_path, fixture):
     src = open(os.path.join(os.path.dirname(__file__), "fixtures",
-                            "lightcone.lua")).read()
+                            fixture)).read()
     outdir = str(tmp_path / "out")
-    conf = tmp_path / "lightcone.lua"
+    conf = tmp_path / fixture
     conf.write_text(src.replace("OUTDIR", outdir))
 
     from fastpm_tpu import cli
     p = load_params(str(conf))
     log = Log(echo=False)
     cli.run_fastpm(p, log=log)
+    return log
 
+
+@pytest.mark.slow
+def test_lightcone_golden_counts(tmp_path):
+    log = _run_config(tmp_path, "lightcone.lua")
     # run-test-lightcone.check: usmesh slice sizes, snapshot, and FOF
     goldens = [
         "Writing 422564 objects.",   # first usmesh slice (:23)
@@ -36,4 +40,30 @@ def test_lightcone_golden_counts(tmp_path):
         "Writing 52 objects.",       # z=0 FOF catalog
     ]
     for g in goldens:
+        assert log.contains(g), g
+
+
+FULL = os.environ.get("FASTPM_TPU_FULL_GOLDENS", "") == "1"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not FULL, reason="set FASTPM_TPU_FULL_GOLDENS=1 "
+                    "(verified in-session; ~13 min each)")
+def test_lightcone_healpix_golden_counts(tmp_path):
+    """run-test-lightcone-healpix.check: NEST shell-map pixel counts."""
+    log = _run_config(tmp_path, "lightcone-healpix.lua")
+    for g in ["Writing 20903 objects.", "Writing 24576 objects.",
+              "Writing 61170 objects.", "Writing 74426 objects.",
+              "Writing 422564 objects."]:
+        assert log.contains(g), g
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not FULL, reason="set FASTPM_TPU_FULL_GOLDENS=1 "
+                    "(verified in-session; ~13 min each)")
+def test_lightcone_rfof_golden_counts(tmp_path):
+    """run-test-lightcone-rfof.check: z=0 RFOF catalog size."""
+    log = _run_config(tmp_path, "lightcone-rfof.lua")
+    for g in ["Writing 27 objects.", "Writing 422564 objects.",
+              "Writing 200849 objects."]:
         assert log.contains(g), g

@@ -117,6 +117,29 @@ def test_required_halo_planes(mesh8):
 def test_halo_ladder():
     assert halo_ladder(4) == [2, 3]
     assert halo_ladder(64) == [2, 4, 8, 16, 32, 63]
+    # multi-hop: cap is the ext <= n0 memory bound
+    assert halo_ladder(4, 32) == [2, 4, 8, 13]
+    assert halo_ladder(64, 512) == [2, 4, 8, 16, 32, 64, 128, 223]
+
+
+def test_homed_multihop_matches_global_force(mesh8):
+    """Halo widths spanning SEVERAL slabs (H > nloc) still reproduce
+    the global force: the multi-hop ghost exchange
+    (pmghosts.c:31-131's non-adjacent-rank reach)."""
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)     # nloc = 4 on 8 devices
+    x = jittered_lattice(nc, box, jitter_cells=6.5, seed=9)
+
+    painter = Painter(pm, "cic", 2)
+    (ref_store,), _ = compute_force(pm, painter, [Store(x=x, M0=1.0)],
+                                    "1_4")
+    for H in (7, 8, 13):      # 2-4 hops
+        acc, bad = homed_force(pm, mesh8, x, H)
+        assert int(bad) == 0, H
+        np.testing.assert_allclose(np.asarray(acc),
+                                   np.asarray(ref_store.acc),
+                                   atol=1e-5, err_msg=f"H={H}")
 
 
 def test_solver_uses_homed_path(mesh8):
