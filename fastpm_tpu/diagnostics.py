@@ -20,17 +20,38 @@ __all__ = ["attach_standard_handlers", "Log"]
 
 class Log:
     """Collects fastpm_info-style lines; print and/or retain for golden
-    checks."""
+    checks. Supports a pluggable handler stack like the reference's
+    fastpm_push/pop_msg_handler (logging.c:113-120): push a callable to
+    intercept lines (e.g. silence a noisy section or tee to a file),
+    pop to restore the previous behavior."""
 
     def __init__(self, echo: bool = True):
         self.lines = []
         self.echo = echo
+        self._handlers = []
 
     def info(self, fmt, *args):
         line = fmt % args if args else fmt
         self.lines.append(line)
-        if self.echo:
+        if self._handlers:
+            self._handlers[-1](line)
+        elif self.echo:
             print(line)
+
+    def push_handler(self, fn) -> None:
+        """fn(line) replaces the default echo until popped
+        (fastpm_push_msg_handler)."""
+        self._handlers.append(fn)
+
+    def pop_handler(self) -> None:
+        if not self._handlers:
+            raise RuntimeError("handler stack is empty "
+                               "(fastpm_pop_msg_handler contract)")
+        self._handlers.pop()
+
+    @staticmethod
+    def void_handler(line) -> None:
+        """Discard (fastpm_void_msg_handler)."""
 
     def contains(self, text: str) -> bool:
         return any(text in l for l in self.lines)

@@ -368,21 +368,36 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                      cell_scratch,   # VMEM (2, 1, K) i32
                      w_scratch,      # VMEM (2, 4, 1, K) f32
                      val_scratch,    # VMEM (2, 3, 1, K) f32
+                     carry_scratch,  # VMEM (2, 3, 1, K) f32 per-pass carry
+                     carry_id,       # SMEM (2,) i32 carried chunk (-1 none)
                      csem,           # DMA sem () canvas
-                     sems,           # DMA sems (2, 5): cell, w8, val x3
+                     sems,           # DMA sems (2, 5): cell, w8
                      wsems,          # DMA sems (2, 3)
+                     fsem,           # DMA sems (2,) carry flush
                      *, K, C, CLh, HR, nyp, nzp, gather_mode="split"):
     """4-corners-per-pass variant: pass p = dx handles the corner
     quadruple delta = (0, 1, nzp, nzp+1) against ONE halo'd canvas
     block, so the chunk loop runs 4x fewer rounds than the per-corner
-    kernel (the rounds are sync-bound, not MXU-bound)."""
+    kernel.
+
+    Value chunks are WRITE-ONLY: per-(window, pass) the chunk ranges
+    tile the sorted particle array, so only the boundary chunk is
+    shared between consecutive windows -- its partial sums ride in a
+    VMEM carry (consumed when the next window's first chunk matches,
+    flushed otherwise). This removes the val read DMA and its
+    write-after-read hazards from every round."""
     del val_io
     w = pl.program_id(0)
+    nw = pl.num_programs(0)
     base_window = w * C
     hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, K), 0)
     lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    deltas = (0, 1, nzp, nzp + 1)
+
+    @pl.when(w == 0)
+    def _init_carry():
+        carry_id[0] = -1
+        carry_id[1] = -1
 
     # one halo'd canvas block per window, shared by both passes
     ccopy = pltpu.make_async_copy(
@@ -390,6 +405,19 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
         canvas_scratch, csem)
     ccopy.start()
     ccopy.wait()
+
+    def flush_carry(p):
+        """Write the carried chunk of pass p to HBM and clear it."""
+        cid = carry_id[p]
+
+        @pl.when(cid >= 0)
+        def _go():
+            cp = pltpu.make_async_copy(
+                carry_scratch.at[p],
+                out_ref.at[pl.ds(p * 3, 3), :, pl.ds(cid * K, K)],
+                fsem.at[p])
+            cp.start()
+            cp.wait()
 
     for p in range(2):
         base_off = p * nyp * nzp
@@ -402,18 +430,13 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
 
         def make_in_copies(slot, r, j0=j0, p=p):
             start = pl.multiple_of((j0 + r) * K, 128)
-            # the value rows for all 3 components move in ONE DMA
-            # (a leading-dim slice of 3 rows is tiling-legal)
             return [pltpu.make_async_copy(
                         cell_hbm.at[:, pl.ds(start, K)],
                         cell_scratch.at[slot], sems.at[slot, 0]),
                     pltpu.make_async_copy(
                         w8T_hbm.at[pl.ds(4 * p, 4), :,
                                    pl.ds(start, K)],
-                        w_scratch.at[slot], sems.at[slot, 1]),
-                    pltpu.make_async_copy(
-                        out_ref.at[pl.ds(p * 3, 3), :, pl.ds(start, K)],
-                        val_scratch.at[slot], sems.at[slot, 2])]
+                        w_scratch.at[slot], sems.at[slot, 1])]
 
         def make_out_copies(slot, r, j0=j0, p=p):
             start = pl.multiple_of((j0 + r) * K, 128)
@@ -430,6 +453,25 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
             for cp in make_in_copies(0, 0):
                 cp.start()
 
+            # consume the carry if it is this pass's first chunk,
+            # flush it otherwise (the ranges tile the sorted array, so
+            # an unconsumed carry can never be touched again)
+            cid = carry_id[p]
+
+            @pl.when(cid == j0)
+            def _consume():
+                val_scratch[0] = carry_scratch[p]
+
+            @pl.when((cid >= 0) & (cid != j0))
+            def _flush(p=p):
+                flush_carry(p)
+
+            @pl.when(cid != j0)
+            def _zero0():
+                val_scratch[0] = jnp.zeros_like(val_scratch[0])
+
+            carry_id[p] = -1
+
             def body(r, carry):
                 slot = r % 2
                 nxt = (r + 1) % 2
@@ -440,6 +482,7 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                     def _drain():
                         for cp in make_out_copies(nxt, r - 1):
                             cp.wait()
+                    val_scratch[nxt] = jnp.zeros_like(val_scratch[nxt])
                     for cp in make_in_copies(nxt, r + 1):
                         cp.start()
 
@@ -516,19 +559,35 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                         acc = v if acc is None else acc + v
                     val_scratch[slot, comp] = \
                         val_scratch[slot, comp] + acc
-                for cp in make_out_copies(slot, r):
-                    cp.start()
+
+                # completed chunks are written back (write-only, no
+                # hazard: chunks within a pass are disjoint); the LAST
+                # chunk is held in the carry for the next window
+                @pl.when(r + 1 < nrounds)
+                def _writeback():
+                    for cp in make_out_copies(slot, r):
+                        cp.start()
+
+                @pl.when(r + 1 == nrounds)
+                def _hold(p=p):
+                    carry_scratch[p] = val_scratch[slot]
+                    carry_id[p] = j0 + r
                 return carry
 
             jax.lax.fori_loop(0, nrounds, body, 0)
-            for cp in make_out_copies((nrounds - 1) % 2, nrounds - 1):
-                cp.wait()
-
+            # drain the last started write-back (round nrounds-2); all
+            # earlier ones were drained by the prefetch steps
             @pl.when(nrounds > 1)
-            def _drain_prev():
+            def _drain_last():
                 for cp in make_out_copies((nrounds - 2) % 2,
                                           nrounds - 2):
                     cp.wait()
+
+    # final window: flush both passes' carries
+    @pl.when(w == nw - 1)
+    def _final_flush():
+        for p in range(2):
+            flush_carry(p)
 
 
 def make_readout3_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
@@ -572,9 +631,12 @@ def make_readout3_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
                 pltpu.VMEM((2, 1, K), jnp.int32),
                 pltpu.VMEM((2, 4, 1, K), jnp.float32),
                 pltpu.VMEM((2, 3, 1, K), jnp.float32),
+                pltpu.VMEM((2, 3, 1, K), jnp.float32),
+                pltpu.SMEM((2,), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA((2, 5)),
                 pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             out_shape=jax.ShapeDtypeStruct((6, 1, n_padded),
                                            jnp.float32),
@@ -660,9 +722,12 @@ def make_readout3_from4_homed_fn(shape, K: int = 1024, C: int = 8192,
                 pltpu.VMEM((2, 1, K), jnp.int32),
                 pltpu.VMEM((2, 4, 1, K), jnp.float32),
                 pltpu.VMEM((2, 3, 1, K), jnp.float32),
+                pltpu.VMEM((2, 3, 1, K), jnp.float32),
+                pltpu.SMEM((2,), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA((2, 5)),
                 pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             out_shape=(jax.ShapeDtypeStruct((6, 1, n_padded),
                                             jnp.float32)
