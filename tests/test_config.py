@@ -9,6 +9,12 @@ from fastpm_tpu.config.params import (load_params, load_params_from_string,
                                       SchemaError)
 
 REF = "/root/reference/tests"
+# Tests below that read the reference's own Lua param files validate the
+# mini-Lua interpreter against real upstream inputs; they skip when the
+# reference tree is absent (everything else runs from vendored fixtures).
+needs_reference = pytest.mark.skipif(
+    not __import__("os").path.isdir(REF),
+    reason="reference tree not available")
 
 
 def test_lua_basics():
@@ -95,6 +101,7 @@ read_powerspectrum = '/root/repo/tests/fixtures/powerspec.txt'
     assert p.time_step == pytest.approx([0.1, 0.325, 0.55, 0.775, 1.0])
 
 
+@needs_reference
 def test_all_reference_configs_load():
     for name, args in [
         ("lightcone.lua", []),
@@ -119,6 +126,7 @@ def test_all_reference_configs_load():
         assert p.nc == 128
 
 
+@needs_reference
 def test_standard_lua_argument_branches():
     p = load_params(f"{REF}/standard.lua", ["za"])
     assert p.za is True and p.force_mode == "pm" and p.time_step == [1.0]
@@ -134,6 +142,7 @@ def lua_to_py_modes(modes):
     return [[float(x) for x in m] for m in modes]
 
 
+@needs_reference
 def test_wcdm_cosmology_params():
     p = load_params(f"{REF}/nbodykit-wCDM.lua", [])
     assert p.w0 != -1.0 or p.wa != 0.0
@@ -198,6 +207,7 @@ end
     assert p.nc == 16         # main executed
 
 
+@needs_reference
 def test_main_lua_tool(capsys):
     from fastpm_tpu.cli import main_lua
     main_lua(["-H"])
