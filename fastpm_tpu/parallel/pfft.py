@@ -48,11 +48,20 @@ class SlabPM:
     methods intended to be called INSIDE shard_map over `mesh`.
     """
 
-    def __init__(self, pm: PM, mesh: Mesh, axis: str = "x"):
+    def __init__(self, pm: PM, mesh: Mesh, axis="x"):
+        """axis may be a single mesh axis name or a TUPLE of names --
+        the latter treats a multi-axis mesh as one flattened ring
+        (collectives and axis_index accept tuples), which lets the
+        slab decomposition and its homed halo exchange run on a 2D
+        device mesh."""
         self.pm = pm
         self.mesh = mesh
-        self.axis = axis
-        self.nproc = mesh.shape[axis]
+        self.axis = tuple(axis) if isinstance(axis, (tuple, list)) \
+            else axis
+        if isinstance(self.axis, tuple):
+            self.nproc = int(np.prod([mesh.shape[a] for a in self.axis]))
+        else:
+            self.nproc = mesh.shape[self.axis]
         n0, n1, n2 = pm.Nmesh
         if n0 % self.nproc or n1 % self.nproc:
             raise ValueError("Nmesh must divide the device mesh "

@@ -231,16 +231,17 @@ class Solver:
         """Choose the halo width for the homed slab force: the smallest
         ladder value covering the measured maximum displacement of ANY
         species, or None when the v1 full-canvas path is required
-        (pencil mesh, uneven particle split, non-CIC painter, or
-        displacement beyond one slab)."""
+        (uneven particle/mesh split, non-CIC painter, or halo memory
+        exceeding the full canvas). On a 2D mesh the homed engine runs
+        the slab decomposition over the FLATTENED device ring (index
+        sharding is x-slab homing in either case)."""
         from .parallel.psolver import required_halo_planes, halo_ladder
-        if len(self.mesh.axis_names) != 1:
-            return None                      # pencil: v1 for now
         if self.config.painter_type != "cic":
             return None                      # homed paint is CIC-only
-        nproc = self.mesh.shape[self.mesh.axis_names[0]]
-        if pm.Nmesh[0] % nproc:
-            return None
+        nproc = int(np.prod([self.mesh.shape[a]
+                             for a in self.mesh.axis_names]))
+        if pm.Nmesh[0] % nproc or pm.Nmesh[1] % nproc:
+            return None                      # slab k layout needs both
         hreq = 1
         for p in stores:
             if int(p.x.shape[0]) % nproc:
@@ -254,7 +255,7 @@ class Solver:
 
     def _sharded_force(self, pm: PM, stores):
         from jax.sharding import PartitionSpec
-        from .parallel.pfft import make_engine
+        from .parallel.pfft import make_engine, SlabPM
         from .parallel.psolver import (_force_local_multi,
                                        _force_local_homed_multi,
                                        particle_spec, deltak_spec)
@@ -266,7 +267,13 @@ class Solver:
         key = (pm.cache_key, H, has_col, M0s)
         fn = self._sharded_force_cache.get(key)
         if fn is None:
-            spm = make_engine(pm, self.mesh)
+            names = tuple(self.mesh.axis_names)
+            if H is not None:
+                # homed: slab engine over the flattened device ring
+                spm = SlabPM(pm, self.mesh,
+                             axis=names[0] if len(names) == 1 else names)
+            else:
+                spm = make_engine(pm, self.mesh)
             painter = Painter(pm, cfg.painter_type, cfg.painter_support)
             kernel_type = cfg.kernel_type
             softening = cfg.softening_type

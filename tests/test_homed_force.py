@@ -210,6 +210,52 @@ def test_homed_pallas_matches_xla(mesh8):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_homed_on_2d_mesh():
+    """The homed slab engine runs over the FLATTENED ring of a 2D
+    device mesh (tuple-axis collectives) and matches the global
+    force; the Solver picks it automatically."""
+    from fastpm_tpu.solver import Solver, SolverConfig
+    from fastpm_tpu.cosmology import Cosmology
+    from fastpm_tpu.powerspectrum import FuncK
+    from fastpm_tpu import ic
+
+    mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)
+    x = jittered_lattice(nc, box, jitter_cells=1.5, seed=13)
+    spm = SlabPM(pm, mesh2d, axis=("x", "y"))
+    spec = particle_spec(mesh2d)
+
+    def local(xx):
+        return _force_local_homed(spm, xx, "1_4", 3)
+
+    fn = jax.jit(jax.shard_map(local, mesh=mesh2d, in_specs=spec,
+                               out_specs=(spec, P()), check_vma=False))
+    acc, bad = fn(x)
+    assert int(bad) == 0
+
+    painter = Painter(pm, "cic", 2)
+    (ref_store,), _ = compute_force(pm, painter, [Store(x=x, M0=1.0)],
+                                    "1_4")
+    np.testing.assert_allclose(np.asarray(acc),
+                               np.asarray(ref_store.acc), atol=1e-5)
+
+    # solver-level: a 2D mesh picks the homed path for gentle
+    # displacements
+    cosmo = Cosmology(h=0.6774, Omega_m=0.307494, T_cmb=0.0,
+                      growth_mode="lcdm")
+    cfg = SolverConfig(nc=32, boxsize=640.0, time_step=[0.3, 1.0],
+                       force_mode="fastpm", pm_nc_factor=1)
+    pk = FuncK.from_file("/root/repo/tests/fixtures/powerspec.txt")
+    s = Solver(cfg, cosmo, mesh=mesh2d)
+    dk, _ = ic.linear_field(s.lptpm, cosmo, pk, seed=9, aout=1.0)
+    s.setup_lpt(dk, 0.3)
+    s.evolve()
+    hs = [k[1] for k in s._sharded_force_cache]
+    assert any(h is not None for h in hs), hs
+
+
 def test_homed_memory_scales(mesh8):
     """The homed program's per-device temporaries stay O(Nmesh^3/P):
     its peak temp allocation is several times smaller than the v1
