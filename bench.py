@@ -19,17 +19,13 @@ import time
 import numpy as np
 
 
-def main():
+def run_one(nc: int, b: int, nsteps: int):
     import jax
     import jax.numpy as jnp
     from fastpm_tpu.mesh import PM
     from fastpm_tpu.benchlib import make_step_fn, example_particles
 
-    nc = int(os.environ.get("BENCH_NC", "256"))
-    b = int(os.environ.get("BENCH_B", "2"))       # pm_nc_factor
-    nsteps = int(os.environ.get("BENCH_STEPS", "5"))
     box = 1.0 * nc
-
     pm = PM(nc * b, box)
     step = make_step_fn(pm, donate=False)
     x, v = example_particles(nc, box, seed=0)
@@ -46,10 +42,28 @@ def main():
         x1, v1, acc = step(x1, v1, coeffs)
     _ = float(jnp.sum(x1))
     dt = time.perf_counter() - t0
+    return nc ** 3 * nsteps / dt
 
-    nparticles = nc ** 3
-    rate = nparticles * nsteps / dt
+
+def main():
+    nc = int(os.environ.get("BENCH_NC", "256"))
+    b = int(os.environ.get("BENCH_B", "2"))       # pm_nc_factor
+    nsteps = int(os.environ.get("BENCH_STEPS", "5"))
     baseline = 1024 ** 3 * 40 / (60.0 * 16)  # north-star per-chip rate
+
+    if os.environ.get("BENCH_MATRIX"):
+        # scaling curve over (nc, B); one json line per config
+        for nc_i, b_i in ((128, 2), (256, 1), (256, 2), (256, 3),
+                          (320, 2)):
+            rate = run_one(nc_i, b_i, nsteps)
+            print(json.dumps({
+                "metric": f"pm_step_{nc_i}^3_B{b_i}",
+                "value": round(rate, 1),
+                "unit": "particle-steps/s",
+                "vs_baseline": round(rate / baseline, 4)}))
+        return
+
+    rate = run_one(nc, b, nsteps)
     result = {
         "metric": f"pm_step_{nc}^3_B{b}_particle_steps_per_sec",
         "value": round(rate, 1),
