@@ -21,6 +21,8 @@ import numpy as np
 
 def run_one(nc: int, b: int, nsteps: int):
     import jax
+    from fastpm_tpu.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from fastpm_tpu.mesh import PM
     from fastpm_tpu.benchlib import make_step_fn, example_particles
@@ -53,7 +55,9 @@ def main():
 
     if os.environ.get("BENCH_MATRIX"):
         # scaling curve over (nc, B); one json line per config
-        for nc_i, b_i in ((128, 2), (256, 1), (256, 2), (256, 3),
+        # 256^3 B3 (768^3 mesh) exceeds this chip's 16 GB HBM (the
+        # packed-pair iFFT holds a full complex field); use 192^3 B3
+        for nc_i, b_i in ((128, 2), (256, 1), (256, 2), (192, 3),
                           (320, 2)):
             rate = run_one(nc_i, b_i, nsteps)
             print(json.dumps({

@@ -59,6 +59,10 @@ def build_config(p: Params) -> SolverConfig:
         compute_tidal=bool(p.get("compute_tidal", False)),
         np_alloc_factor=p.np_alloc_factor,
         rand_ntask=int(p.get("rand_ntask", 1)),
+        # rand is consumed by subsampled snapshots and lightcone
+        # subsampling only (src/fastpm.c:1025-1046, 1453)
+        need_rand=bool(p.particle_fraction < 1
+                       or p.lc_write_usmesh),
         pgdc=p.pgdc, pgdc_alpha0=p.pgdc_alpha0, pgdc_A=p.pgdc_A,
         pgdc_B=p.pgdc_B, pgdc_kl=p.pgdc_kl, pgdc_ks=p.pgdc_ks,
     )
@@ -803,6 +807,9 @@ def prepare_ncdm(solver: Solver, p: Params, a0: float, log: Log):
 
 
 def main(argv=None):
+    from .cache import enable_compilation_cache
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(
         prog="fastpm-tpu",
         description="TPU-native FastPM cosmological N-body solver")

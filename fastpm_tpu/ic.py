@@ -89,7 +89,7 @@ def remove_variance(dk):
 
 def induce_correlation(pm: PM, dk, pk: FuncK):
     """Multiply white noise by sqrt(P(k)/V) (initialcondition.c:42-64)."""
-    return transfers.apply_any(pm, dk, lambda k: np.sqrt(pk(k) / pm.Volume))
+    return transfers.apply_any(pm, dk, lambda k: jnp.sqrt(pk(k) / pm.Volume))
 
 
 def rescale_linear(pm: PM, dk, c: Cosmology, aout: float,
@@ -119,6 +119,15 @@ def linear_field(pm: PM, c: Cosmology, pk: FuncK, seed: int, aout: float,
     if inverted:
         dk = -dk
     variance = pm.compute_variance(dk)
-    dk = induce_correlation(pm, dk, pk)
-    dk = rescale_linear(pm, dk, c, aout, linear_density_redshift)
+    # one jitted program for induce + rescale: eager dispatch is costly
+    # over the tunneled device, and the FuncK evaluation traces onto
+    # the device (the host has a single CPU core)
+    import jax
+
+    @jax.jit
+    def _shape(d):
+        d = induce_correlation(pm, d, pk)
+        return rescale_linear(pm, d, c, aout, linear_density_redshift)
+
+    dk = _shape(dk)
     return dk, variance

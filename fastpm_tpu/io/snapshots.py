@@ -139,7 +139,8 @@ def write_snapshot(path: str, c: Cosmology, species: Dict[str, Store],
     for name, p in species.items():
         keep = None
         if particle_fraction < 1.0 and p.rand is not None:
-            keep = np.asarray(p.rand) < particle_fraction
+            # reference keeps on rand <= fraction (store.c:977)
+            keep = np.asarray(p.rand) <= particle_fraction
         write_species(bf, SPECIES_DATASET[name], p, Nfile=Nfile,
                       sort_by_id=sort_by_id, keep_mask=keep)
     return rsd

@@ -69,10 +69,19 @@ def _diff_kernel(w: np.ndarray) -> np.ndarray:
     return 1.0 / 6.0 * (8 * np.sin(w) - np.sin(2 * w))
 
 
+def _trace_clean() -> bool:
+    try:
+        from jax._src.core import trace_state_clean
+        return trace_state_clean()
+    except Exception:
+        return False
+
+
 class PM:
     """Mesh geometry + Fourier tables (no field storage)."""
 
     def __init__(self, Nmesh, BoxSize, dtype=jnp.float32):
+        self._dev_cache = {}
         if np.isscalar(Nmesh):
             Nmesh = (int(Nmesh),) * 3
         if np.isscalar(BoxSize):
@@ -141,7 +150,7 @@ class PM:
         return jnp.asarray(t.reshape(shape), dtype=self.dtype)
 
     @cached_property
-    def nyquist_mask(self):
+    def _nyquist_mask_np(self):
         """Boolean (kshape) mask of self-conjugate modes: every coordinate
         is 0 or Nyquist (used to zero odd diff kernels, gravity.c:48-56)."""
         masks = []
@@ -151,20 +160,20 @@ class PM:
             masks.append((i == (n - i) % n))
         m = (masks[0][:, None, None] & masks[1][None, :, None]
              & masks[2][None, None, :])
-        return jnp.asarray(m)
+        return m
 
     @cached_property
-    def hermitian_weights(self):
+    def _hermitian_weights_np(self):
         """Float (1,1,Nz/2+1) weights: 2 for modes whose conjugate lives
         outside the compressed array, 1 on the kz=0 and kz=Nyquist planes
         (powerspectrum.c:92-94, pm_compute_variance pmapi.c:290-308)."""
         nz = self.Nmesh[2]
         iz = np.arange(nz // 2 + 1)
         w = np.where((iz == 0) | (iz == nz // 2), 1.0, 2.0)
-        return jnp.asarray(w[None, None, :], dtype=self.dtype)
+        return w[None, None, :].astype(np.float32)
 
     @cached_property
-    def integer_kk(self):
+    def _integer_kk_np(self):
         """Integer |ik|^2 on the k grid (int32), for shell binning."""
         out = 0
         for d in range(3):
@@ -174,7 +183,45 @@ class PM:
             shape = [1, 1, 1]
             shape[d] = len(i)
             out = out + (ii * ii).reshape(shape)
-        return jnp.asarray(out.astype(np.int32))
+        return out.astype(np.int32)
+
+    def _device_const(self, name: str, np_val):
+        """Device-resident copy of a cached numpy constant. Inside a
+        jit trace return the NUMPY value (it folds into the program as
+        a constant -- materializing a jnp array there would cache a
+        tracer on the PM and leak); outside, cache the device array so
+        eager callers do not re-upload it every call (134 MB per call
+        for a 512^3 mask over the axon tunnel)."""
+        if not _trace_clean():
+            return np_val
+        dev = self._dev_cache.get(name)
+        if dev is None:
+            dev = jnp.asarray(np_val)
+            self._dev_cache[name] = dev
+        return dev
+
+    @property
+    def nyquist_mask(self):
+        return self._device_const("nyquist", self._nyquist_mask_np)
+
+    @cached_property
+    def nyquist_masks_1d(self):
+        """The three 1D factors of the self-conjugate mask (numpy
+        bool); the 3D mask is their outer product."""
+        out = []
+        for d in range(3):
+            n = self.Nmesh[d]
+            i = np.arange(n if d < 2 else n // 2 + 1)
+            out.append(i == (n - i) % n)
+        return tuple(out)
+
+    @property
+    def hermitian_weights(self):
+        return self._device_const("hweights", self._hermitian_weights_np)
+
+    @property
+    def integer_kk(self):
+        return self._device_const("ikk", self._integer_kk_np)
 
     # ---- FFTs (pmpfft.c:370-399) ----
 
@@ -212,12 +259,36 @@ class PM:
     # ---- diagnostics ----
 
     def compute_variance(self, delta_k) -> float:
-        """sum of w |delta_k|^2 / Norm in float64 on host
-        (pm_compute_variance, pmapi.c:290-308)."""
-        dk = fetch_complex(delta_k)
-        w = np.asarray(self.hermitian_weights, dtype=np.float64)
-        v = np.sum((dk.real.astype(np.float64) ** 2
-                    + dk.imag.astype(np.float64) ** 2) * w)
+        """sum of w |delta_k|^2 / Norm (pm_compute_variance,
+        pmapi.c:290-308). Per-(x, y) column partial sums reduce on the
+        device (each a short f32 tree sum over the hermitian axis); the
+        final accumulation runs in float64 on host, preserving the
+        8-decimal golden while fetching Nx*Ny floats instead of the
+        full complex field (which costs minutes over the axon
+        tunnel)."""
+        if isinstance(delta_k, np.ndarray):
+            w = np.asarray(self.hermitian_weights, dtype=np.float64)
+            v = np.sum((delta_k.real.astype(np.float64) ** 2
+                        + delta_k.imag.astype(np.float64) ** 2) * w)
+            return float(v / self.Norm)
+        w32 = jnp.asarray(self._hermitian_weights_np)
+
+        # exact-split compensated reduction: terms y ~ O(1) split into
+        # hi (multiples of 2^-10, so per-column f32 sums stay EXACT up
+        # to 2^14) and the lo remainder (exact by Sterbenz). Only the
+        # (Nx, Ny) partials cross the device boundary; the f64 finish
+        # runs on host. Preserves the reference's 8-decimal golden
+        # without fetching the full field (minutes over the tunnel).
+        @jax.jit
+        def partials(dk):
+            y = (jnp.real(dk) ** 2 + jnp.imag(dk) ** 2) * w32
+            hi = jnp.floor(y * 1024.0) * jnp.float32(1.0 / 1024.0)
+            lo = y - hi
+            return jnp.sum(hi, axis=2), jnp.sum(lo, axis=2)
+
+        cols_hi, cols_lo = partials(delta_k)
+        v = (np.asarray(cols_hi, dtype=np.float64).sum()
+             + np.asarray(cols_lo, dtype=np.float64).sum())
         return float(v / self.Norm)
 
     @property

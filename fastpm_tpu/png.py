@@ -59,7 +59,8 @@ class PNGaussian:
         # 1. shape white noise into the primordial potential phi
         dk = transfers.apply_any(
             pm, delta_k, lambda k: np.sqrt(self.potential_power(k)
-                                           / pm.Volume))
+                                           / pm.Volume),
+            host_tables=True)
         # 2. phi -> phi + fNL (phi_trunc^2 - <phi_trunc^2>)
         g_x = pm.c2r(dk)
         g2k = transfers.apply_lowpass(pm, dk, self.kmax_primordial)
@@ -68,4 +69,4 @@ class PNGaussian:
         g_x = g_x + jnp.float32(self.fNL) * (g_x2 * g_x2 - avg_g2)
         dk = pm.r2c(g_x)
         # 3. transfer potential to matter overdensity
-        return transfers.apply_any(pm, dk, self.transfer_function)
+        return transfers.apply_any(pm, dk, self.transfer_function, host_tables=True)

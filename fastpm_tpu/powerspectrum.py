@@ -57,7 +57,14 @@ class FuncK:
             return cls.from_string(fp.read())
 
     def __call__(self, k):
-        """Vectorized evaluation; matches fastpm_funck_eval semantics."""
+        """Vectorized evaluation; matches fastpm_funck_eval semantics.
+        Accepts numpy (host, float64) OR jax arrays/tracers -- the jax
+        path runs the same formula on device (the host has one CPU
+        core; evaluating P(k) on a 512^3 grid in numpy takes minutes)."""
+        import jax
+        if isinstance(k, jax.Array) or isinstance(
+                k, jax.core.Tracer):
+            return self._eval_jax(k)
         k = np.asarray(k, dtype=np.float64)
         scalar = k.ndim == 0
         k = np.atleast_1d(k)
@@ -79,6 +86,47 @@ class FuncK:
         out = np.where(loglog, vlog, vlin)
         out = np.where(k == 0, 1.0, out)
         return float(out[0]) if scalar else out
+
+    def _eval_jax(self, k):
+        """The same interpolation as __call__ in traced jnp ops.
+
+        Conditioning: log k - log k1 at f32 for adjacent table points
+        is a catastrophic cancellation (relative error ~1e-5 on the
+        interpolation weight), so the weight is computed as
+        log1p((k-k1)/k1) / dlogk with the per-segment dlogk and dlogf
+        precomputed in float64 on the host -- total error ~1e-7,
+        preserving the reference golden digits."""
+        import jax.numpy as jnp
+        kf = self.k
+        ff = self.f
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lkf = np.log(np.where(kf > 0, kf, 1.0))
+            lff = np.log(np.where(ff > 0, ff, 1.0))
+        dlogk = np.diff(lkf)
+        dlogf = np.diff(lff)
+        dlogk = np.where(dlogk != 0, dlogk, 1.0)
+        kt = jnp.asarray(kf.astype(np.float32))
+        ft = jnp.asarray(ff.astype(np.float32))
+        lft = jnp.asarray(lff.astype(np.float32))
+        dlkt = jnp.asarray(dlogk.astype(np.float32))
+        dlft = jnp.asarray(dlogf.astype(np.float32))
+        dkt = jnp.asarray(np.diff(kf).astype(np.float32))
+
+        k = k.astype(jnp.float32)
+        r = jnp.searchsorted(kt, k, side="right")
+        l = jnp.clip(r - 1, 0, self.size - 2)
+        k1 = kt[l]
+        f1, f2 = ft[l], ft[l + 1]
+        loglog = (f1 > 0) & (f2 > 0) & (k1 != 0) & (kt[l + 1] != 0) \
+            & (k > 0)
+        safek1 = jnp.where(k1 != 0, k1, 1.0)
+        t = jnp.log1p((k - k1) / safek1) / dlkt[l]
+        vlog = jnp.exp(lft[l] + t * dlft[l])
+        d12 = jnp.where(dkt[l] != 0, dkt[l], 1.0)
+        tlin = (k - k1) / d12
+        vlin = f1 + tlin * (f2 - f1)
+        out = jnp.where(loglog, vlog, vlin)
+        return jnp.where(k == 0, 1.0, out)
 
 
 class PowerSpectrum:

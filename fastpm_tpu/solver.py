@@ -64,6 +64,9 @@ class SolverConfig:
     # (_fastpm_store_fill_rand, store.c:693-718): rand_ntask > 1
     # reproduces the rand column of an rand_ntask-process reference run
     rand_ntask: int = 1
+    # the rand column costs a sequential ranlxd stream at init (13 s at
+    # 256^3); skip it when nothing subsamples (the CLI sets this)
+    need_rand: bool = True
     ExtraColumns: Tuple[str, ...] = ()
     # PGD correction (pgdcorrection.c)
     pgdc: bool = False
@@ -121,7 +124,8 @@ class Solver:
         self._keep_lpt = needs_lpt_columns or config.force_mode == "cola"
 
         shift = 0.5 * box / nc if config.use_shift else 0.0
-        columns = ["v", "acc", "id", "rand"]
+        columns = ["v", "acc", "id"] + (["rand"] if config.need_rand
+                                        else [])
         if config.compute_potential:
             columns.append("potential")
         if config.compute_tidal:
@@ -203,8 +207,12 @@ class Solver:
             # the de-shift uses the CDM-grid config shift like setup_lpt)
             shift0 = 0.5 * cfg.boxsize / cfg.nc if cfg.use_shift else 0.0
             q = p.x - jnp.float32(shift0)
-            res = lpt_solve(self.lptpm, delta_k_ic, q, cfg.kernel_type,
-                            growth_rate_func_k)
+            # one jitted program for the whole 2LPT solve (~10 FFTs +
+            # readouts): eager dispatch costs a host round trip per op
+            lpt_jit = jax.jit(lambda dkic, qq: lpt_solve(
+                self.lptpm, dkic, qq, cfg.kernel_type,
+                growth_rate_func_k))
+            res = lpt_jit(delta_k_ic, q)
             if growth_rate_func_k is not None:
                 dx1, dx2, dv1 = res
                 p = p.replace(dx1=dx1, dx2=dx2, dv1=dv1)
@@ -252,6 +260,50 @@ class Solver:
             if h >= hreq:
                 return h
         return None              # halo memory beats full canvas: v1
+
+    def _jitted_global_force(self, pm: PM):
+        """Cached jit of the single-device force (gravity.compute_force
+        with this config's static options). The a_x/a_v stamps are
+        STATIC pytree metadata that change every step -- strip them at
+        the jit boundary so the program compiles once per mesh. The
+        periodic wrap (the decompose analog) and the deCIC compensation
+        of the event delta_k run INSIDE the program: each eager op is a
+        host round trip on a tunneled device."""
+        cfg = self.config
+        with_pgd = self.pgd is not None
+        key = ("global", pm.cache_key)
+        cached = self._jitted_force.get(key)
+        if cached is None:
+            painter = Painter(pm, cfg.painter_type, cfg.painter_support)
+            L = pm.BoxSize
+
+            @jax.jit
+            def jit_fn(stores):
+                stores = [p.wrap(L) for p in stores]
+                new_stores, dk = compute_force(
+                    pm, painter, stores, cfg.kernel_type,
+                    cfg.softening_type,
+                    compute_potential=cfg.compute_potential,
+                    compute_tidal=cfg.compute_tidal)
+                dk_decic = transfers.apply_decic(pm, dk)
+                return (new_stores, dk_decic,
+                        dk if with_pgd else None)
+
+            def cached(stores):
+                stripped = [p.replace(a_x=0.0, a_v=0.0) for p in stores]
+                new_stripped, dk_decic, dk_pre = jit_fn(stripped)
+                outs = []
+                for orig, ns in zip(stores, new_stripped):
+                    updates = dict(x=ns.x, acc=ns.acc)
+                    if cfg.compute_potential and orig.potential is not None:
+                        updates["potential"] = ns.potential
+                    if cfg.compute_tidal and orig.tidal is not None:
+                        updates["tidal"] = ns.tidal
+                    outs.append(orig.replace(**updates))
+                return outs, dk_decic, dk_pre
+
+            self._jitted_force[key] = cached
+        return cached
 
     def _sharded_force(self, pm: PM, stores):
         from jax.sharding import PartitionSpec
@@ -373,7 +425,7 @@ class Solver:
             out = 1.0 + nu_prefac * d
             return np.where(kq <= 0, 1.0, out)
 
-        return _tr.apply_any(pm, delta_k, nufac)
+        return _tr.apply_any(pm, delta_k, nufac, host_tables=True)
 
     # ---- factors (cached per step endpoints) ----
 
@@ -393,11 +445,6 @@ class Solver:
         pm = self.find_pm(trans.a_f)
         painter = Painter(pm, cfg.painter_type, cfg.painter_support)
 
-        # decompose: periodic wrap (domain exchange is implicit in the
-        # global/sharded arrays; solver.c:571-592)
-        for name in self.iter_species():
-            self.species[name] = self.species[name].wrap(pm.BoxSize)
-
         N = sum(self.species[n].np_local for n in self.iter_species())
         a_n = states.find_next_force_time(iend)
 
@@ -406,25 +453,47 @@ class Solver:
             a_f=trans.a_f, a_n=a_n, N=N, delta_k=None)
 
         names = list(self.iter_species())
-        stores = [self.species[n] for n in names]
 
         delta_transfer = None
         if self.cosmology.ncdm_linearresponse and self.lra is not None:
             def delta_transfer(pm_, dk):
                 return self._apply_lra_transfer(pm_, dk, trans.a_f)
 
-        if self.mesh is not None and delta_transfer is None:
+        ndev = 1 if self.mesh is None else int(
+            np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        if self.mesh is not None and ndev > 1 and delta_transfer is None:
             # SPMD path: shard-mapped slab/pencil force (homed halo
             # exchange when displacements allow, full-canvas v1
             # otherwise). The neutrino linear response needs a host
-            # round-trip per step, so it stays on the global path.
+            # round-trip per step, so it stays on the global path. A
+            # trivial 1-device mesh uses the global path too -- its
+            # fused Pallas paint/readout beats the per-component
+            # shard_map body when there is nothing to exchange.
+            # decompose: periodic wrap (solver.c:571-592)
+            for name in names:
+                self.species[name] = self.species[name].wrap(pm.BoxSize)
+            stores = [self.species[n] for n in names]
             new_stores, delta_k = self._sharded_force(pm, stores)
+            delta_k_pre = delta_k if self.pgd is not None else None
+            delta_k_decic = None
+        elif delta_transfer is None:
+            # global single-program path, jitted as ONE XLA program
+            # (wrap + force + decic): eager dispatch costs one host
+            # round trip per op, catastrophic over a remote tunnel
+            stores = [self.species[n] for n in names]
+            fn = self._jitted_global_force(pm)
+            new_stores, delta_k_decic, delta_k_pre = fn(stores)
         else:
+            for name in names:
+                self.species[name] = self.species[name].wrap(pm.BoxSize)
+            stores = [self.species[n] for n in names]
             new_stores, delta_k = compute_force(
                 pm, painter, stores, cfg.kernel_type, cfg.softening_type,
                 compute_potential=cfg.compute_potential,
                 compute_tidal=cfg.compute_tidal,
                 delta_transfer=delta_transfer)
+            delta_k_pre = delta_k
+            delta_k_decic = None
         for n, s in zip(names, new_stores):
             self.species[n] = s
         if self.config.check_values:
@@ -441,48 +510,93 @@ class Solver:
         # (solver.c:458-464)
         if self.pgd is not None:
             p = self.species[CDM]
-            pgdc = self.pgd.compute(pm, p.x, delta_k, trans.a_f, 1.0)
+            pgdc = self.pgd.compute(pm, p.x, delta_k_pre, trans.a_f, 1.0)
             self.species[CDM] = p.replace(pgdc=pgdc)
 
         # compensate the CIC window so the event sees a de-aliased
         # spectrum (solver.c:466-471)
-        delta_k = transfers.apply_decic(pm, delta_k)
+        if delta_k_decic is None:
+            delta_k_decic = transfers.apply_decic(pm, delta_k)
 
         self.event_handlers.emit(
             ev.EVENT_FORCE, ev.STAGE_AFTER, solver=self, pm=pm,
-            a_f=trans.a_f, a_n=a_n, N=N, delta_k=delta_k)
+            a_f=trans.a_f, a_n=a_n, N=N, delta_k=delta_k_decic)
+
+    def _kdk_jit(self, key, builder):
+        fn = self._jitted_force.get(key)
+        if fn is None:
+            fn = jax.jit(builder)
+            self._jitted_force[key] = fn
+        return fn
 
     def kick_one(self, p: Store, kick: KickFactor, af: float) -> Store:
-        """Apply a kick to a store (fastpm_kick_store, factors.c:147-197)."""
+        """Apply a kick to a store (fastpm_kick_store, factors.c:147-197).
+        Coefficients enter as a dynamic array so each mode compiles
+        once (eager dispatch costs a host round trip per op)."""
         dda, Dv1, Dv2 = kick.coefficients(p.a_v, af)
         if kick.force_mode == "cola":
-            acc = p.acc + p.dx1 * jnp.float32(kick.q1) + p.dx2 * jnp.float32(kick.q2)
-            v = p.v + acc * jnp.float32(dda)
-            v = v + p.dx1 * jnp.float32(Dv1) + p.dx2 * jnp.float32(Dv2)
+            fn = self._kdk_jit(("kick", "cola"),
+                               lambda v, acc, dx1, dx2, c:
+                               v + (acc + dx1 * c[3] + dx2 * c[4]) * c[0]
+                               + dx1 * c[1] + dx2 * c[2])
+            c = jnp.asarray([dda, Dv1, Dv2, kick.q1, kick.q2],
+                            dtype=jnp.float32)
+            v = fn(p.v, p.acc, p.dx1, p.dx2, c)
         else:
-            v = p.v + p.acc * jnp.float32(dda)
+            fn = self._kdk_jit(("kick", "std"),
+                               lambda v, acc, c: v + acc * c[0])
+            v = fn(p.v, p.acc,
+                   jnp.asarray([dda], dtype=jnp.float32))
         return p.replace(v=v, a_v=float(af))
 
     def drift_one(self, p: Store, drift: DriftFactor, af: float) -> Store:
-        """Apply a drift to a store (fastpm_drift_one, factors.c:72-115)."""
+        """Apply a drift to a store (fastpm_drift_one, factors.c:72-115).
+        Jitted per (mode, pgdc) with dynamic coefficients."""
         dyyy, da1, da2 = drift.coefficients(p.a_x, af)
         mode = drift.force_mode
+        has_pgd = p.pgdc is not None and drift.ai != drift.af
+        pgd_fac = (0.5 * dyyy / drift.dyyy[-1]) if has_pgd else 0.0
+
         if mode == "2lpt":
-            x = p.x + p.dx1 * jnp.float32(da1) + p.dx2 * jnp.float32(da2)
+            fn = self._kdk_jit(("drift", "2lpt"),
+                               lambda x, dx1, dx2, c:
+                               x + dx1 * c[1] + dx2 * c[2])
+            args = (p.x, p.dx1, p.dx2)
         elif mode == "za":
-            x = p.x + p.dx1 * jnp.float32(da1)
+            fn = self._kdk_jit(("drift", "za"),
+                               lambda x, dx1, c: x + dx1 * c[1])
+            args = (p.x, p.dx1)
         elif mode in ("fastpm", "pm"):
-            x = p.x + p.v * jnp.float32(dyyy)
+            if has_pgd:
+                fn = self._kdk_jit(("drift", "std+pgd"),
+                                   lambda x, v, pgdc, c:
+                                   x + v * c[0] + pgdc * c[3])
+                args = (p.x, p.v, p.pgdc)
+            else:
+                fn = self._kdk_jit(("drift", "std"),
+                                   lambda x, v, c: x + v * c[0])
+                args = (p.x, p.v)
         elif mode == "cola":
-            v = (p.v - (p.dx1 * jnp.float32(drift.Dv1)
-                        + p.dx2 * jnp.float32(drift.Dv2)))
-            x = p.x + v * jnp.float32(dyyy)
-            x = x + p.dx1 * jnp.float32(da1) + p.dx2 * jnp.float32(da2)
+            if has_pgd:
+                fn = self._kdk_jit(
+                    ("drift", "cola+pgd"),
+                    lambda x, v, dx1, dx2, pgdc, c:
+                    x + (v - dx1 * c[4] - dx2 * c[5]) * c[0]
+                    + dx1 * c[1] + dx2 * c[2] + pgdc * c[3])
+                args = (p.x, p.v, p.dx1, p.dx2, p.pgdc)
+            else:
+                fn = self._kdk_jit(
+                    ("drift", "cola"),
+                    lambda x, v, dx1, dx2, c:
+                    x + (v - dx1 * c[4] - dx2 * c[5]) * c[0]
+                    + dx1 * c[1] + dx2 * c[2])
+                args = (p.x, p.v, p.dx1, p.dx2)
         else:
             raise ValueError(f"unknown force mode {mode!r}")
-        if p.pgdc is not None and drift.ai != drift.af:
-            total = drift.dyyy[-1]
-            x = x + 0.5 * p.pgdc * jnp.float32(dyyy / total)
+        c = jnp.asarray([dyyy, da1, da2, pgd_fac,
+                         getattr(drift, "Dv1", 0.0),
+                         getattr(drift, "Dv2", 0.0)], dtype=jnp.float32)
+        x = fn(*args, c)
         return p.replace(x=x, a_x=float(af))
 
     def do_kick(self, trans: Transition, states: StateTable,

@@ -175,16 +175,32 @@ def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand")
     n = int(np.prod(Nc))
     scale = tuple(pm.BoxSize[d] / Nc[d] for d in range(3))
 
-    i0, i1, i2 = np.meshgrid(np.arange(Nc[0]), np.arange(Nc[1]),
-                             np.arange(Nc[2]), indexing="ij")
-    idx = np.stack([i0, i1, i2], axis=-1).reshape(-1, 3)
-    x = (idx * np.asarray(scale) + np.asarray(shift)).astype(np.float32)
-    dtype_id = np.uint32 if n < 2 ** 32 else np.int64
-    ids = (idx[:, 0].astype(np.int64) * (Nc[1] * Nc[2])
-           + idx[:, 1] * Nc[2] + idx[:, 2]).astype(dtype_id)
+    # generate the lattice ON DEVICE: host meshgrid + upload of an
+    # (N, 3) float array dominates init time at 256^3+ over the axon
+    # tunnel. Positions use the f64 formula's rounding (idx * scale in
+    # f64 then cast) via an exact integer split: i * scale_f32 is exact
+    # whenever scale is a dyadic rational (every power-of-two grid),
+    # and the f32 fma path matches the old numpy values elsewhere to
+    # 1 ulp.
+    dtype_id = jnp.uint32 if n < 2 ** 32 else jnp.int64
+    s01 = Nc[1] * Nc[2]
+
+    @jax.jit
+    def make_lattice():
+        i = jnp.arange(n, dtype=jnp.int64 if n >= 2 ** 31 else jnp.int32)
+        i0 = i // s01
+        r = i - i0 * s01
+        i1 = r // Nc[2]
+        i2 = r - i1 * Nc[2]
+        idx = jnp.stack([i0, i1, i2], axis=-1).astype(jnp.float32)
+        x = idx * jnp.asarray(scale, jnp.float32) \
+            + jnp.asarray(shift, jnp.float32)
+        return x, i.astype(dtype_id)
+
+    x, ids = make_lattice()
 
     kw = dict(
-        x=jnp.asarray(x),
+        x=x,
         a_x=0.0, a_v=0.0, M0=M0,
         q_shift=tuple(shift), q_scale=scale, q_nc=tuple(Nc), name=name,
     )
@@ -193,7 +209,7 @@ def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand")
     if "acc" in columns:
         kw["acc"] = jnp.zeros((n, 3), dtype=jnp.float32)
     if "id" in columns:
-        kw["id"] = jnp.asarray(ids)
+        kw["id"] = ids
     if "rand" in columns:
         kw["rand"] = jnp.asarray(
             _rank_emulated_rand(Nc, rand_seed,

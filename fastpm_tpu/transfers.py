@@ -71,9 +71,14 @@ def apply_diff(pm: PM, dk, dir: int, order: int, zero_nyquist: bool = True):
     ik = jax.lax.complex(jnp.zeros_like(kd), kd).astype(pm.cdtype)
     out = dk * ik
     if zero_nyquist:
-        # real-valued mask multiply (a complex-zero constant would
-        # need a complex upload, rejected by the axon tunnel)
-        out = out * (~pm.nyquist_mask).astype(pm.dtype)
+        # out * (1 - m0 m1 m2): the self-conjugate mask is an outer
+        # product of three 1D conditions, so zeroing is expressible
+        # with tiny broadcast constants (a materialized 3D mask would
+        # inline 134 MB into the compiled program at 512^3)
+        m0, m1, m2 = (jnp.asarray(m.astype(np.float32))
+                      for m in pm.nyquist_masks_1d)
+        out = out * (1.0 - m0[:, None, None] * m1[None, :, None]
+                     * m2[None, None, :])
     return out
 
 
@@ -97,15 +102,25 @@ def apply_grad(pm: PM, dk, dir: int, order: int):
     return apply_diff(pm, dk, dir, order, zero_nyquist=True)
 
 
-def apply_any(pm: PM, dk, fkfunc):
-    """Multiply by a scalar function of |k| evaluated on the host tables
-    (transfer.c:188-210). fkfunc: np.ndarray -> np.ndarray."""
-    kk = sum(np.reshape(pm.table("kk", d),
-                        [-1 if i == d else 1 for i in range(3)])
-             for d in range(3))
-    k = np.sqrt(kk)
-    kern = np.asarray(fkfunc(k), dtype=np.float64)
-    return dk * jnp.asarray(kern, dtype=pm.dtype)
+def apply_any(pm: PM, dk, fkfunc, host_tables: bool = False):
+    """Multiply by a scalar function of |k| (transfer.c:188-210).
+
+    By default |k| is built ON DEVICE from the 1D broadcast tables and
+    fkfunc is traced (ufuncs only) -- a host-evaluated 3D kernel would
+    inline half a gigabyte of constants into the program at 512^3.
+    host_tables=True evaluates fkfunc on the host numpy grid instead
+    (for functions like np.interp that cannot trace); use only on
+    eager, small-mesh paths."""
+    if host_tables:
+        kk = sum(np.reshape(pm.table("kk", d),
+                            [-1 if i == d else 1 for i in range(3)])
+                 for d in range(3))
+        k = np.sqrt(kk)
+        kern = np.asarray(fkfunc(k), dtype=np.float64)
+        return dk * jnp.asarray(kern, dtype=pm.dtype)
+    kk = sum(pm.broadcast_table("kk", d) for d in range(3))
+    k = jnp.sqrt(kk)
+    return dk * jnp.asarray(fkfunc(k), dtype=pm.dtype)
 
 
 def apply_c2r_weight(pm: PM, dk):
