@@ -827,6 +827,10 @@ def main(argv=None):
                          "many MB (0 = unbounded)")
     ap.add_argument("-r", dest="restart", default=None,
                     help="restart from snapshot path")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax profiler trace of the evolution "
+                         "to DIR (view with xprof/tensorboard); the "
+                         "CLOCK()-style phase clocks print regardless")
     ap.add_argument("params", help="Lua parameter file")
     ap.add_argument("args", nargs="*", help="extra arguments exposed as "
                     "`args` in the parameter file")
@@ -835,9 +839,17 @@ def main(argv=None):
     import faulthandler
     faulthandler.enable()  # crash backtraces (src/stacktrace.c)
     p = load_params(ns.params, ns.args)
-    run_fastpm(p, restart=ns.restart,
-               memory_bound_mb=ns.memory_bound_mb,
-               nprocy=1 if ns.fftw else ns.nprocy)
+    if ns.profile:
+        import contextlib
+        import jax as _jax
+        ctx = _jax.profiler.trace(ns.profile)
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
+        run_fastpm(p, restart=ns.restart,
+                   memory_bound_mb=ns.memory_bound_mb,
+                   nprocy=1 if ns.fftw else ns.nprocy)
     return 0
 
 
