@@ -398,21 +398,25 @@ def make_prepare_homed_fn(shape, C: int = 8192, pad_to: int = 1024):
 def _paint_kernel4(ranges_ref,      # SMEM (1, 2, 2) i32: [p] -> (s, e)
                    cell_hbm,        # (1, Npad) i32 sorted padded cells
                    w8T_hbm,         # (8, 1, Npad) f32 corner weights
-                   acc_io,          # ANY aliased zeros input (unused)
-                   out_ref,         # ANY (W*CLh + HR, 128) output
+                   out_ref,         # VMEM (CLh, 128) window block (piped)
+                   tail_ref,        # VMEM (HR, 128) final halo tail
                    acc_scratch,     # VMEM (CLh+HR, 128) f32 window acc
-                   io_scratch,      # VMEM (CLh+HR, 128) f32 RMW staging
+                   carry_scratch,   # VMEM (HR, 128) f32 inter-window halo
                    cell_scratch,    # VMEM (2, 1, K) i32
                    w_scratch,       # VMEM (2, 4, 1, K) f32
                    sems,            # DMA sems (2, 2): cell, w8
-                   iosem,           # DMA sem () RMW
                    *, K, C, CLh, HR, nyp, nzp):
     """4-corners-per-pass deposit: each pass p = dx scatters the corner
-    quadruple delta = (0, 1, nzp, nzp+1) into one halo'd accumulator,
-    then read-modify-writes it into the padded canvas. Half the MXU
-    passes and a quarter of the chunk rounds of the per-corner paint."""
-    del acc_io
+    quadruple delta = (0, 1, nzp, nzp+1) into one halo'd accumulator.
+
+    Windows overlap by HR halo rows; instead of read-modify-writing the
+    padded canvas, the halo tail rides in a VMEM carry into the next
+    window's accumulator (requires HR <= CLh so only adjacent windows
+    overlap). Every window then writes its CLh rows EXACTLY ONCE
+    through a pipelined output BlockSpec -- no canvas reads, no manual
+    output DMA. The final window's tail lands in tail_ref."""
     w = pl.program_id(0)
+    nw = pl.num_programs(0)
     base_window = w * C
     hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, K), 0)
     lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
@@ -420,6 +424,10 @@ def _paint_kernel4(ranges_ref,      # SMEM (1, 2, 2) i32: [p] -> (s, e)
     deltas = (0, 1, nzp, nzp + 1)
 
     acc_scratch[...] = jnp.zeros_like(acc_scratch)
+    # the previous window's halo tail contributes to our head rows
+    @pl.when(w > 0)
+    def _take_carry():
+        acc_scratch[0:HR] = acc_scratch[0:HR] + carry_scratch[...]
 
     for p in range(2):
         base_off = p * nyp * nzp
@@ -520,18 +528,11 @@ def _paint_kernel4(ranges_ref,      # SMEM (1, 2, 2) i32: [p] -> (s, e)
 
             jax.lax.fori_loop(0, nrounds, body, 0)
 
-    # RMW the window accumulator into the padded canvas; windows
-    # overlap by HR halo rows, the sequential grid + waits order them
-    start = pl.multiple_of(w * CLh, 8)
-    rd = pltpu.make_async_copy(out_ref.at[pl.ds(start, CLh + HR)],
-                               io_scratch, iosem)
-    rd.start()
-    rd.wait()
-    io_scratch[...] = io_scratch[...] + acc_scratch[...]
-    wb = pltpu.make_async_copy(io_scratch,
-                               out_ref.at[pl.ds(start, CLh + HR)], iosem)
-    wb.start()
-    wb.wait()
+    # emit this window's CLh rows once; pass the halo tail forward
+    out_ref[...] = acc_scratch[0:CLh]
+    carry_scratch[...] = acc_scratch[CLh:CLh + HR]
+    tail_ref[...] = acc_scratch[CLh:CLh + HR]
+    del nw
 
 
 def make_paint_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
@@ -548,6 +549,9 @@ def make_paint_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
     CLh = C // 128
     HR = ((nzp + 1 + 127) // 128 + 1)
     HR = ((HR + 7) // 8) * 8
+    if HR > CLh:
+        raise ValueError("halo rows exceed the window (HR <= CLh "
+                         "required by the paint carry)")
     npad_blocks = W * CLh + HR
     kernel = functools.partial(_paint_kernel4, K=K, C=C, CLh=CLh,
                                HR=HR, nyp=nyp, nzp=nzp)
@@ -560,27 +564,30 @@ def make_paint_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=(
+            pl.BlockSpec((CLh, 128), lambda w: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HR, 128), lambda w: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((CLh + HR, 128), jnp.float32),
-            pltpu.VMEM((CLh + HR, 128), jnp.float32),
+            pltpu.VMEM((HR, 128), jnp.float32),
             pltpu.VMEM((2, 1, K), jnp.int32),
             pltpu.VMEM((2, 4, 1, K), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA(()),
         ],
-        out_shape=jax.ShapeDtypeStruct((npad_blocks, 128), jnp.float32),
-        input_output_aliases={3: 0},
+        out_shape=(jax.ShapeDtypeStruct((W * CLh, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((HR, 128), jnp.float32)),
         interpret=interpret,
     )
 
     def paint_from(prepared, mass=1.0):
         ranges2 = prepared["ranges"][:, (0, 4), :]
-        init = jnp.zeros((npad_blocks, 128), jnp.float32)
-        padded = paint_call(ranges2, prepared["cell_2d"],
-                            prepared["w8T"], init).reshape(-1)[:mpad]
+        main, tail = paint_call(ranges2, prepared["cell_2d"],
+                                prepared["w8T"])
+        padded = jnp.concatenate([main, tail]).reshape(-1)[:mpad]
         padded = padded.reshape(nxp, nyp, nzp)
         canvas = padded[:nx, :ny, :nz]
         canvas = canvas.at[0, :, :].add(padded[nx, :ny, :nz])
@@ -615,14 +622,18 @@ def make_paint_from4_homed_fn(shape, K: int = 1024, C: int = 8192,
     CLh = C // 128
     HR = ((nzp + 1 + 127) // 128 + 1)
     HR = ((HR + 7) // 8) * 8
-    npad_blocks = W * CLh + HR
+    if HR > CLh:
+        raise ValueError("halo rows exceed the window (HR <= CLh "
+                         "required by the paint carry)")
     kernel = functools.partial(_paint_kernel4, K=K, C=C, CLh=CLh,
                                HR=HR, nyp=nyp, nzp=nzp)
 
-    out_sds = jax.ShapeDtypeStruct((npad_blocks, 128), jnp.float32)
-    if vma is not None:
-        out_sds = jax.ShapeDtypeStruct((npad_blocks, 128), jnp.float32,
-                                       vma=frozenset(vma))
+    def sds(shape_):
+        if vma is None:
+            return jax.ShapeDtypeStruct(shape_, jnp.float32)
+        return jax.ShapeDtypeStruct(shape_, jnp.float32,
+                                    vma=frozenset(vma))
+
     paint_call = pl.pallas_call(
         kernel,
         grid=(W,),
@@ -631,27 +642,29 @@ def make_paint_from4_homed_fn(shape, K: int = 1024, C: int = 8192,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=(
+            pl.BlockSpec((CLh, 128), lambda w: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HR, 128), lambda w: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((CLh + HR, 128), jnp.float32),
-            pltpu.VMEM((CLh + HR, 128), jnp.float32),
+            pltpu.VMEM((HR, 128), jnp.float32),
             pltpu.VMEM((2, 1, K), jnp.int32),
             pltpu.VMEM((2, 4, 1, K), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA(()),
         ],
-        out_shape=out_sds,
-        input_output_aliases={3: 0},
+        out_shape=(sds((W * CLh, 128)), sds((HR, 128))),
         interpret=interpret,
     )
 
     def paint_from(prepared, mass=1.0):
         ranges2 = prepared["ranges"][:, (0, 4), :]
-        init = jnp.zeros((npad_blocks, 128), jnp.float32)
-        padded = paint_call(ranges2, prepared["cell_2d"],
-                            prepared["w8T"], init).reshape(-1)[:mpad]
+        main, tail = paint_call(ranges2, prepared["cell_2d"],
+                                prepared["w8T"])
+        padded = jnp.concatenate([main, tail]).reshape(-1)[:mpad]
         padded = padded.reshape(nxp, nyp, nzp)
         canvas = padded[:, :ny, :nz]            # keep all x planes
         canvas = canvas.at[:, 0, :].add(padded[:, ny, :nz])
