@@ -36,26 +36,27 @@ def main():
         fields[0], fields[1], fields[2], xs)
     ref = np.asarray(ref)
 
-    configs = [("highest", 1024, 8192), ("split", 1024, 8192),
-               ("split", 512, 4096), ("split", 1024, 4096)]
+    configs = [("split", 256, 8192), ("split", 512, 4096),
+               ("split", 256, 4096)]
 
     prepared_cache = {}
 
-    def get_prepared(C, xx, tag):
-        key = (C, tag)
+    def get_prepared(C, xx, tag, pad_to=1024):
+        key = (C, tag, pad_to)
         if key not in prepared_cache:
-            prepared_cache[key] = jax.jit(make_prepare_fn(pm, C=C))(xx)
+            prepared_cache[key] = jax.jit(
+                make_prepare_fn(pm, C=C, pad_to=pad_to))(xx)
         return prepared_cache[key]
 
     for mode, K, C in configs:
         try:
             ro = jax.jit(make_readout3_from4_fn(pm, K=K, C=C,
                                                 gather_mode=mode))
-            prepared = get_prepared(C, x, "full")
+            prepared = get_prepared(C, x, "full", pad_to=max(K, 1024))
             out = ro(prepared, *fields)
             _ = float(jnp.sum(out))
             # accuracy on the subset
-            psub = get_prepared(C, xs, "sub")
+            psub = get_prepared(C, xs, "sub", pad_to=max(K, 1024))
             osub = np.asarray(ro(psub, *fields))
             scale = np.abs(ref).max()
             err = np.abs(osub - ref).max() / scale

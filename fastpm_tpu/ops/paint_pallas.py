@@ -535,7 +535,7 @@ def _paint_kernel4(ranges_ref,      # SMEM (1, 2, 2) i32: [p] -> (s, e)
     del nw
 
 
-def make_paint_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
+def make_paint_from4_fn(pm: PM, K: int = 512, C: int = 8192,
                         interpret=False):
     """paint_from with the 4-corners-per-pass kernel."""
     nx, ny, nz = pm.Nmesh
@@ -605,7 +605,7 @@ def make_paint_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
     return paint_from
 
 
-def make_paint_from4_homed_fn(shape, K: int = 1024, C: int = 8192,
+def make_paint_from4_homed_fn(shape, K: int = 512, C: int = 8192,
                               interpret=False, vma=None):
     """Homed-slab paint (open x): returns the (nx_local + 1, Ny, Nz)
     extended canvas with the periodic y/z faces folded and the x face

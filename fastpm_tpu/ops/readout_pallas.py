@@ -590,7 +590,7 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
             flush_carry(p)
 
 
-def make_readout3_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
+def make_readout3_from4_fn(pm: PM, K: int = 512, C: int = 8192,
                            interpret=False, gather_mode="split"):
     """readout3_from with the 4-corners-per-pass kernel.
 
@@ -680,7 +680,7 @@ def make_readout3_from4_fn(pm: PM, K: int = 1024, C: int = 8192,
     return readout3_from
 
 
-def make_readout3_from4_homed_fn(shape, K: int = 1024, C: int = 8192,
+def make_readout3_from4_homed_fn(shape, K: int = 512, C: int = 8192,
                                  interpret=False, gather_mode="split",
                                  vma=None):
     """Homed-slab 3-component readout (open x axis): the input fields
