@@ -34,9 +34,9 @@ class PGDCorrection:
     def alpha(self, a: float) -> float:
         return self.alpha0 * 10 ** (self.A * a * a - self.B * a)
 
-    def _pot_transfer(self, pm: PM, dk, a: float, fac: float):
+    def _pot_transfer_alpha(self, pm: PM, dk, alpha):
+        """alpha may be a traced scalar (jit-friendly)."""
         kk = sum(pm.broadcast_table("kk", d) for d in range(3))
-        alpha = self.alpha(a) * fac
         kl2 = self.kl ** 2
         ks4 = self.ks ** 4
         safe = jnp.where(kk > 0, kk, 1.0)
@@ -46,14 +46,21 @@ class PGDCorrection:
             0.0)
         return dk * weight.astype(pm.dtype)
 
-    def compute(self, pm: PM, pos, delta_k, a: float, fac: float = 1.0):
-        """Per-particle pgdc displacement (N,3) from delta_k
+    def compute_with_alpha(self, pm: PM, pos, delta_k, alpha_fac):
+        """Per-particle pgdc displacement (N,3) from delta_k with
+        alpha(a)*fac passed as a (possibly traced) scalar
         (fastpm_pgdc_calculate)."""
         painter = Painter(pm, self.painter_type, self.painter_support)
-        pot = self._pot_transfer(pm, delta_k, a, fac)
+        pot = self._pot_transfer_alpha(pm, delta_k, alpha_fac)
         out = []
         for d in range(3):
             # PGD was calibrated with difforder=1 (pgdcorrection.c:103)
             fk = transfers.apply_diff(pm, pot, d, order=1)
             out.append(painter.readout(pm.c2r(fk), pos))
         return jnp.stack(out, axis=-1)
+
+    def compute(self, pm: PM, pos, delta_k, a: float, fac: float = 1.0):
+        """Per-particle pgdc displacement (N,3) from delta_k
+        (fastpm_pgdc_calculate)."""
+        return self.compute_with_alpha(pm, pos, delta_k,
+                                       self.alpha(a) * fac)

@@ -507,10 +507,22 @@ class Solver:
                         f"at a_f={trans.a_f}")
 
         # PGD correction from the (softened, pre-decic) delta_k
-        # (solver.c:458-464)
+        # (solver.c:458-464); one jitted program with alpha(a) as a
+        # dynamic scalar so it compiles once per mesh
         if self.pgd is not None:
             p = self.species[CDM]
-            pgdc = self.pgd.compute(pm, p.x, delta_k_pre, trans.a_f, 1.0)
+            key = ("pgd", pm.cache_key)
+            fn = self._jitted_force.get(key)
+            if fn is None:
+                pgd = self.pgd
+
+                def fn(x, dk, alpha_fac):
+                    return pgd.compute_with_alpha(pm, x, dk, alpha_fac)
+
+                fn = jax.jit(fn)
+                self._jitted_force[key] = fn
+            alpha_fac = jnp.float32(self.pgd.alpha(trans.a_f))
+            pgdc = fn(p.x, delta_k_pre, alpha_fac)
             self.species[CDM] = p.replace(pgdc=pgdc)
 
         # compensate the CIC window so the event sees a de-aliased
