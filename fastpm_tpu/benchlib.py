@@ -19,9 +19,14 @@ __all__ = ["make_step_fn", "example_particles"]
 
 def make_step_fn(pm: PM, kernel_type: str = "1_4",
                  painter_type: str = "cic", support: int = 2,
-                 donate: bool = True):
+                 donate: bool = True, carry_sorted: bool = True):
     """One full PM force+kick+drift step as a single jitted function:
-    (x, v, coeffs[2]) -> (x, v, acc). The hot loop of the framework."""
+    (x, v, coeffs[2]) -> (x, v, acc). The hot loop of the framework.
+
+    carry_sorted: keep particles in cell-sorted order across steps
+    (order-free stepping; make_prepare_carry_fn). The output (x, v)
+    rows are a permutation of the order-preserving result -- physically
+    identical, but the per-step un-sort payload sort disappears."""
     painter = Painter(pm, painter_type, support)
     potorder, gradorder, difforder, _ = kernel_orders(kernel_type)
     L = jnp.asarray(pm.BoxSize, dtype=jnp.float32)
@@ -32,14 +37,22 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
     if fused:
         # one sort + one range table serve both the paint and the
         # 3-component readout (make_prepare_fn)
-        from .ops.paint_pallas import make_prepare_fn, make_paint_from4_fn
+        from .ops.paint_pallas import (make_prepare_fn,
+                                       make_prepare_carry_fn,
+                                       make_paint_from4_fn)
         from .ops.readout_pallas import make_readout3_from4_fn
         prepare = make_prepare_fn(pm, C=8192)
+        prepare_carry = make_prepare_carry_fn(pm, C=8192)
         paint_from = make_paint_from4_fn(pm, C=8192)
         readout3_from = make_readout3_from4_fn(pm, C=8192)
+    else:
+        carry_sorted = False
 
     def step(x, v, coeffs):
-        if fused:
+        if fused and carry_sorted:
+            prepared, x, v, _ = prepare_carry(x, v)
+            canvas = paint_from(prepared)
+        elif fused:
             prepared = prepare(x)
             canvas = paint_from(prepared)
         else:

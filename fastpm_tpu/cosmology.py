@@ -244,14 +244,12 @@ class Cosmology:
     # ---- growth: LCDM closed form (cosmology.c:267-298) ----
 
     def _growth_int(self, a: float) -> float:
-        """E(a) * int_0^a da' (a' / (Om + (1-Om-OL) a' + OL a'^3))^1.5."""
-        Om, OL = self.Omega_m, self.Omega_Lambda
+        """E(a) * int_0^a da' (a' / (Om + (1-Om-OL) a' + OL a'^3))^1.5.
 
-        def f(x):
-            return (x / (Om + (1 - Om - OL) * x + OL * x ** 3)) ** 1.5
-
-        val, _ = _sint.quad(f, 0, a, epsabs=0, epsrel=1e-9, limit=1000)
-        return self.E(a) * val
+        Cached per (cosmology, a): factor-table construction (kdk.py)
+        evaluates this at the same 32 interval samples for the kick and
+        the drift, and dD1da/d2D1da2 re-request a=1 constantly."""
+        return _growth_int_cached(self, float(a))
 
     # ---- growth: ODE mode (cosmology.c:300-372) ----
 
@@ -300,7 +298,10 @@ class Cosmology:
         return self.growth_info(a).D1
 
     def dD1da(self, a: float) -> float:
-        """dD1/da (cosmology.c:403-427)."""
+        """dD1/da (cosmology.c:403-427). Cached per (cosmology, a)."""
+        return _dD1da_cached(self, float(a))
+
+    def _dD1da(self, a: float) -> float:
         gi = self.growth_info(a)
         if self.growth_mode == GROWTH_MODE_LCDM:
             E = self.E(a)
@@ -311,7 +312,10 @@ class Cosmology:
         raise ValueError(f"unknown growth mode {self.growth_mode!r}")
 
     def d2D1da2(self, a: float) -> float:
-        """d2D1/da2 (cosmology.c:429-462)."""
+        """d2D1/da2 (cosmology.c:429-462). Cached per (cosmology, a)."""
+        return _d2D1da2_cached(self, float(a))
+
+    def _d2D1da2(self, a: float) -> float:
         gi = self.growth_info(a)
         if self.growth_mode == GROWTH_MODE_LCDM:
             E = self.E(a)
@@ -354,6 +358,27 @@ class GrowthInfo:
     f1: float
     D2: float
     f2: float
+
+
+@lru_cache(maxsize=65536)
+def _growth_int_cached(c: Cosmology, a: float) -> float:
+    Om, OL = c.Omega_m, c.Omega_Lambda
+
+    def f(x):
+        return (x / (Om + (1 - Om - OL) * x + OL * x ** 3)) ** 1.5
+
+    val, _ = _sint.quad(f, 0, a, epsabs=0, epsrel=1e-9, limit=1000)
+    return c.E(a) * val
+
+
+@lru_cache(maxsize=65536)
+def _dD1da_cached(c: Cosmology, a: float) -> float:
+    return c._dD1da(a)
+
+
+@lru_cache(maxsize=65536)
+def _d2D1da2_cached(c: Cosmology, a: float) -> float:
+    return c._d2D1da2(a)
 
 
 @lru_cache(maxsize=65536)

@@ -233,12 +233,29 @@ class PM:
         """Complex -> real, inverse of r2c."""
         return jnp.fft.irfftn(k * self.Norm, s=self.Nmesh).astype(self.dtype)
 
+    @cached_property
+    def pair_ok(self) -> bool:
+        """Whether c2r_pair's full complex field fits the memory budget.
+        The packed iFFT materializes an (Nx, Ny, Nz) complex64 field
+        (8 B/cell) plus comparable FFT workspace; past a threshold this
+        OOMs a 16 GB chip (256^3 B3 = 768^3 mesh, BENCH_NOTES). Budget
+        override: FASTPM_TPU_PAIR_BYTES (bytes; 0 disables pairing)."""
+        import os
+        limit = int(os.environ.get("FASTPM_TPU_PAIR_BYTES", 3 * 1024 ** 3))
+        return self.Norm * 8 <= limit
+
     def c2r_pair(self, ka, kb):
         """Two c2r transforms for the price of ~one complex iFFT: pack
         the two hermitian half-spectra as F = expand(ka) + i*expand(kb)
         on the full grid; ifftn(F) = c2r(ka) + i*c2r(kb). Cuts the
         gravity gradient-return FFT work (the reference pays one c2r per
-        component, gravity.c:374-426)."""
+        component, gravity.c:374-426).
+
+        Falls back to two plain c2r calls when the packed complex field
+        exceeds the memory budget (see pair_ok): 2 c2r = ~1.6x the paired
+        cost but O(half) the peak memory."""
+        if not self.pair_ok:
+            return self.c2r(ka), self.c2r(kb)
         nx, ny, nz = self.Nmesh
         nzh = nz // 2 + 1
         front = jax.lax.complex(jnp.real(ka) - jnp.imag(kb),

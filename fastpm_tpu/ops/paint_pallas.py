@@ -33,8 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..mesh import PM
 
 __all__ = ["paint_sorted", "make_paint_fn", "make_prepare_fn",
-           "make_paint_from_fn", "make_paint_from4_fn",
-           "make_prepare_homed_fn", "make_paint_from4_homed_fn"]
+           "make_prepare_carry_fn", "make_paint_from_fn",
+           "make_paint_from4_fn", "make_prepare_homed_fn",
+           "make_paint_from4_homed_fn"]
 
 
 def _corner_offsets_padded(nyp, nzp):
@@ -293,6 +294,72 @@ def make_prepare_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
         ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
         return dict(ranges=ranges, cell_2d=cell_2d, w8T=w8T, orig=orig,
                     n=n)
+
+    return prepare
+
+
+def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
+    """Order-free prepared-bundle builder: carries the PHASE-SPACE rows
+    (x, v[, extra u32 columns]) through the cell sort instead of an
+    un-sort index. The caller keeps particles in cell-sorted order
+    across steps (order is physically meaningless), which deletes the
+    per-step un-sort payload sort entirely: readout values come out
+    already aligned with the sorted x/v.
+
+    Fracs are recomputed from the sorted x (cheap elementwise) so the
+    sort moves 7 arrays (cell + x*3 + v*3) instead of 5, and no inverse
+    permutation is ever needed."""
+    nx, ny, nz = pm.Nmesh
+    nyp, nzp = ny + 1, nz + 1
+    mpad = (nx + 1) * nyp * nzp
+    W = (mpad + C - 1) // C
+    offsets = _corner_offsets_padded(nyp, nzp)
+    inv_cell = jnp.asarray(pm.InvCellSize, dtype=jnp.float32)
+    min_pad = pad_to - 256
+
+    def prepare(pos, vel, extras=()):
+        n = pos.shape[0]
+        gpos = pos * inv_cell
+        base = jnp.floor(gpos).astype(jnp.int32)
+        base = jnp.stack([jnp.remainder(base[:, 0], nx),
+                          jnp.remainder(base[:, 1], ny),
+                          jnp.remainder(base[:, 2], nz)], axis=-1)
+        cell = ((base[:, 0] * nyp + base[:, 1]) * nzp + base[:, 2])
+        sorted_ops = jax.lax.sort(
+            (cell, pos[:, 0], pos[:, 1], pos[:, 2],
+             vel[:, 0], vel[:, 1], vel[:, 2]) + tuple(extras),
+            num_keys=1)
+        cell_s = sorted_ops[0]
+        xs = jnp.stack(sorted_ops[1:4], axis=-1)
+        vs = jnp.stack(sorted_ops[4:7], axis=-1)
+        extras_s = sorted_ops[7:]
+        # recompute fracs from the sorted positions (bit-identical to
+        # pre-sort fracs: same inputs, same ops)
+        gs = xs * inv_cell
+        fr = gs - jnp.floor(gs)
+        f = (fr[:, 0], fr[:, 1], fr[:, 2])
+        t = (1.0 - f[0], 1.0 - f[1], 1.0 - f[2])
+        w8_s = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
+                          * (t[2], f[2])[dz]
+                          for dx in (0, 1) for dy in (0, 1)
+                          for dz in (0, 1)], axis=-1)
+
+        n_padded = ((n + min_pad + pad_to - 1) // pad_to) * pad_to
+        extra = n_padded - n
+        cell_2d = jnp.concatenate(
+            [cell_s, jnp.full((extra,), mpad - 1, jnp.int32)])[None, :]
+        w8T = jnp.concatenate(
+            [w8_s.T, jnp.zeros((8, extra), jnp.float32)],
+            axis=1)[:, None, :]
+
+        edges = jnp.arange(W + 1, dtype=jnp.int32) * C
+        bounds = jnp.stack(
+            [jnp.searchsorted(cell_s, edges - off).astype(jnp.int32)
+             for off in offsets], axis=1)
+        ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
+        prepared = dict(ranges=ranges, cell_2d=cell_2d, w8T=w8T,
+                        orig=None, n=n)
+        return prepared, xs, vs, extras_s
 
     return prepare
 

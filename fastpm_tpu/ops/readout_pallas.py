@@ -340,7 +340,7 @@ def make_readout3_from_fn(pm: PM, K: int = 1024, C: int = 8192,
         return flat.reshape(npad_blocks, 128)
 
     def readout3_from(prepared, cx, cy, cz):
-        n = prepared["orig"].shape[0]   # static even under jit
+        n = prepared["n"]               # static even under jit
         n_padded = prepared["cell_2d"].shape[1]
         if n_padded % K:
             raise ValueError("prepared padding not a multiple of K")
@@ -351,6 +351,8 @@ def make_readout3_from_fn(pm: PM, K: int = 1024, C: int = 8192,
             prepared["ranges"], prepared["cell_2d"], prepared["w8T"],
             canvases, val_init)
         vals = jnp.sum(val8.reshape(8, 3, n_padded), axis=0)[:, :n]
+        if prepared.get("orig") is None:
+            return jnp.stack([vals[0], vals[1], vals[2]], axis=-1)
         return jnp.stack(jax.lax.sort(
             (prepared["orig"], vals[0], vals[1], vals[2]),
             num_keys=1)[1:], axis=-1)
@@ -364,13 +366,13 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                      canvases_hbm,   # ANY (3, W*CLh + HR, 128)
                      val_io,         # ANY (6, 1, Npad) f32 [p*3+comp]
                      out_ref,        # aliased with val_io
-                     canvas_scratch,  # VMEM (3, CLh+HR, 128)
+                     canvas_scratch,  # VMEM (2, 3, CLh+HR, 128) dbl-buffered
                      cell_scratch,   # VMEM (2, 1, K) i32
                      w_scratch,      # VMEM (2, 4, 1, K) f32
                      val_scratch,    # VMEM (2, 3, 1, K) f32
                      carry_scratch,  # VMEM (2, 3, 1, K) f32 per-pass carry
                      carry_id,       # SMEM (2,) i32 carried chunk (-1 none)
-                     csem,           # DMA sem () canvas
+                     csem,           # DMA sems (2,) canvas per slot
                      sems,           # DMA sems (2, 5): cell, w8
                      wsems,          # DMA sems (2, 3)
                      fsem,           # DMA sems (2,) carry flush
@@ -394,17 +396,27 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
     lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
+    def canvas_copy(slot, wi):
+        return pltpu.make_async_copy(
+            canvases_hbm.at[:, pl.ds(pl.multiple_of(wi * CLh, 8),
+                                     CLh + HR)],
+            canvas_scratch.at[slot], csem.at[slot])
+
     @pl.when(w == 0)
     def _init_carry():
         carry_id[0] = -1
         carry_id[1] = -1
+        canvas_copy(0, 0).start()
 
-    # one halo'd canvas block per window, shared by both passes
-    ccopy = pltpu.make_async_copy(
-        canvases_hbm.at[:, pl.ds(pl.multiple_of(w * CLh, 8), CLh + HR)],
-        canvas_scratch, csem)
-    ccopy.start()
-    ccopy.wait()
+    # prefetch the NEXT window's canvas block while this one computes;
+    # the canvas DMA latency then hides behind the chunk loop
+    cslot = jax.lax.rem(w, 2)
+
+    @pl.when(w + 1 < nw)
+    def _prefetch_canvas():
+        canvas_copy(jax.lax.rem(w + 1, 2), w + 1).start()
+
+    canvas_copy(cslot, w).wait()
 
     def flush_carry(p):
         """Write the carried chunk of pass p to HBM and clear it."""
@@ -514,12 +526,19 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                     crossings[0], his[0] + 1,
                     jnp.where(crossings[1], his[1] + 1, -1))
 
-                def gather(block, hi_idx):
+                # one-hot and lane masks built ONCE per round and
+                # reused by all 3 components (the per-round VPU mask
+                # builds, not the DMAs, dominate the b ~ 3.9 us/round
+                # sync term measured in BENCH_NOTES)
+                mdt = (jnp.bfloat16 if gather_mode == "split"
+                       else jnp.float32)
+                A_pi = [(h == hi_row).astype(mdt) for h in his]
+                A_fix = (hifix == hi_row).astype(mdt)
+                Me = [l == lo_row for l in los]
+                Mo = [l + 1 == lo_row for l in los]
+
+                def gather(b_hi, b_lo, A):
                     if gather_mode == "split":
-                        A = (hi_idx == hi_row).astype(jnp.bfloat16)
-                        b_hi = block.astype(jnp.bfloat16)
-                        b_lo = (block - b_hi.astype(jnp.float32)
-                                ).astype(jnp.bfloat16)
                         return jax.lax.dot_general(
                             b_hi, A,
                             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -530,7 +549,7 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                             preferred_element_type=jnp.float32,
                         )
                     return jax.lax.dot_general(
-                        block, (hi_idx == hi_row).astype(jnp.float32),
+                        b_hi, A,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=(jax.lax.Precision.HIGHEST
@@ -538,19 +557,24 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                                    else jax.lax.Precision.HIGH))
 
                 for comp in range(3):
-                    block = canvas_scratch[comp]
-                    fixrow = gather(block, hifix)[0:1, :]   # lane 0
+                    block = canvas_scratch[cslot, comp]
+                    if gather_mode == "split":
+                        b_hi = block.astype(jnp.bfloat16)
+                        b_lo = (block - b_hi.astype(jnp.float32)
+                                ).astype(jnp.bfloat16)
+                    else:
+                        b_hi, b_lo = block, None
+                    fixrow = gather(b_hi, b_lo, A_fix)[0:1, :]  # lane 0
                     acc = None
                     for pi in range(2):
-                        tmp = gather(block, his[pi])
-                        lo = los[pi]
+                        tmp = gather(b_hi, b_lo, A_pi[pi])
                         v_even = jnp.sum(
-                            jnp.where(lo == lo_row, tmp, 0.0),
+                            jnp.where(Me[pi], tmp, 0.0),
                             axis=0, keepdims=True)
                         # lo+1 == 128 matches no lane: crossing columns
                         # contribute 0 here and take the fix row instead
                         v_odd = jnp.sum(
-                            jnp.where(lo + 1 == lo_row, tmp, 0.0),
+                            jnp.where(Mo[pi], tmp, 0.0),
                             axis=0, keepdims=True)
                         v_odd = v_odd + jnp.where(crossings[pi],
                                                   fixrow, 0.0)
@@ -627,13 +651,13 @@ def make_readout3_from4_fn(pm: PM, K: int = 512, C: int = 8192,
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((3, CLh + HR, 128), jnp.float32),
+                pltpu.VMEM((2, 3, CLh + HR, 128), jnp.float32),
                 pltpu.VMEM((2, 1, K), jnp.int32),
                 pltpu.VMEM((2, 4, 1, K), jnp.float32),
                 pltpu.VMEM((2, 3, 1, K), jnp.float32),
                 pltpu.VMEM((2, 3, 1, K), jnp.float32),
                 pltpu.SMEM((2,), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2, 5)),
                 pltpu.SemaphoreType.DMA((2, 3)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -660,7 +684,7 @@ def make_readout3_from4_fn(pm: PM, K: int = 512, C: int = 8192,
         return flat.reshape(npad_blocks, 128)
 
     def readout3_from(prepared, cx, cy, cz):
-        n = prepared["orig"].shape[0]
+        n = prepared["n"]
         n_padded = prepared["cell_2d"].shape[1]
         if n_padded % K:
             raise ValueError("prepared padding not a multiple of K")
@@ -673,6 +697,10 @@ def make_readout3_from4_fn(pm: PM, K: int = 512, C: int = 8192,
             ranges2, prepared["cell_2d"], prepared["w8T"],
             canvases, val_init)
         vals = jnp.sum(val2.reshape(2, 3, n_padded), axis=0)[:, :n]
+        if prepared.get("orig") is None:
+            # order-free bundle (make_prepare_carry_fn): values are
+            # already aligned with the caller's sorted particle order
+            return jnp.stack([vals[0], vals[1], vals[2]], axis=-1)
         return jnp.stack(jax.lax.sort(
             (prepared["orig"], vals[0], vals[1], vals[2]),
             num_keys=1)[1:], axis=-1)
@@ -718,13 +746,13 @@ def make_readout3_from4_homed_fn(shape, K: int = 512, C: int = 8192,
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((3, CLh + HR, 128), jnp.float32),
+                pltpu.VMEM((2, 3, CLh + HR, 128), jnp.float32),
                 pltpu.VMEM((2, 1, K), jnp.int32),
                 pltpu.VMEM((2, 4, 1, K), jnp.float32),
                 pltpu.VMEM((2, 3, 1, K), jnp.float32),
                 pltpu.VMEM((2, 3, 1, K), jnp.float32),
                 pltpu.SMEM((2,), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2, 5)),
                 pltpu.SemaphoreType.DMA((2, 3)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -753,7 +781,7 @@ def make_readout3_from4_homed_fn(shape, K: int = 512, C: int = 8192,
         return flat.reshape(npad_blocks, 128)
 
     def readout3_from(prepared, cx, cy, cz):
-        n = prepared["orig"].shape[0]
+        n = prepared["n"]
         n_padded = prepared["cell_2d"].shape[1]
         if n_padded % K:
             raise ValueError("prepared padding not a multiple of K")
@@ -765,6 +793,10 @@ def make_readout3_from4_homed_fn(shape, K: int = 512, C: int = 8192,
             ranges2, prepared["cell_2d"], prepared["w8T"],
             canvases, val_init)
         vals = jnp.sum(val2.reshape(2, 3, n_padded), axis=0)[:, :n]
+        if prepared.get("orig") is None:
+            # order-free bundle (make_prepare_carry_fn): values are
+            # already aligned with the caller's sorted particle order
+            return jnp.stack([vals[0], vals[1], vals[2]], axis=-1)
         return jnp.stack(jax.lax.sort(
             (prepared["orig"], vals[0], vals[1], vals[2]),
             num_keys=1)[1:], axis=-1)

@@ -650,6 +650,19 @@ class Solver:
             ev.EVENT_INTERPOLATION, ev.STAGE_BEFORE, solver=self,
             drift=drift, kick=kick, a1=a1, a2=a2, whence=whence)
 
+    def _prime_factors(self, states: StateTable, ts) -> None:
+        """Warm the factor caches for every transition in the state
+        table, plus the step-start/end interpolation endpoints."""
+        for i in range(1, len(states.table)):
+            trans = states.transition(i - 1, i)
+            if trans.action == ACTION_KICK:
+                self._kick_factor(trans.a_i, trans.a_r, trans.a_f)
+            elif trans.action == ACTION_DRIFT:
+                self._drift_factor(trans.a_i, trans.a_r, trans.a_f)
+        for a in (ts[0], ts[-1]):
+            self._kick_factor(a, a, a)
+            self._drift_factor(a, a, a)
+
     # ---- evolution (solver.c:282-356) ----
 
     def evolve(self, time_step: Optional[Sequence[float]] = None) -> None:
@@ -663,6 +676,11 @@ class Solver:
                 self.species[name] = p.replace(acc=jnp.zeros_like(p.acc))
 
         states = StateTable(ts)
+        # precompute every kick/drift factor table for the whole state
+        # table up front (they depend only on the a-grid; the reference
+        # precomputes per-interval tables too, factors.c:276-302) so the
+        # hot loop's host work is an lru_cache hit + one dispatch
+        self._prime_factors(states, ts)
         for i in range(1, len(states.table)):
             trans = states.transition(i - 1, i)
             self.event_handlers.emit(ev.EVENT_TRANSITION, ev.STAGE_BEFORE,

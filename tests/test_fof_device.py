@@ -98,3 +98,54 @@ def test_find_halos_with_device_labels():
     np.testing.assert_array_equal(cat_d.length, cat_h.length)
     np.testing.assert_array_equal(ih_d, ih_h)
     np.testing.assert_allclose(cat_d.x, cat_h.x, atol=1e-6)
+
+
+def test_find_halos_device_catalog_matches_host():
+    """The fully device-side production path (find_halos_device:
+    auto-sized labels + segment-reduce attrs + nh-capped compaction)
+    must reproduce the host catalog: exact lengths/minid/ihalo, and
+    CM/dispersions to summation-order tolerance."""
+    from fastpm_tpu.fof import find_halos, find_halos_device
+    from fastpm_tpu.store import Store
+    box = 32.0
+    n = 5000
+    x = clustered_points(n, box, seed=5)
+    rng = np.random.RandomState(7)
+    v = rng.standard_normal((n, 3)).astype(np.float32)
+    ids = np.arange(n, dtype=np.uint32)
+    rng.shuffle(ids)
+    p = Store(x=jnp.asarray(x), v=jnp.asarray(v),
+              id=jnp.asarray(ids), M0=1.0)
+    ll = 0.65
+    cat_d, ih_d = find_halos_device(p, ll, box, nmin=20)
+    cat_h, ih_h = find_halos(p, ll, box, nmin=20, backend="host")
+    assert cat_d.nhalo == cat_h.nhalo
+    np.testing.assert_array_equal(cat_d.length, cat_h.length)
+    np.testing.assert_array_equal(cat_d.minid, cat_h.minid)
+    np.testing.assert_array_equal(np.asarray(ih_d), ih_h)
+    np.testing.assert_allclose(cat_d.x, cat_h.x, atol=1e-4)
+    np.testing.assert_allclose(cat_d.v, cat_h.v, atol=1e-4)
+    np.testing.assert_allclose(cat_d.rdisp, cat_h.rdisp, atol=1e-4)
+    np.testing.assert_allclose(cat_d.vdisp, cat_h.vdisp, atol=1e-4)
+    np.testing.assert_allclose(cat_d.rvdisp, cat_h.rvdisp, atol=1e-4)
+
+
+def test_find_halos_device_nonperiodic():
+    """Non-periodic (lightcone-slice) embedding on the device path."""
+    from fastpm_tpu.fof import find_halos, find_halos_device
+    from fastpm_tpu.store import Store
+    rng = np.random.RandomState(11)
+    # points spread far outside any box, clumped
+    centers = rng.uniform(-50, 90, size=(8, 3))
+    pts = np.concatenate([c + rng.standard_normal((60, 3)) * 0.15
+                          for c in centers]).astype(np.float32)
+    p = Store(x=jnp.asarray(pts), v=jnp.zeros_like(jnp.asarray(pts)),
+              M0=1.0)
+    cat_d, ih_d = find_halos_device(p, 0.6, 1.0, nmin=20,
+                                    periodic=False)
+    cat_h, ih_h = find_halos(p, 0.6, 1.0, nmin=20, periodic=False,
+                             backend="host")
+    assert cat_d.nhalo == cat_h.nhalo
+    np.testing.assert_array_equal(cat_d.length, cat_h.length)
+    np.testing.assert_array_equal(np.asarray(ih_d), ih_h)
+    np.testing.assert_allclose(cat_d.x, cat_h.x, atol=1e-3)

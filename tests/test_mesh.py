@@ -203,3 +203,32 @@ def test_set_get_mode(pm):
     # self-conjugate mode: imaginary part cannot be set
     dk = transfers.set_mode(pm, dk, (0, 16, 0, 1), 0.5, "override")
     assert transfers.get_mode(pm, dk, (0, 16, 0, 1)) == 0.0
+
+
+def test_c2r_pair_adaptive(monkeypatch):
+    """c2r_pair falls back to two plain c2r calls when the packed
+    complex field exceeds the memory budget (VERDICT r2: 256^3 B3 OOM).
+    The fallback is numerically identical up to f32 FFT noise."""
+    from fastpm_tpu.mesh import PM as _PM
+    pm1 = _PM(16, 32.0)
+    assert pm1.pair_ok  # small mesh pairs by default
+
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.standard_normal(pm1.rshape).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(pm1.rshape).astype(np.float32))
+    ka, kb = pm1.r2c(a), pm1.r2c(b)
+    fa_p, fb_p = pm1.c2r_pair(ka, kb)
+
+    monkeypatch.setenv("FASTPM_TPU_PAIR_BYTES", "0")
+    pm2 = _PM(16, 32.0)
+    assert not pm2.pair_ok
+    fa_s, fb_s = pm2.c2r_pair(ka, kb)
+    np.testing.assert_allclose(np.asarray(fa_s), np.asarray(fa_p),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fb_s), np.asarray(fb_p),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fa_s), np.asarray(a),
+                               atol=1e-4)
+
+    # a 768^3 mesh exceeds the default 3 GiB budget
+    assert not _PM(768, 768.0).pair_ok

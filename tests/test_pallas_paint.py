@@ -136,3 +136,48 @@ def test_pallas_paint_v3_matches_painter():
     want = np.asarray(painter.paint(pos))
     np.testing.assert_allclose(got, want, atol=1e-5)
     assert got.sum() == pytest.approx(4321.0, rel=1e-6)
+
+
+def test_prepare_carry_order_free():
+    """The order-free bundle (make_prepare_carry_fn) must paint the
+    same canvas and read out values aligned with the sorted (x, v)
+    it returns; extras follow the same permutation."""
+    from fastpm_tpu.ops.paint_pallas import (make_prepare_fn,
+                                             make_prepare_carry_fn,
+                                             make_paint_from4_fn)
+    from fastpm_tpu.ops.readout_pallas import make_readout3_from4_fn
+
+    pm = PM(16, 32.0)
+    rng = np.random.default_rng(11)
+    n = 3000
+    pos = jnp.asarray(rng.uniform(0, 32, (n, 3)).astype(np.float32))
+    vel = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    cs = [jnp.asarray(rng.standard_normal((16, 16, 16))
+                      .astype(np.float32)) for _ in range(3)]
+
+    prep_c = make_prepare_carry_fn(pm, C=1024)
+    paint4 = make_paint_from4_fn(pm, K=128, C=1024, interpret=True)
+    ro4 = make_readout3_from4_fn(pm, K=128, C=1024, interpret=True)
+
+    prepared, xs, vs, (ids_s,) = prep_c(pos, vel, (ids,))
+    canvas = paint4(prepared)
+
+    prep = make_prepare_fn(pm, C=1024)
+    canvas_ref = paint4(prep(pos))
+    np.testing.assert_allclose(np.asarray(canvas), np.asarray(canvas_ref),
+                               atol=2e-6)
+
+    # sorted (x, v, id) are a permutation of the inputs, consistent rows
+    perm = np.asarray(ids_s)
+    np.testing.assert_array_equal(np.sort(perm), np.arange(n))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(pos)[perm])
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vel)[perm])
+
+    # readout values come back aligned with the sorted rows
+    vals = ro4(prepared, *cs)
+    painter = Painter(pm, "cic", 2, backend="xla")
+    want = np.stack([np.asarray(painter.readout(c, xs)) for c in cs],
+                    axis=-1)
+    # bf16-split gather error is ~5e-6 relative (BENCH_NOTES)
+    np.testing.assert_allclose(np.asarray(vals), want, atol=2e-5)
