@@ -53,7 +53,8 @@ from ..kernels import kernel_orders
 from .pfft import SlabPM, PencilPM, make_engine
 
 __all__ = ["make_sharded_step", "sharded_force_fn", "particle_spec",
-           "deltak_spec", "required_halo_planes", "halo_ladder"]
+           "deltak_spec", "required_halo_planes",
+           "required_halo_planes_pencil", "halo_ladder"]
 
 
 def _apply_kernel_local(spm, delta_k, kernel_type: str, field: str,
@@ -263,16 +264,25 @@ def _hop_perms(nproc: int, m: int):
     return to_left, to_right
 
 
-def _halo_reduce(canvas_ext, axis: str, nloc: int, H: int, nproc: int):
+def _sl(dim: int, a, b):
+    """Index tuple selecting [a:b) along dimension dim."""
+    return (slice(None),) * dim + (slice(a, b),)
+
+
+def _halo_reduce(canvas_ext, axis: str, nloc: int, H: int, nproc: int,
+                 dim: int = 0):
     """Ghost reduce: add each device's halo blocks into the neighbors'
-    interiors, return the complete interior slab (nloc, Ny, Nz).
+    interiors, return the complete interior slab (nloc along dim).
 
     Multi-hop: when H spans more than one slab (H >= nloc), the ghost
     block is split into per-neighbor pieces sent m hops along the ring
     (the reference's pm_ghosts can also reach non-adjacent ranks,
     pmghosts.c:31-131). Requires ceil((H+1)/nloc) <= nproc - 1 ghosts
     per side (checked by the caller's halo ladder) unless nproc == 1,
-    where every hop wraps to self (periodic fold)."""
+    where every hop wraps to self (periodic fold).
+
+    dim selects which ARRAY dimension carries the decomposition (0 for
+    the slab x-exchange, 1 for the pencil y-exchange)."""
     c = canvas_ext
     R = max(1, -(-H // nloc)) if H else 0
     Rr = max(1, -(-(H + 1) // nloc))
@@ -284,11 +294,11 @@ def _halo_reduce(canvas_ext, axis: str, nloc: int, H: int, nproc: int):
         b = H - (m - 1) * nloc
         if b <= a:
             continue
-        blk = jax.lax.ppermute(c[a:b], axis, to_left)
+        blk = jax.lax.ppermute(c[_sl(dim, a, b)], axis, to_left)
         # lands on the receiver's interior tail: ext indices
         # [H + max(0, m nloc - H), H + nloc)
         lo = H + max(0, m * nloc - H)
-        c = c.at[lo:H + nloc].add(blk)
+        c = c.at[_sl(dim, lo, H + nloc)].add(blk)
     for m in range(1, Rr + 1):
         _, to_right = _hop_perms(nproc, m)
         # my right ghost piece for the m-th right neighbor:
@@ -297,13 +307,14 @@ def _halo_reduce(canvas_ext, axis: str, nloc: int, H: int, nproc: int):
         b = min(nloc + H + 1, (m + 1) * nloc) + H
         if b <= a:
             continue
-        blk = jax.lax.ppermute(c[a:b], axis, to_right)
+        blk = jax.lax.ppermute(c[_sl(dim, a, b)], axis, to_right)
         # lands on the receiver's interior head: [H, H + (b - a))
-        c = c.at[H:H + (b - a)].add(blk)
-    return c[H:H + nloc]
+        c = c.at[_sl(dim, H, H + (b - a))].add(blk)
+    return c[_sl(dim, H, H + nloc)]
 
 
-def _halo_gather(field_slab, axis: str, nloc: int, H: int, nproc: int):
+def _halo_gather(field_slab, axis: str, nloc: int, H: int, nproc: int,
+                 dim: int = 0):
     """Readout mirror of _halo_reduce: extend the local slab with H
     planes from the left side and H+1 from the right, fetching from as
     many neighbors as the halo spans."""
@@ -320,7 +331,7 @@ def _halo_gather(field_slab, axis: str, nloc: int, H: int, nproc: int):
             continue
         # the sender's planes [max(0, m nloc - H), nloc)
         lo = max(0, m * nloc - H)
-        piece = field_slab[lo:nloc]
+        piece = field_slab[_sl(dim, lo, nloc)]
         left_parts.append(jax.lax.ppermute(piece, axis, to_right))
     right_parts = []
     for m in range(1, Rr + 1):
@@ -331,10 +342,10 @@ def _halo_gather(field_slab, axis: str, nloc: int, H: int, nproc: int):
         b = min(nloc + H + 1, (m + 1) * nloc)
         if b <= a:
             continue
-        piece = field_slab[:b - a]
+        piece = field_slab[_sl(dim, 0, b - a)]
         right_parts.append(jax.lax.ppermute(piece, axis, to_left))
     return jnp.concatenate(left_parts + [field_slab] + right_parts,
-                           axis=0)
+                           axis=dim)
 
 
 def _force_local_homed(spm: SlabPM, x, kernel_type: str, H: int,
@@ -483,6 +494,214 @@ def _force_local_homed_multi(spm, xs, masses, kernel_type: str, H: int,
             d["tidal"] = vals[:, i:i + 6]
         outs.append(d)
     return outs, bad, delta_k
+
+
+# ---- v3 "pencil-homed" force: 2D halo exchange on the true pencil ------
+#
+# The 2D analog of the homed slab (the reference's production layout,
+# pmpfft.c:108-260: 2D process mesh over x,y; z local). Device (i, j)
+# owns the particles whose Lagrangian q lies in x-block i, y-block j
+# (pencil-blocked row order, store.lattice_store(blocks=...)), paints
+# into its pencil extended by (Hx, Hy) halo planes, and exchanges halo
+# BLOCKS with x- then y-neighbors -- corners ride through the two-phase
+# exchange exactly like the reference's 2D ghost regions
+# (pmghosts.c:31-131 probes the x,y window jointly).
+
+
+def _cic_rel2(pm: PM, x, r0x, r0y, Hx: int, Hy: int):
+    """Base cell / fraction / extended-pencil x,y indices for CIC on
+    the extended local pencil. Returns (relx, rely, iz, frac)."""
+    n0, n1, n2 = pm.Nmesh
+    inv_cell = jnp.asarray(pm.InvCellSize, dtype=x.dtype)
+    gpos = x * inv_cell
+    base = jnp.floor(gpos).astype(jnp.int32)
+    frac = (gpos - base).astype(jnp.float32)
+    bx = jnp.remainder(base[:, 0], n0)
+    by = jnp.remainder(base[:, 1], n1)
+    iz = jnp.remainder(base[:, 2], n2)
+    relx = jnp.remainder(bx - r0x + Hx, n0)
+    rely = jnp.remainder(by - r0y + Hy, n1)
+    return relx, rely, iz, frac
+
+
+def _paint_homed2(pm: PM, nlx: int, nly: int, Hx: int, Hy: int,
+                  r0x, r0y, x, mass=1.0, canvas=None):
+    """CIC-deposit into the extended local pencil
+    (nlx + 2Hx + 1, nly + 2Hy + 1, Nz); x and y open, z periodic.
+    Returns (canvas_ext, local bad count)."""
+    n0, n1, n2 = pm.Nmesh
+    ext_x = nlx + 2 * Hx + 1
+    ext_y = nly + 2 * Hy + 1
+    relx, rely, iz, frac = _cic_rel2(pm, x, r0x, r0y, Hx, Hy)
+    valid = (relx < nlx + 2 * Hx) & (rely < nly + 2 * Hy)
+    bad = jnp.sum(~valid).astype(jnp.int32)
+    relx = jnp.where(valid, relx, 0)
+    rely = jnp.where(valid, rely, 0)
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    w0 = jnp.where(valid, 1.0, 0.0) * mass
+    if canvas is None:
+        canvas = jnp.zeros((ext_x * ext_y * n2,), dtype=pm.dtype)
+    else:
+        canvas = canvas.reshape(-1)
+    for dx in (0, 1):
+        wx = (1.0 - fx) if dx == 0 else fx
+        ix = relx + dx
+        for dy in (0, 1):
+            wy = (1.0 - fy) if dy == 0 else fy
+            jy = rely + dy
+            for dz in (0, 1):
+                wz = (1.0 - fz) if dz == 0 else fz
+                jz = iz + dz
+                jz = jnp.where(jz == n2, 0, jz)
+                flat = (ix * ext_y + jy) * n2 + jz
+                canvas = canvas.at[flat].add(
+                    (w0 * wx * wy * wz).astype(pm.dtype))
+    return canvas.reshape(ext_x, ext_y, n2), bad
+
+
+def _readout_homed2(pm: PM, nlx: int, nly: int, Hx: int, Hy: int,
+                    r0x, r0y, x, fields_ext):
+    """CIC-interpolate each extended pencil field at x.
+    Returns (N, len(fields_ext))."""
+    n0, n1, n2 = pm.Nmesh
+    ext_y = nly + 2 * Hy + 1
+    relx, rely, iz, frac = _cic_rel2(pm, x, r0x, r0y, Hx, Hy)
+    valid = (relx < nlx + 2 * Hx) & (rely < nly + 2 * Hy)
+    relx = jnp.where(valid, relx, 0)
+    rely = jnp.where(valid, rely, 0)
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    w0 = jnp.where(valid, 1.0, 0.0)
+    flats = []
+    weights = []
+    for dx in (0, 1):
+        wx = (1.0 - fx) if dx == 0 else fx
+        ix = relx + dx
+        for dy in (0, 1):
+            wy = (1.0 - fy) if dy == 0 else fy
+            jy = rely + dy
+            for dz in (0, 1):
+                wz = (1.0 - fz) if dz == 0 else fz
+                jz = iz + dz
+                jz = jnp.where(jz == n2, 0, jz)
+                flats.append((ix * ext_y + jy) * n2 + jz)
+                weights.append(w0 * wx * wy * wz)
+    outs = []
+    for f in fields_ext:
+        ff = f.reshape(-1)
+        acc = 0.0
+        for flat, w in zip(flats, weights):
+            acc = acc + ff[flat] * w
+        outs.append(acc)
+    return jnp.stack(outs, axis=-1)
+
+
+def _force_local_homed_pencil_multi(ppm, xs, masses, kernel_type: str,
+                                    Hx: int, Hy: int,
+                                    softening_type: str = "none",
+                                    compute_potential: bool = False,
+                                    compute_tidal: bool = False):
+    """Multi-species shard-local pencil-homed force: 2D halo-exchange
+    paint/readout + the PencilPM two-transpose FFT. Particle rows must
+    be pencil-blocked (store.lattice_store(blocks=(px, py))).
+
+    Exchange order: x-reduce first (halo blocks carry the full extended
+    y width, so corner contributions hop x then y), then y-reduce; the
+    readout gathers mirror in reverse (y then x). All four exchanges
+    are neighbor ppermutes of O(H * Nmesh^2 / P)-sized blocks.
+
+    Returns ([dict(acc[, potential, tidal])...], bad, delta_k shard)."""
+    pm = ppm.pm
+    px, py = ppm.px, ppm.py
+    ax0, ax1 = ppm.ax0, ppm.ax1
+    n0, n1, n2 = pm.Nmesh
+    nlx, nly = n0 // px, n1 // py
+    r0x = jax.lax.axis_index(ax0) * nlx
+    r0y = jax.lax.axis_index(ax1) * nly
+
+    canvas_ext = None
+    total_mass = 0.0
+    bad = jnp.int32(0)
+    for x, mass in zip(xs, masses):
+        canvas_ext, b = _paint_homed2(pm, nlx, nly, Hx, Hy, r0x, r0y,
+                                      x, mass=mass, canvas=canvas_ext)
+        bad = bad + b
+        if jnp.ndim(mass) == 0:
+            total_mass = total_mass + jnp.float32(mass) * x.shape[0]
+        else:
+            total_mass = total_mass + jnp.sum(mass)
+    c = _halo_reduce(canvas_ext, ax0, nlx, Hx, px, dim=0)
+    c = _halo_reduce(c, ax1, nly, Hy, py, dim=1)
+    ntotal = jax.lax.psum(jnp.float32(total_mass), (ax0, ax1))
+    bad = jax.lax.psum(bad, (ax0, ax1))
+    canvas = c / (ntotal / pm.Norm)
+
+    delta_k = ppm.r2c_local(canvas)
+    delta_k = ppm.apply_softening(delta_k, softening_type)
+
+    fields = [("acc", d) for d in range(3)]
+    if compute_potential:
+        fields.append(("potential", 0))
+    if compute_tidal:
+        fields += [("tidal", m) for m in range(6)]
+
+    fields_ext = []
+    for name, memb in fields:
+        fk = _apply_kernel_local(ppm, delta_k, kernel_type, name, memb)
+        local = ppm.c2r_local(fk)
+        f = _halo_gather(local, ax1, nly, Hy, py, dim=1)
+        f = _halo_gather(f, ax0, nlx, Hx, px, dim=0)
+        fields_ext.append(f)
+
+    outs = []
+    for x in xs:
+        vals = _readout_homed2(pm, nlx, nly, Hx, Hy, r0x, r0y, x,
+                               fields_ext)
+        d = dict(acc=vals[:, :3])
+        i = 3
+        if compute_potential:
+            d["potential"] = vals[:, i]
+            i += 1
+        if compute_tidal:
+            d["tidal"] = vals[:, i:i + 6]
+        outs.append(d)
+    return outs, bad, delta_k
+
+
+def required_halo_planes_pencil(pm: PM, mesh: Mesh, x,
+                                axes=("x", "y")):
+    """Measured 2D halo requirement for pencil-blocked rows: the
+    maximum distance (in mesh planes) any particle strays outside its
+    index-block's x-window / y-window. Returns (hx, hy)."""
+    ax0, ax1 = axes
+    px, py = mesh.shape[ax0], mesh.shape[ax1]
+    n0, n1, _ = pm.Nmesh
+    nlx, nly = n0 // px, n1 // py
+
+    @jax.jit
+    def req(x):
+        npart = x.shape[0]
+        pper = npart // (px * py)
+        b = jnp.arange(npart, dtype=jnp.int32) // pper
+        bi = b // py
+        bj = b - bi * py
+        inv = jnp.asarray(pm.InvCellSize, dtype=x.dtype)
+
+        def one(col, invd, r0, nloc, n):
+            cix = jnp.remainder(
+                jnp.floor(col * invd).astype(jnp.int32), n)
+            rel = jnp.remainder(cix - r0, n)
+            inside = rel < nloc
+            right = rel - (nloc - 1)
+            left = n - rel
+            d = jnp.minimum(right, left)
+            return jnp.max(jnp.where(inside, 0, d))
+
+        hx = one(x[:, 0], inv[0], bi * nlx, nlx, n0)
+        hy = one(x[:, 1], inv[1], bj * nly, nly, n1)
+        return hx, hy
+
+    hx, hy = req(x)
+    return int(hx), int(hy)
 
 
 def halo_ladder(nloc: int, n0: int = None):

@@ -64,6 +64,12 @@ class Store:
     q_nc: tuple = dataclasses.field(default=(0, 0, 0),
                                     metadata=dict(static=True))
     name: str = dataclasses.field(default="1", metadata=dict(static=True))
+    # row-order contract for spatial homing (parallel/psolver.py):
+    # None = x-major lattice order (index-sharding = x-slab homes);
+    # (px, py) = pencil-blocked order (index block b = i*py + j holds
+    # the lattice sites of x-block i, y-block j)
+    home_blocks: Optional[tuple] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def np_local(self) -> int:
@@ -162,10 +168,21 @@ def _rank_emulated_rand(Nc, seed: int, ntask: int) -> np.ndarray:
 
 def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand"),
                   rand_seed: int = 1231584, M0: float = 1.0,
-                  name: str = "1", rand_ntask: int = 1) -> Store:
+                  name: str = "1", rand_ntask: int = 1,
+                  blocks=None) -> Store:
     """Uniform Lagrangian lattice of Nc^3 particles (fastpm_store_fill,
     store.c:723-805): id = raveled lattice index, x = q = id*scale+shift.
-    The rand column reproduces the reference's rank-0 ranlxd stream."""
+    The rand column reproduces the reference's rank-0 ranlxd stream.
+
+    blocks=(px, py): emit rows in PENCIL-BLOCKED order -- contiguous
+    row block b = i*py + j holds the lattice sites with ix in x-block i
+    (width Nc0/px) and iy in y-block j (width Nc1/py), x-major within
+    the block. Index-sharding such a store over a (px, py) device mesh
+    makes each device own exactly its spatial pencil (the 2D analog of
+    the x-major fill's slab homing; fastpm_store_fill restricts to the
+    rank's IRegion the same way, store.c:764-767). ids stay the global
+    raveled lattice index, so q_from_id and sorted-by-ID output are
+    unchanged."""
     if Nc is None:
         Nc = pm.Nmesh
     if np.isscalar(Nc):
@@ -184,18 +201,37 @@ def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand")
     # 1 ulp.
     dtype_id = jnp.uint32 if n < 2 ** 32 else jnp.int64
     s01 = Nc[1] * Nc[2]
+    if blocks is not None:
+        px, py = int(blocks[0]), int(blocks[1])
+        if Nc[0] % px or Nc[1] % py:
+            raise ValueError(f"Nc {Nc} must divide blocks {blocks}")
+        bx, by = Nc[0] // px, Nc[1] // py
 
     @jax.jit
     def make_lattice():
         i = jnp.arange(n, dtype=jnp.int64 if n >= 2 ** 31 else jnp.int32)
-        i0 = i // s01
-        r = i - i0 * s01
-        i1 = r // Nc[2]
-        i2 = r - i1 * Nc[2]
+        if blocks is None:
+            i0 = i // s01
+            r = i - i0 * s01
+            i1 = r // Nc[2]
+            i2 = r - i1 * Nc[2]
+        else:
+            bsz = bx * by * Nc[2]
+            b = i // bsz
+            w = i - b * bsz
+            bi = b // py
+            bj = b - bi * py
+            l0 = w // (by * Nc[2])
+            rr = w - l0 * (by * Nc[2])
+            l1 = rr // Nc[2]
+            i2 = rr - l1 * Nc[2]
+            i0 = bi * bx + l0
+            i1 = bj * by + l1
         idx = jnp.stack([i0, i1, i2], axis=-1).astype(jnp.float32)
         x = idx * jnp.asarray(scale, jnp.float32) \
             + jnp.asarray(shift, jnp.float32)
-        return x, i.astype(dtype_id)
+        lid = (i0 * Nc[1] + i1) * Nc[2] + i2
+        return x, lid.astype(dtype_id)
 
     x, ids = make_lattice()
 
@@ -203,6 +239,8 @@ def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand")
         x=x,
         a_x=0.0, a_v=0.0, M0=M0,
         q_shift=tuple(shift), q_scale=scale, q_nc=tuple(Nc), name=name,
+        home_blocks=(None if blocks is None
+                     else (int(blocks[0]), int(blocks[1]))),
     )
     if "v" in columns:
         kw["v"] = jnp.zeros((n, 3), dtype=jnp.float32)
@@ -211,9 +249,13 @@ def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand")
     if "id" in columns:
         kw["id"] = ids
     if "rand" in columns:
-        kw["rand"] = jnp.asarray(
-            _rank_emulated_rand(Nc, rand_seed,
-                                rand_ntask).astype(np.float32))
+        rand = _rank_emulated_rand(Nc, rand_seed,
+                                   rand_ntask).astype(np.float32)
+        if blocks is not None:
+            # rand is generated in x-major lattice order; carry each
+            # particle's own value through the blocked row order
+            rand = rand[np.asarray(ids)]
+        kw["rand"] = jnp.asarray(rand)
     if "mask" in columns:
         kw["mask"] = jnp.zeros(n, dtype=bool)
     if "potential" in columns:

@@ -288,3 +288,152 @@ def test_homed_memory_scales(mesh8):
     # v1 holds full Nmesh^3 canvases per device; homed holds
     # (nloc + 2H + 1) planes. Require at least a 2x gap.
     assert t_homed * 2 < t_v1, (t_homed, t_v1)
+
+
+# ---- v3 pencil-homed force (true 2D halo exchange) ---------------------
+
+
+def pencil_blocked(x_xmajor, nc, px, py):
+    """Permute x-major lattice rows into pencil-blocked order (the row
+    contract of store.lattice_store(blocks=(px, py)))."""
+    bx, by = nc // px, nc // py
+    i = np.arange(nc ** 3)
+    bsz = bx * by * nc
+    b, w = i // bsz, i % bsz
+    bi, bj = b // py, b % py
+    l0 = w // (by * nc)
+    rr = w % (by * nc)
+    l1, i2 = rr // nc, rr % nc
+    ids = ((bi * bx + l0) * nc + (bj * by + l1)) * nc + i2
+    return jnp.asarray(np.asarray(x_xmajor)[ids]), ids
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    return Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+
+
+def pencil_homed_force(pm, mesh, x, Hx, Hy):
+    from fastpm_tpu.parallel.pfft import PencilPM
+    from fastpm_tpu.parallel.psolver import _force_local_homed_pencil_multi
+    ppm = PencilPM(pm, mesh, axes=("x", "y"))
+    spec = particle_spec(mesh)
+
+    def local(xx):
+        outs, bad, _dk = _force_local_homed_pencil_multi(
+            ppm, (xx,), (1.0,), "1_4", Hx, Hy)
+        return outs[0]["acc"], bad
+
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=spec,
+                               out_specs=(spec, P())))
+    return fn(x)
+
+
+def test_pencil_homed_matches_global_force(mesh42):
+    """The 2D pencil halo exchange (x- then y-neighbor ppermutes,
+    corners riding through both) reproduces the global force exactly
+    (the pmpfft.c:108-260 pencil layout as the reference's production
+    decomposition)."""
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)      # nlx = 8, nly = 16 on a 4x2 mesh
+    x0 = jittered_lattice(nc, box, jitter_cells=1.8, seed=21)
+    x, _ids = pencil_blocked(x0, nc, 4, 2)
+
+    painter = Painter(pm, "cic", 2)
+    (ref_store,), _ = compute_force(pm, painter, [Store(x=x, M0=1.0)],
+                                    "1_4")
+    ref = np.asarray(ref_store.acc)
+    for Hx, Hy in ((2, 2), (3, 5), (7, 2)):
+        acc, bad = pencil_homed_force(pm, mesh42, x, Hx, Hy)
+        assert int(bad) == 0, (Hx, Hy)
+        np.testing.assert_allclose(np.asarray(acc), ref, atol=1e-5,
+                                   err_msg=f"H=({Hx},{Hy})")
+
+
+def test_pencil_homed_multihop(mesh42):
+    """Halo widths spanning several pencils in x (Hx > nlx) still
+    reproduce the global force via the multi-hop exchange."""
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)      # nlx = 8: Hx = 11 spans 2 x-neighbors
+    x0 = jittered_lattice(nc, box, jitter_cells=6.0, seed=23)
+    x, _ids = pencil_blocked(x0, nc, 4, 2)
+
+    painter = Painter(pm, "cic", 2)
+    (ref_store,), _ = compute_force(pm, painter, [Store(x=x, M0=1.0)],
+                                    "1_4")
+    acc, bad = pencil_homed_force(pm, mesh42, x, Hx=11, Hy=7)
+    assert int(bad) == 0
+    np.testing.assert_allclose(np.asarray(acc),
+                               np.asarray(ref_store.acc), atol=1e-5)
+
+
+def test_pencil_homed_overflow(mesh42):
+    """Particles beyond (Hx, Hy) are dropped AND counted."""
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)
+    x0 = jittered_lattice(nc, box, jitter_cells=0.0, seed=0)
+    x, _ids = pencil_blocked(x0, nc, 4, 2)
+    # push one particle 5 y-planes over (nly = 16, Hy = 2)
+    x = x.at[0, 1].add(-5 * box / nc)
+    x = x % box
+    _acc, bad = pencil_homed_force(pm, mesh42, x, Hx=2, Hy=2)
+    assert int(bad) >= 1
+
+
+def test_required_halo_planes_pencil(mesh42):
+    from fastpm_tpu.parallel.psolver import required_halo_planes_pencil
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)
+    x0 = jittered_lattice(nc, box, jitter_cells=0.0, seed=0)
+    x, _ids = pencil_blocked(x0, nc, 4, 2)
+    assert required_halo_planes_pencil(pm, mesh42, x) == (0, 0)
+    x2 = x.at[0, 0].add(-2 * box / nc)    # 2 x-planes left, periodic
+    x2 = x2.at[0, 1].add(3 * box / nc)    # 3 y-planes right... within?
+    x2 = x2 % box
+    hx, hy = required_halo_planes_pencil(pm, mesh42, x2)
+    assert hx == 2
+    # particle 0 is at y=0 of y-block 0 (nly=16): +3 planes stays inside
+    assert hy == 0
+    x3 = x.at[0, 1].add(-4 * box / nc)    # 4 y-planes left across wrap
+    x3 = x3 % box
+    assert required_halo_planes_pencil(pm, mesh42, x3) == (0, 4)
+
+
+def test_pencil_homed_memory_scales(mesh42):
+    """Per-device temporaries of the pencil-homed program stay
+    O(Nmesh^3/P) -- well under the v1 full-canvas program's."""
+    from fastpm_tpu.parallel.pfft import PencilPM
+    from fastpm_tpu.parallel.psolver import (_force_local,
+                                             _force_local_homed_pencil_multi)
+    nc = 64
+    box = 128.0
+    pm = PM(nc, box)
+    x0 = jittered_lattice(nc, box, jitter_cells=0.9, seed=1)
+    x, _ids = pencil_blocked(x0, nc, 4, 2)
+    sh = NamedSharding(mesh42, particle_spec(mesh42))
+    x = jax.device_put(x, sh)
+    ppm = PencilPM(pm, mesh42, axes=("x", "y"))
+    spec = particle_spec(mesh42)
+    painter = Painter(pm, "cic", 2)
+
+    def local(xx):
+        outs, bad, _dk = _force_local_homed_pencil_multi(
+            ppm, (xx,), (1.0,), "1_4", 2, 2)
+        return outs[0]["acc"], bad
+
+    homed = jax.jit(jax.shard_map(local, mesh=mesh42, in_specs=spec,
+                                  out_specs=(spec, P())))
+    v1 = jax.jit(jax.shard_map(
+        lambda xx: _force_local(ppm, painter, xx, "1_4"),
+        mesh=mesh42, in_specs=spec, out_specs=spec))
+    try:
+        t_homed = homed.lower(x).compile().memory_analysis() \
+            .temp_size_in_bytes
+        t_v1 = v1.lower(x).compile().memory_analysis().temp_size_in_bytes
+    except Exception:
+        pytest.skip("memory_analysis unsupported on this backend")
+    assert t_homed * 2 < t_v1, (t_homed, t_v1)

@@ -174,9 +174,17 @@ def test_pencil_solver_cycle():
         s.evolve()
         if mesh is not None:
             assert len(s._sharded_force_cache) >= 1
-        return np.asarray(s.species["cdm"].x)
+        p = s.species["cdm"]
+        # the 2D mesh fills rows pencil-blocked; compare by particle id
+        order = np.argsort(np.asarray(p.id))
+        halos = [k[1] for k in s._sharded_force_cache]
+        return np.asarray(p.x)[order], halos
 
     devs = np.array(jax.devices()[:8])
-    x_slab = run(Mesh(devs, ("x",)))
-    x_pencil = run(Mesh(devs.reshape(4, 2), ("x", "y")))
+    x_slab, _ = run(Mesh(devs, ("x",)))
+    x_pencil, halos = run(Mesh(devs.reshape(4, 2), ("x", "y")))
+    # the 2D mesh must use the TRUE pencil-homed exchange, not the
+    # flattened-ring slab fallback (VERDICT r2 missing #2)
+    assert any(isinstance(h, tuple) and h[0] == "pencil" for h in halos), \
+        f"pencil-homed force not engaged: {halos}"
     np.testing.assert_allclose(x_pencil, x_slab, atol=2e-4)
