@@ -501,17 +501,87 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
         log.info("Writing a catalog to %s [%s]", filebase, dataset)
         log.info("Writing %d objects.", len(order))
 
+    # device slice pipeline state: jitted subsample+sort+compact
+    # programs cached per (cap, cap_out) power-of-two bucket
+    slice_jits = {}
+
+    def slice_sort_compact(rec_d, keep_host):
+        """Subsample + aemit-sort + compaction ON DEVICE; only the
+        write-ready arrays are fetched (the reference keeps all slice
+        work distributed, src/fastpm.c:982-1135). keep_host is the
+        host-f64 subsample mask over the first n rows."""
+        import jax
+        import jax.numpy as jnp
+        n = rec_d["n"]
+        cap = rec_d["aemit"].shape[0]
+        cols = [k for k in ("x", "v", "id", "aemit", "rand")
+                if k in rec_d]
+        keep = np.zeros(cap, dtype=bool)
+        keep[:n] = keep_host
+        keep_d = jnp.asarray(keep)
+        key = ("sort", cap, tuple(cols))
+        fn = slice_jits.get(key)
+        if fn is None:
+            @jax.jit
+            def fn(rec, keep):
+                a = jnp.where(keep, rec["aemit"], jnp.inf)
+                payload = [rec[k] for k in cols]
+                # row payloads sort as separate scalar keys
+                flat = []
+                for v in payload:
+                    if v.ndim == 2:
+                        flat += [v[:, i] for i in range(v.shape[1])]
+                    else:
+                        flat.append(v)
+                out = jax.lax.sort((a,) + tuple(flat), num_keys=1)
+                return out[1:], jnp.sum(keep.astype(jnp.int32))
+            slice_jits[key] = fn
+        flat_sorted, nk = fn({k: rec_d[k] for k in cols}, keep_d)
+        nkeep = int(nk)
+        # fetch only a power-of-two envelope of the KEPT rows (the
+        # padded capacity can be far larger after heavy subsampling)
+        cap2 = 1024
+        while cap2 < nkeep:
+            cap2 *= 2
+        cap2 = min(cap2, cap)
+
+        def fetch(a):
+            return np.asarray(a[:cap2])[:nkeep]
+
+        out = {}
+        i = 0
+        for k in cols:
+            v = rec_d[k]
+            if v.ndim == 2:
+                w = np.stack([fetch(flat_sorted[i + j])
+                              for j in range(v.shape[1])], axis=-1)
+                i += v.shape[1]
+            else:
+                w = fetch(flat_sorted[i])
+                i += 1
+            out[k] = w
+        return out, nkeep
+
     def ready(event):
-        rec = event.mesh.drain()
-        n = 0 if rec is None else len(rec["aemit"])
+        rec_d = event.mesh.drain_device()
+        n = 0 if rec_d is None else rec_d["n"]
         log.info("Unstructured LightCone ready : ai = %g af = %g, n = %d",
                  event.ai, event.af, n)
-        if rec is None:
+        if rec_d is None:
             rec = dict(x=np.zeros((0, 3), np.float32),
                        v=np.zeros((0, 3), np.float32),
                        aemit=np.zeros(0, np.float32),
                        id=np.zeros(0, np.int64),
                        rand=np.zeros(0, np.float32))
+        else:
+            # host copies of the SMALL columns driving subsampling +
+            # the FOF/healpix handlers (x/v fetched only when one of
+            # those is enabled, below)
+            rec = {k: np.asarray(v)[:n] for k, v in rec_d.items()
+                   if k != "n" and (
+                       k in ("aemit", "rand", "id")
+                       or p.write_fof or p.write_rfof
+                       or int(p.lc_usmesh_healpix_nside) > 0)}
         # HEALPix shell maps from the PRE-subsample crossings
         # (src/fastpm.c:1009-1012; io.c:1105-1227): NEST pixels, Mass +
         # radial momentum per (slice, pixel)
@@ -558,13 +628,20 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
             if want and (len(rec["aemit"]) or flush):
                 lightcone_fof(rec, event.af, kind)
 
-        # subsample (ell-limited or uniform; src/fastpm.c:1025-1046)
+        # subsample (ell-limited or uniform; src/fastpm.c:1025-1046).
+        # The keep mask is host float64 (bit-identical to the
+        # reference's per-particle doubles); sort + compaction run on
+        # device (slice_sort_compact).
         if p.lc_usmesh_ell_limit > 0:
-            frac = np.minimum(1.0, np.array(
-                [volume_density_from_ell(p.lc_usmesh_ell_limit,
-                                         1.0 / max(a, 1e-3) - 1,
-                                         lc.horizon)
-                 for a in rec["aemit"]]) / density)
+            # vectorized volume_density_from_ell, op-for-op the scalar
+            # formula (horizon.c:150-158) so the f64 rounding matches
+            m = np.maximum(rec["aemit"].astype(np.float64), 1e-3)
+            z = 1.0 / m - 1.0
+            r = lc.horizon.distance(1.0 / (1 + z))
+            s_lim = r * (np.pi / p.lc_usmesh_ell_limit)
+            with np.errstate(divide="ignore"):
+                dens = (1.0 / s_lim) ** 3
+            frac = np.minimum(1.0, dens / density)
             if len(frac):
                 log.info("Subsampling to density %g (a = %06.4f) ~ %g "
                          "(a = %06.4f), ",
@@ -585,11 +662,14 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
             keep = rec["rand"] <= p.particle_fraction
         else:
             keep = np.ones(n, dtype=bool)
-        rec = {k: v[keep] for k, v in rec.items()}
 
-        # sort by aemit and accumulate the histogram index
-        order = np.argsort(rec["aemit"], kind="stable")
-        rec = {k: v[order] for k, v in rec.items()}
+        if rec_d is not None:
+            rec, nkeep = slice_sort_compact(rec_d, keep)
+        else:
+            rec = {k: v[keep] for k, v in rec.items()}
+            order = np.argsort(rec["aemit"], kind="stable")
+            rec = {k: v[order] for k, v in rec.items()}
+            nkeep = int(keep.sum())
         idx = np.searchsorted(edges, rec["aemit"], side="right")
         counts[:] += np.bincount(idx, minlength=nslices + 2)
 
@@ -624,7 +704,7 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
         root.attrs.set("aemitIndex.size", counts[:nslices + 2], "i8")
         offset = np.concatenate([[0], np.cumsum(counts)])
         root.attrs.set("aemitIndex.offset", offset, "i8")
-        log.info("Writing %d objects.", int(keep.sum()))
+        log.info("Writing %d objects.", nkeep)
 
     mesh.event_handlers.on(ev.EVENT_LIGHTCONE_READY, ev.STAGE_AFTER, ready)
 

@@ -35,3 +35,25 @@ def test_nbodykit_fof_golden_counts(tmp_path):
         # full particle snapshot came along
         ids = bf.open_block("1/ID").read_all()
         assert len(ids) == 128 ** 3
+
+    # the same golden through the DEVICE production path (VERDICT r3
+    # item 3): label-prop FOF + segment-reduce attrs on the written
+    # z=0 snapshot must reproduce the 1668-object catalog exactly
+    import jax.numpy as jnp
+    from fastpm_tpu.fof import find_halos
+    from fastpm_tpu.store import Store
+
+    bf = BigFile(os.path.join(outdir, "fastpm_1.0000"))
+    x = bf.open_block("1/Position").read_all().reshape(-1, 3)
+    v = bf.open_block("1/Velocity").read_all().reshape(-1, 3)
+    ids = bf.open_block("1/ID").read_all()
+    st = Store(x=jnp.asarray(x, jnp.float32),
+               v=jnp.asarray(v, jnp.float32),
+               id=jnp.asarray(ids.astype(np.uint32)), M0=1.0)
+    boxsize = 384.0
+    ll = 0.2 * boxsize / 128
+    cat_d, _ih = find_halos(st, ll, boxsize, nmin=20, backend="device")
+    cat_len = bf.open_block("LL-0.200/Length").read_all()
+    assert cat_d.nhalo == 1668, cat_d.nhalo
+    np.testing.assert_array_equal(np.sort(cat_d.length),
+                                  np.sort(cat_len))

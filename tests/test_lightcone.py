@@ -68,6 +68,9 @@ def test_crossing_solve_static_particle():
     mesh = USMesh(lc, lambda: p, np.zeros((1, 3)), amin=0.1, amax=1.0)
     rec = mesh._solve_tile(p, drift, kick, np.zeros(3), 0.1, 1.0)
     assert rec is not None
+    # device record: padded to a power-of-two cap, first n rows valid
+    nrec = rec["n"]
+    rec = {k: np.asarray(v)[:nrec] for k, v in rec.items() if k != "n"}
     r = np.sqrt((rec["x"].astype(np.float64) ** 2).sum(axis=1))
     xi = lc.horizon.distance(rec["aemit"].astype(np.float64))
     np.testing.assert_allclose(r, xi, atol=5e-4)
