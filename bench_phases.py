@@ -70,10 +70,18 @@ def main():
         from fastpm_tpu.ops.readout_pallas import make_readout3_from4_fn
         prepare = jax.jit(make_prepare_fn(pm, C=8192))
         paint_from = jax.jit(make_paint_from4_fn(pm, K=1024, C=8192))
-        readout3_from = jax.jit(make_readout3_from4_fn(pm, K=1024, C=8192))
+        _ro3 = make_readout3_from4_fn(pm, K=1024, C=8192)
+        # close over the static row count: a jitted dict arg would
+        # trace "n" and the kernel slices by it
+        n_static = int(np.prod(x.shape[:1]))
+        readout3_from = jax.jit(
+            lambda p, a, b_, c: _ro3({**p, "n": n_static}, a, b_, c))
 
         add("prepare(sort)", timeit(prepare, ssum, reps, x))
         prepared = prepare(x)
+        # standalone jit(prepare) turns the static row count into a
+        # device scalar; the kernels slice by it, so pin it back
+        prepared["n"] = int(prepared["n"])
         add("paint_from", timeit(paint_from, ssum, reps, prepared))
         canvas = paint_from(prepared)
     else:

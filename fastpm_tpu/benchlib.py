@@ -40,11 +40,11 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
         from .ops.paint_pallas import (make_prepare_fn,
                                        make_prepare_carry_fn,
                                        make_paint_from4_fn)
-        from .ops.readout_pallas import make_readout3_from4_fn
+        from .ops.readout_pallas import make_readout3_from8_fn
         prepare = make_prepare_fn(pm, C=8192)
         prepare_carry = make_prepare_carry_fn(pm, C=8192)
         paint_from = make_paint_from4_fn(pm, C=8192)
-        readout3_from = make_readout3_from4_fn(pm, C=8192)
+        readout3_from = make_readout3_from8_fn(pm, C=8192)
     else:
         carry_sorted = False
 

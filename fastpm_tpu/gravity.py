@@ -127,9 +127,9 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
     out = []
     for p in stores:
         if fused:
-            from .ops.readout_pallas import make_readout3_from4_fn
-            readout3_from = _fused_cache(pm, "readout3_from",
-                                         make_readout3_from4_fn)
+            from .ops.readout_pallas import make_readout3_from8_fn
+            readout3_from = _fused_cache(pm, "readout3_from8",
+                                         make_readout3_from8_fn)
             acc = readout3_from(prepared, acc_fields[0], acc_fields[1],
                                 acc_fields[2])
         else:

@@ -39,7 +39,8 @@ from ..mesh import PM
 from .paint_pallas import _corner_offsets_padded
 
 __all__ = ["make_readout3_fn", "make_readout3_from_fn",
-           "make_readout3_from4_fn", "make_readout3_from4_homed_fn"]
+           "make_readout3_from4_fn", "make_readout3_from8_fn",
+           "make_readout3_from4_homed_fn"]
 
 
 def _readout_kernel(ranges_ref,      # SMEM (1, 8, 2) i32: [o] -> (s, e)
@@ -700,6 +701,331 @@ def make_readout3_from4_fn(pm: PM, K: int = 512, C: int = 8192,
         if prepared.get("orig") is None:
             # order-free bundle (make_prepare_carry_fn): values are
             # already aligned with the caller's sorted particle order
+            return jnp.stack([vals[0], vals[1], vals[2]], axis=-1)
+        return jnp.stack(jax.lax.sort(
+            (prepared["orig"], vals[0], vals[1], vals[2]),
+            num_keys=1)[1:], axis=-1)
+
+    return readout3_from
+
+
+def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
+                     cell_hbm,       # (1, Npad) i32 sorted padded cells
+                     w8T_hbm,        # (8, 1, Npad) f32 corner weights
+                     canvases_hbm,   # ANY (3, W*CLh + RX + HR, 128)
+                     val_io,         # ANY (3, 1, Npad) f32
+                     out_ref,        # aliased with val_io
+                     canvas_scratch,  # VMEM (2, 2, 3, CLh+HR, 128)
+                     cell_scratch,   # VMEM (2, 1, K) i32
+                     w_scratch,      # VMEM (2, 8, 1, K) f32
+                     val_scratch,    # VMEM (2, 3, 1, K) f32
+                     carry_scratch,  # VMEM (3, 1, K) f32
+                     carry_id,      # SMEM (1,) i32 carried chunk (-1)
+                     csem,          # DMA sems (2, 2) canvas slot x block
+                     sems,          # DMA sems (2, 2): cell, w8
+                     wsems,         # DMA sems (2,)
+                     fsem,          # DMA sems (1,) carry flush
+                     *, K, C, CLh, HR, RX, RXL, nyp, nzp,
+                     gather_mode="split"):
+    """ONE-pass 8-corner readout: window w holds TWO canvas blocks --
+    block 0 at rows [w*CLh, w*CLh+CLh+HR) and block 1 one x-plane later
+    (row offset RX = (nyp*nzp)//128, residual lane shift
+    RXL = (nyp*nzp) % 128) -- so every particle with base cell in the
+    window reads all 8 CIC corners in a single visit. Versus the
+    2-pass kernel this HALVES the chunk-round count (the sync-bound
+    term of BENCH_NOTES), reads each cell/w8 chunk once instead of
+    twice, and writes (3,) value rows instead of (6,) + a final sum.
+
+    Corner-pair sharing is per block: block b serves the z-adjacent
+    pairs at deltas b*RXL + (0, 1) and b*RXL + (nzp, nzp+1); the two
+    pairs of one block sit nzp (odd) apart, so at most one of them
+    crosses lane 127 for a given particle and one fix dot per block
+    suffices (same argument as the 2-pass kernel)."""
+    del val_io
+    w = pl.program_id(0)
+    nw = pl.num_programs(0)
+    base_window = w * C
+    hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, K), 0)
+    lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+    def canvas_copy(slot, wi, b):
+        return pltpu.make_async_copy(
+            canvases_hbm.at[:, pl.ds(pl.multiple_of(wi * CLh + b * RX,
+                                                    8), CLh + HR)],
+            canvas_scratch.at[slot, b], csem.at[slot, b])
+
+    @pl.when(w == 0)
+    def _init_carry():
+        carry_id[0] = -1
+        canvas_copy(0, 0, 0).start()
+        canvas_copy(0, 0, 1).start()
+
+    cslot = jax.lax.rem(w, 2)
+
+    @pl.when(w + 1 < nw)
+    def _prefetch_canvas():
+        canvas_copy(jax.lax.rem(w + 1, 2), w + 1, 0).start()
+        canvas_copy(jax.lax.rem(w + 1, 2), w + 1, 1).start()
+
+    canvas_copy(cslot, w, 0).wait()
+    canvas_copy(cslot, w, 1).wait()
+
+    def flush_carry():
+        cid = carry_id[0]
+
+        @pl.when(cid >= 0)
+        def _go():
+            cp = pltpu.make_async_copy(
+                carry_scratch,
+                out_ref.at[:, :, pl.ds(cid * K, K)],
+                fsem.at[0])
+            cp.start()
+            cp.wait()
+
+    s = ranges_ref[0, 0, 0]
+    e = ranges_ref[0, 0, 1]
+    j0 = s // K
+    j1 = jax.lax.div(e + K - 1, K)
+    nrounds = jnp.maximum(j1 - j0, 0)
+
+    def make_in_copies(slot, r):
+        start = pl.multiple_of((j0 + r) * K, 128)
+        return [pltpu.make_async_copy(
+                    cell_hbm.at[:, pl.ds(start, K)],
+                    cell_scratch.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    w8T_hbm.at[:, :, pl.ds(start, K)],
+                    w_scratch.at[slot], sems.at[slot, 1])]
+
+    def make_out_copies(slot, r):
+        start = pl.multiple_of((j0 + r) * K, 128)
+        return [pltpu.make_async_copy(
+                    val_scratch.at[slot],
+                    out_ref.at[:, :, pl.ds(start, K)],
+                    wsems.at[slot])]
+
+    @pl.when(nrounds > 0)
+    def _run():
+        for cp in make_in_copies(0, 0):
+            cp.start()
+
+        cid = carry_id[0]
+
+        @pl.when(cid == j0)
+        def _consume():
+            val_scratch[0] = carry_scratch[...]
+
+        @pl.when((cid >= 0) & (cid != j0))
+        def _flush():
+            flush_carry()
+
+        @pl.when(cid != j0)
+        def _zero0():
+            val_scratch[0] = jnp.zeros_like(val_scratch[0])
+
+        carry_id[0] = -1
+
+        def body(r, carry):
+            slot = r % 2
+            nxt = (r + 1) % 2
+
+            @pl.when(r + 1 < nrounds)
+            def _prefetch():
+                @pl.when(r >= 1)
+                def _drain():
+                    for cp in make_out_copies(nxt, r - 1):
+                        cp.wait()
+                val_scratch[nxt] = jnp.zeros_like(val_scratch[nxt])
+                for cp in make_in_copies(nxt, r + 1):
+                    cp.start()
+
+            for cp in make_in_copies(slot, r):
+                cp.wait()
+
+            start = (j0 + r) * K
+            cells = cell_scratch[slot]             # (1, K)
+            gidx = start + lane
+            valid = (gidx >= s) & (gidx < e)
+            rel0 = jnp.where(valid, cells - base_window, -2)
+
+            mdt = (jnp.bfloat16 if gather_mode == "split"
+                   else jnp.float32)
+            # pair q = 2*b + pi: block b, z-pair pi, corner weight rows
+            # (2q, 2q+1); block-b deltas carry the lane residual b*RXL
+            his, los, crossings = [], [], []
+            for b in range(2):
+                for d in (b * RXL, b * RXL + nzp):
+                    rel = jnp.where(valid, rel0 + d, -1)
+                    his.append(rel >> 7)
+                    los.append(rel & 127)
+                    crossings.append(((rel & 127) == 127) & valid)
+            A_q = [(h == hi_row).astype(mdt) for h in his]
+            hifix = [jnp.where(
+                         crossings[2 * b], his[2 * b] + 1,
+                         jnp.where(crossings[2 * b + 1],
+                                   his[2 * b + 1] + 1, -1))
+                     for b in range(2)]
+            A_fix = [(h == hi_row).astype(mdt) for h in hifix]
+            Me = [l == lo_row for l in los]
+            Mo = [l + 1 == lo_row for l in los]
+
+            def gather(b_hi, b_lo, A):
+                if gather_mode == "split":
+                    return jax.lax.dot_general(
+                        b_hi, A,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + jax.lax.dot_general(
+                        b_lo, A,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                return jax.lax.dot_general(
+                    b_hi, A,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=(jax.lax.Precision.HIGHEST
+                               if gather_mode == "highest"
+                               else jax.lax.Precision.HIGH))
+
+            for comp in range(3):
+                acc = None
+                for b in range(2):
+                    block = canvas_scratch[cslot, b, comp]
+                    if gather_mode == "split":
+                        b_hi = block.astype(jnp.bfloat16)
+                        b_lo = (block - b_hi.astype(jnp.float32)
+                                ).astype(jnp.bfloat16)
+                    else:
+                        b_hi, b_lo = block, None
+                    fixrow = gather(b_hi, b_lo, A_fix[b])[0:1, :]
+                    for pi in range(2):
+                        q = 2 * b + pi
+                        tmp = gather(b_hi, b_lo, A_q[q])
+                        v_even = jnp.sum(
+                            jnp.where(Me[q], tmp, 0.0),
+                            axis=0, keepdims=True)
+                        v_odd = jnp.sum(
+                            jnp.where(Mo[q], tmp, 0.0),
+                            axis=0, keepdims=True)
+                        v_odd = v_odd + jnp.where(crossings[q],
+                                                  fixrow, 0.0)
+                        v = (v_even * w_scratch[slot, 2 * q]
+                             + v_odd * w_scratch[slot, 2 * q + 1])
+                        acc = v if acc is None else acc + v
+                val_scratch[slot, comp] = \
+                    val_scratch[slot, comp] + acc
+
+            @pl.when(r + 1 < nrounds)
+            def _writeback():
+                for cp in make_out_copies(slot, r):
+                    cp.start()
+
+            @pl.when(r + 1 == nrounds)
+            def _hold():
+                carry_scratch[...] = val_scratch[slot]
+                carry_id[0] = j0 + r
+            return carry
+
+        jax.lax.fori_loop(0, nrounds, body, 0)
+
+        @pl.when(nrounds > 1)
+        def _drain_last():
+            for cp in make_out_copies((nrounds - 2) % 2,
+                                      nrounds - 2):
+                cp.wait()
+
+    @pl.when(w == nw - 1)
+    def _final_flush():
+        flush_carry()
+
+
+def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
+                           interpret=False, gather_mode="split"):
+    """readout3_from with the ONE-pass 8-corner kernel (see
+    _readout_kernel8). Consumes the same prepared bundle as the 2-pass
+    variant; only offset row 0 of the range table is used (window w
+    owns exactly the particles whose base cell lies in it)."""
+    nx, ny, nz = pm.Nmesh
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024")
+    if K % 128:
+        raise ValueError("K must be a multiple of 128")
+    CLh = C // 128
+    RX = (nyp * nzp) // 128
+    RX = (RX // 8) * 8            # DMA row starts must stay 8-aligned
+    RXL = nyp * nzp - RX * 128    # lane residual (< 1024 + 128)
+    # halo rows: max rel = C - 1 + RXL + nzp + 1
+    HR = ((RXL + nzp + 1 + 127) // 128 + 1)
+    HR = ((HR + 7) // 8) * 8
+    npad_blocks = W * CLh + RX + HR
+    kernel = functools.partial(_readout_kernel8, K=K, C=C, CLh=CLh,
+                               HR=HR, RX=RX, RXL=RXL, nyp=nyp, nzp=nzp,
+                               gather_mode=gather_mode)
+
+    def build_call(n_padded):
+        return pl.pallas_call(
+            kernel,
+            grid=(W,),
+            in_specs=[
+                pl.BlockSpec((1, 1, 2), lambda w: (w, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, 3, CLh + HR, 128), jnp.float32),
+                pltpu.VMEM((2, 1, K), jnp.int32),
+                pltpu.VMEM((2, 8, 1, K), jnp.float32),
+                pltpu.VMEM((2, 3, 1, K), jnp.float32),
+                pltpu.VMEM((3, 1, K), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+            out_shape=jax.ShapeDtypeStruct((3, 1, n_padded),
+                                           jnp.float32),
+            input_output_aliases={4: 0},
+            interpret=interpret,
+        )
+
+    def pad_canvas(canvas):
+        p = jnp.zeros((nxp, nyp, nzp), dtype=jnp.float32)
+        p = p.at[:nx, :ny, :nz].set(canvas)
+        p = p.at[nx, :ny, :nz].set(canvas[0])
+        p = p.at[:nx, ny, :nz].set(canvas[:, 0])
+        p = p.at[:nx, :ny, nz].set(canvas[:, :, 0])
+        p = p.at[nx, ny, :nz].set(canvas[0, 0])
+        p = p.at[nx, :ny, nz].set(canvas[0, :, 0])
+        p = p.at[:nx, ny, nz].set(canvas[:, 0, 0])
+        p = p.at[nx, ny, nz].set(canvas[0, 0, 0])
+        flat = p.reshape(-1)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((npad_blocks * 128 - mpad,), jnp.float32)])
+        return flat.reshape(npad_blocks, 128)
+
+    def readout3_from(prepared, cx, cy, cz):
+        n = prepared["n"]
+        n_padded = prepared["cell_2d"].shape[1]
+        if n_padded % K:
+            raise ValueError("prepared padding not a multiple of K")
+        ranges1 = prepared["ranges"][:, 0:1, :]
+        canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
+                              pad_canvas(cz)])
+        val_init = jnp.zeros((3, 1, n_padded), jnp.float32)
+        vals = build_call(n_padded)(
+            ranges1, prepared["cell_2d"], prepared["w8T"],
+            canvases, val_init)[:, 0, :n]
+        if prepared.get("orig") is None:
             return jnp.stack([vals[0], vals[1], vals[2]], axis=-1)
         return jnp.stack(jax.lax.sort(
             (prepared["orig"], vals[0], vals[1], vals[2]),

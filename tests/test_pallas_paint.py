@@ -181,3 +181,63 @@ def test_prepare_carry_order_free():
                     axis=-1)
     # bf16-split gather error is ~5e-6 relative (BENCH_NOTES)
     np.testing.assert_allclose(np.asarray(vals), want, atol=2e-5)
+
+
+def test_pallas_readout3_onepass_matches_painter():
+    """ONE-pass 8-corner readout (make_readout3_from8_fn) against the
+    XLA painter. PM(16): nyp*nzp = 289 -> RX aligns down to 0 with a
+    large lane residual RXL = 289 (the residual-shift path)."""
+    from fastpm_tpu.ops.paint_pallas import make_prepare_fn
+    from fastpm_tpu.ops.readout_pallas import make_readout3_from8_fn
+
+    pm = PM(16, 64.0)
+    painter = Painter(pm, "cic", 2, backend="xla")
+    rng = np.random.default_rng(21)
+    n = 3777
+    pos = jnp.asarray(rng.uniform(0, 64, (n, 3)).astype(np.float32))
+    cs = [jnp.asarray(rng.standard_normal((16, 16, 16))
+                      .astype(np.float32)) for _ in range(3)]
+    prepared = jax.jit(make_prepare_fn(pm, C=1024))(pos)
+    # split mode: the 8-corner in-kernel accumulation regroups the
+    # bf16-split sums vs the 2-pass kernel, so the documented ~5e-6
+    # rel gather error can reach ~2e-5 absolute here
+    f = make_readout3_from8_fn(pm, K=256, C=1024, interpret=True)
+    got = np.asarray(f(prepared, *cs))
+    want = np.stack([np.asarray(painter.readout(c, pos)) for c in cs],
+                    axis=-1)
+    np.testing.assert_allclose(got, want, atol=3e-5)
+    # f32 dots: the kernel logic itself is exact to f32 rounding
+    fh = make_readout3_from8_fn(pm, K=256, C=1024, interpret=True,
+                                gather_mode="highest")
+    np.testing.assert_allclose(np.asarray(fh(prepared, *cs)), want,
+                               atol=1e-6)
+
+
+def test_pallas_readout3_onepass_rx_aligned():
+    """One-pass readout on PM(32): nyp*nzp = 1089 -> RX = 8 (8-aligned
+    row offset) with RXL = 65; boundary particles exercise the
+    cross-block corner split."""
+    from fastpm_tpu.ops.paint_pallas import make_prepare_fn
+    from fastpm_tpu.ops.readout_pallas import make_readout3_from8_fn
+
+    pm = PM(32, 64.0)
+    painter = Painter(pm, "cic", 2, backend="xla")
+    rng = np.random.default_rng(22)
+    n = 5000
+    pos = np.concatenate([
+        rng.uniform(0, 64, (n - 8, 3)),
+        np.full((4, 3), 63.999),          # wrap corner
+        np.full((4, 3), 0.0005)])         # origin corner
+    pos = jnp.asarray(pos.astype(np.float32))
+    cs = [jnp.asarray(rng.standard_normal((32, 32, 32))
+                      .astype(np.float32)) for _ in range(3)]
+    prepared = jax.jit(make_prepare_fn(pm, C=1024))(pos)
+    f = make_readout3_from8_fn(pm, K=128, C=1024, interpret=True)
+    got = np.asarray(f(prepared, *cs))
+    want = np.stack([np.asarray(painter.readout(c, pos)) for c in cs],
+                    axis=-1)
+    np.testing.assert_allclose(got, want, atol=3e-5)
+    fh = make_readout3_from8_fn(pm, K=128, C=1024, interpret=True,
+                                gather_mode="highest")
+    np.testing.assert_allclose(np.asarray(fh(prepared, *cs)), want,
+                               atol=1e-6)
