@@ -34,7 +34,8 @@ from ..mesh import PM
 
 __all__ = ["paint_sorted", "make_paint_fn", "make_prepare_fn",
            "make_prepare_carry_fn", "make_paint_from_fn",
-           "make_paint_from4_fn", "make_prepare_homed_fn",
+           "make_paint_from4_fn", "make_paint_from8_fn",
+           "make_prepare_homed_fn",
            "make_paint_from4_homed_fn"]
 
 
@@ -655,6 +656,225 @@ def make_paint_from4_fn(pm: PM, K: int = 512, C: int = 8192,
         main, tail = paint_call(ranges2, prepared["cell_2d"],
                                 prepared["w8T"])
         padded = jnp.concatenate([main, tail]).reshape(-1)[:mpad]
+        padded = padded.reshape(nxp, nyp, nzp)
+        canvas = padded[:nx, :ny, :nz]
+        canvas = canvas.at[0, :, :].add(padded[nx, :ny, :nz])
+        canvas = canvas.at[:, 0, :].add(padded[:nx, ny, :nz])
+        canvas = canvas.at[:, :, 0].add(padded[:nx, :ny, nz])
+        canvas = canvas.at[0, 0, :].add(padded[nx, ny, :nz])
+        canvas = canvas.at[0, :, 0].add(padded[nx, :ny, nz])
+        canvas = canvas.at[:, 0, 0].add(padded[:nx, ny, nz])
+        canvas = canvas.at[0, 0, 0].add(padded[nx, ny, nz])
+        if not (jnp.ndim(mass) == 0 and isinstance(mass, float)
+                and mass == 1.0):
+            canvas = canvas * mass
+        return canvas
+
+    return paint_from
+
+
+def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
+                   cell_hbm,        # (1, Npad) i32 sorted padded cells
+                   w8T_hbm,         # (8, 1, Npad) f32 corner weights
+                   outA_ref,        # VMEM (CLh, 128) dx=0 stream (piped)
+                   outB_ref,        # VMEM (CLh, 128) dx=1 stream (piped)
+                   tailA_ref,       # VMEM (HR, 128) final dx=0 halo tail
+                   tailB_ref,       # VMEM (HR, 128) final dx=1 halo tail
+                   acc_scratch,     # VMEM (2, CLh+HR, 128) f32 streams
+                   carry_scratch,   # VMEM (2, HR, 128) f32 halo carries
+                   cell_scratch,    # VMEM (2, 1, K) i32
+                   w_scratch,       # VMEM (2, 8, 1, K) f32
+                   sems,            # DMA sems (2, 2): cell, w8
+                   *, K, C, CLh, HR, nyp, nzp):
+    """ONE-pass 8-corner deposit: each particle is visited once (the
+    base-cell range of window w) and scatters into TWO accumulator
+    streams -- stream 0 takes the dx=0 corner quadruple at rel =
+    cell - w*C, stream 1 takes the dx=1 quadruple at the SAME rel
+    (semantically shifted by +nyp*nzp; the caller adds the streams
+    with that flat offset in XLA). Halves the particle rounds and the
+    cell/weight DMA of the 2-pass kernel (_paint_kernel4) at the cost
+    of a second output stream + one shifted add."""
+    w = pl.program_id(0)
+    hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, K), 0)
+    lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    base_window = w * C
+
+    acc_scratch[...] = jnp.zeros_like(acc_scratch)
+    @pl.when(w > 0)
+    def _take_carry():
+        acc_scratch[:, 0:HR] = acc_scratch[:, 0:HR] + carry_scratch[...]
+
+    s = ranges_ref[0, 0, 0]
+    e = ranges_ref[0, 0, 1]
+    j0 = s // K
+    j1 = jax.lax.div(e + K - 1, K)
+    nrounds = jnp.maximum(j1 - j0, 0)
+
+    def make_in_copies(slot, r):
+        start = pl.multiple_of((j0 + r) * K, 128)
+        return [pltpu.make_async_copy(
+                    cell_hbm.at[:, pl.ds(start, K)],
+                    cell_scratch.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    w8T_hbm.at[:, :, pl.ds(start, K)],
+                    w_scratch.at[slot], sems.at[slot, 1])]
+
+    @pl.when(nrounds > 0)
+    def _run():
+        for cp in make_in_copies(0, 0):
+            cp.start()
+
+        def body(r, carry):
+            slot = r % 2
+            nxt = (r + 1) % 2
+
+            @pl.when(r + 1 < nrounds)
+            def _prefetch():
+                for cp in make_in_copies(nxt, r + 1):
+                    cp.start()
+
+            for cp in make_in_copies(slot, r):
+                cp.wait()
+
+            start = (j0 + r) * K
+            cells = cell_scratch[slot]
+            gidx = start + lane
+            valid = (gidx >= s) & (gidx < e)
+            rel0 = jnp.where(valid, cells - base_window, -2)
+
+            def deposit(acc, A_bf16, B):
+                # bf16 hi/lo split: one-hot A exact in bf16, two
+                # single-pass dots instead of a 6-pass HIGHEST dot
+                B_hi = B.astype(jnp.bfloat16)
+                B_lo = (B - B_hi.astype(jnp.float32)
+                        ).astype(jnp.bfloat16)
+                return acc + jax.lax.dot_general(
+                    A_bf16, B_hi,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    A_bf16, B_lo,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            # rel/hi/lo/crossing/A are shared by the two streams --
+            # only the weight rows differ (rows 4*dx + 2*pi + dz)
+            his, As, crossings = [], [], []
+            for pi, d in enumerate((0, nzp)):
+                rel = jnp.where(valid, rel0 + d, -1)
+                hi = rel >> 7
+                his.append(hi)
+                crossings.append(((rel & 127) == 127) & valid)
+                As.append((hi == hi_row).astype(jnp.bfloat16))
+            hifix = jnp.where(
+                crossings[0], his[0] + 1,
+                jnp.where(crossings[1], his[1] + 1, -1))
+            A_fix = (hifix == hi_row).astype(jnp.bfloat16)
+            los = [jnp.where(valid, rel0 + d, -1) & 127
+                   for d in (0, nzp)]
+            Me = [l == lo_row for l in los]
+            Mo = [l + 1 == lo_row for l in los]
+
+            for dx in range(2):
+                acc = acc_scratch[dx]
+                w_cross = None
+                for pi in range(2):
+                    B = (jnp.where(Me[pi],
+                                   w_scratch[slot, 4 * dx + 2 * pi],
+                                   0.0)
+                         + jnp.where(Mo[pi],
+                                     w_scratch[slot,
+                                               4 * dx + 2 * pi + 1],
+                                     0.0))
+                    acc = deposit(acc, As[pi], B)
+                    wc = jnp.where(crossings[pi],
+                                   w_scratch[slot, 4 * dx + 2 * pi + 1],
+                                   0.0)
+                    w_cross = wc if w_cross is None else w_cross + wc
+                B_fix = jnp.where(lo_row == 0, w_cross, 0.0)
+                acc = deposit(acc, A_fix, B_fix)
+                acc_scratch[dx] = acc
+            return carry
+
+        jax.lax.fori_loop(0, nrounds, body, 0)
+
+    outA_ref[...] = acc_scratch[0, 0:CLh]
+    outB_ref[...] = acc_scratch[1, 0:CLh]
+    carry_scratch[...] = acc_scratch[:, CLh:CLh + HR]
+    tailA_ref[...] = acc_scratch[0, CLh:CLh + HR]
+    tailB_ref[...] = acc_scratch[1, CLh:CLh + HR]
+
+
+def make_paint_from8_fn(pm: PM, K: int = 512, C: int = 8192,
+                        interpret=False):
+    """paint_from with the ONE-pass 8-corner kernel (_paint_kernel8).
+    Consumes the same prepared bundle as the 2-pass variant; only
+    offset row 0 of the range table is used."""
+    nx, ny, nz = pm.Nmesh
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024")
+    if K % 128:
+        raise ValueError("K must be a multiple of 128")
+    CLh = C // 128
+    HR = ((nzp + 1 + 127) // 128 + 1)
+    HR = ((HR + 7) // 8) * 8
+    if HR > CLh:
+        raise ValueError("halo rows exceed the window (HR <= CLh "
+                         "required by the paint carry)")
+    kernel = functools.partial(_paint_kernel8, K=K, C=C, CLh=CLh,
+                               HR=HR, nyp=nyp, nzp=nzp)
+
+    paint_call = pl.pallas_call(
+        kernel,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2), lambda w: (w, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((CLh, 128), lambda w: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CLh, 128), lambda w: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HR, 128), lambda w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HR, 128), lambda w: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CLh + HR, 128), jnp.float32),
+            pltpu.VMEM((2, HR, 128), jnp.float32),
+            pltpu.VMEM((2, 1, K), jnp.int32),
+            pltpu.VMEM((2, 8, 1, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        out_shape=(jax.ShapeDtypeStruct((W * CLh, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((W * CLh, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((HR, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((HR, 128), jnp.float32)),
+        interpret=interpret,
+    )
+
+    xshift = nyp * nzp
+
+    def paint_from(prepared, mass=1.0):
+        ranges1 = prepared["ranges"][:, 0:1, :]
+        mainA, mainB, tailA, tailB = paint_call(
+            ranges1, prepared["cell_2d"], prepared["w8T"])
+        flatA = jnp.concatenate([mainA, tailA]).reshape(-1)
+        flatB = jnp.concatenate([mainB, tailB]).reshape(-1)
+        # stream B's deposits live at cell + nyp*nzp (the dx=1 plane)
+        padded = (flatA[:mpad]
+                  + jnp.concatenate(
+                      [jnp.zeros((xshift,), jnp.float32),
+                       flatB[:mpad - xshift]]))
         padded = padded.reshape(nxp, nyp, nzp)
         canvas = padded[:nx, :ny, :nz]
         canvas = canvas.at[0, :, :].add(padded[nx, :ny, :nz])

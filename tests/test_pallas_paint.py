@@ -241,3 +241,47 @@ def test_pallas_readout3_onepass_rx_aligned():
                                 gather_mode="highest")
     np.testing.assert_allclose(np.asarray(fh(prepared, *cs)), want,
                                atol=1e-6)
+
+
+def test_pallas_paint_onepass_matches_painter():
+    """ONE-pass 8-corner paint (make_paint_from8_fn): each particle is
+    visited once and deposits into two accumulator streams (dx=0/1)
+    that the wrapper adds with a +nyp*nzp flat shift. Boundary
+    particles exercise the wrap folds and the halo carry of BOTH
+    streams."""
+    from fastpm_tpu.ops.paint_pallas import (make_prepare_fn,
+                                             make_paint_from8_fn)
+
+    pm = PM(32, 64.0)
+    painter = Painter(pm, "cic", 2, backend="xla")
+    rng = np.random.default_rng(5)
+    n = 5000
+    pos = np.concatenate([
+        rng.uniform(0, 64, (n - 8, 3)),
+        np.full((4, 3), 63.999),          # wrap corner
+        np.full((4, 3), 0.0005)])         # origin corner
+    pos = jnp.asarray(pos.astype(np.float32))
+    prepared = jax.jit(make_prepare_fn(pm, C=1024))(pos)
+    got = np.asarray(make_paint_from8_fn(pm, K=128, C=1024,
+                                         interpret=True)(prepared))
+    want = np.asarray(painter.paint(pos))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # total mass is conserved across the two streams
+    np.testing.assert_allclose(got.sum(), n, rtol=1e-5)
+
+
+def test_pallas_paint_onepass_small_mesh():
+    """One-pass paint on PM(16) (large lane residual regime) with a
+    scalar mass."""
+    from fastpm_tpu.ops.paint_pallas import (make_prepare_fn,
+                                             make_paint_from8_fn)
+
+    pm = PM(16, 64.0)
+    painter = Painter(pm, "cic", 2, backend="xla")
+    rng = np.random.default_rng(6)
+    pos = jnp.asarray(rng.uniform(0, 64, (3777, 3)).astype(np.float32))
+    prepared = jax.jit(make_prepare_fn(pm, C=1024))(pos)
+    got = np.asarray(make_paint_from8_fn(pm, K=256, C=1024,
+                                         interpret=True)(prepared, 2.0))
+    want = np.asarray(painter.paint(pos, 2.0))
+    np.testing.assert_allclose(got, want, atol=4e-5)
