@@ -19,7 +19,10 @@ __all__ = ["make_step_fn", "example_particles"]
 
 def make_step_fn(pm: PM, kernel_type: str = "1_4",
                  painter_type: str = "cic", support: int = 2,
-                 donate: bool = True, carry_sorted: bool = True):
+                 donate: bool = True, carry_sorted: bool = True,
+                 sort_block: int | None = None,
+                 paint8: bool = False,
+                 K: int = 512, C: int = 8192):
     """One full PM force+kick+drift step as a single jitted function:
     (x, v, coeffs[2]) -> (x, v, acc). The hot loop of the framework.
 
@@ -39,12 +42,17 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
         # 3-component readout (make_prepare_fn)
         from .ops.paint_pallas import (make_prepare_fn,
                                        make_prepare_carry_fn,
-                                       make_paint_from4_fn)
+                                       make_paint_from4_fn,
+                                       make_paint_from8_fn)
         from .ops.readout_pallas import make_readout3_from8_fn
-        prepare = make_prepare_fn(pm, C=8192)
-        prepare_carry = make_prepare_carry_fn(pm, C=8192)
-        paint_from = make_paint_from4_fn(pm, C=8192)
-        readout3_from = make_readout3_from8_fn(pm, C=8192)
+        pad_to = max(K, 1024)
+        prepare = make_prepare_fn(pm, C=C, pad_to=pad_to)
+        prepare_carry = make_prepare_carry_fn(pm, C=C, pad_to=pad_to,
+                                              sort_block=sort_block)
+        paint_maker = make_paint_from8_fn if paint8 \
+            else make_paint_from4_fn
+        paint_from = paint_maker(pm, K=K, C=C)
+        readout3_from = make_readout3_from8_fn(pm, K=K, C=C)
     else:
         carry_sorted = False
 

@@ -299,7 +299,8 @@ def make_prepare_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
     return prepare
 
 
-def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
+def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024,
+                          sort_block: int | None = None):
     """Order-free prepared-bundle builder: carries the PHASE-SPACE rows
     (x, v[, extra u32 columns]) through the cell sort instead of an
     un-sort index. The caller keeps particles in cell-sorted order
@@ -309,7 +310,14 @@ def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
 
     Fracs are recomputed from the sorted x (cheap elementwise) so the
     sort moves 7 arrays (cell + x*3 + v*3) instead of 5, and no inverse
-    permutation is ever needed."""
+    permutation is ever needed.
+
+    sort_block: when set (power of two), use the k-sorted fast sort
+    (ops/sort_pallas.sort_maybe_ksorted) with that run size instead of
+    a full lax.sort -- exact-fallback-guarded, it wins whenever the
+    carried order from the previous step is within ~sort_block ranks
+    of sorted (sub-cell per-step displacements). f32 payloads only, so
+    extras are not supported with it."""
     nx, ny, nz = pm.Nmesh
     nyp, nzp = ny + 1, nz + 1
     mpad = (nx + 1) * nyp * nzp
@@ -326,10 +334,28 @@ def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
                           jnp.remainder(base[:, 1], ny),
                           jnp.remainder(base[:, 2], nz)], axis=-1)
         cell = ((base[:, 0] * nyp + base[:, 1]) * nzp + base[:, 2])
-        sorted_ops = jax.lax.sort(
-            (cell, pos[:, 0], pos[:, 1], pos[:, 2],
-             vel[:, 0], vel[:, 1], vel[:, 2]) + tuple(extras),
-            num_keys=1)
+        ops_in = (cell, pos[:, 0], pos[:, 1], pos[:, 2],
+                  vel[:, 0], vel[:, 1], vel[:, 2]) + tuple(extras)
+        if sort_block is not None:
+            if extras:
+                raise ValueError("sort_block supports f32 payloads "
+                                 "only (no extras)")
+            from .sort_pallas import sort_maybe_ksorted
+            npad_sort = -(-n // (2 * sort_block)) * (2 * sort_block)
+            if npad_sort != n:
+                # pad with +inf keys (sort to the end), slice off after
+                padk = jnp.full((npad_sort - n,), np.iinfo(np.int32).max,
+                                jnp.int32)
+                padv = jnp.zeros((npad_sort - n,), jnp.float32)
+                ops_pad = (jnp.concatenate([ops_in[0], padk]),) + tuple(
+                    jnp.concatenate([o, padv]) for o in ops_in[1:])
+                sorted_ops = tuple(
+                    o[:n] for o in sort_maybe_ksorted(ops_pad,
+                                                      sort_block))
+            else:
+                sorted_ops = sort_maybe_ksorted(ops_in, sort_block)
+        else:
+            sorted_ops = jax.lax.sort(ops_in, num_keys=1)
         cell_s = sorted_ops[0]
         xs = jnp.stack(sorted_ops[1:4], axis=-1)
         vs = jnp.stack(sorted_ops[4:7], axis=-1)

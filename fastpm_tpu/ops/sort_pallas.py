@@ -78,8 +78,12 @@ def _butterfly_lanes(key, ops, s, lane):
 
     pk = partner(key)
     # lane with bit clear keeps the min, bit set keeps the max; strict
-    # comparisons make both sides of each pair agree (ties: no swap)
-    take = jnp.where(low, pk < key, pk > key)
+    # comparisons make both sides of each pair agree (ties: no swap).
+    # Select in i32 space: Mosaic (v5e) rejects select_n with i1
+    # vector operands ("Unsupported target bitwidth for truncation").
+    low_i = low.astype(jnp.int32)
+    take = (low_i * (pk < key).astype(jnp.int32)
+            + (1 - low_i) * (pk > key).astype(jnp.int32)) > 0
     out_k = jnp.where(take, pk, key)
     new_ops = [jnp.where(take, partner(o), o) for o in ops]
     return out_k, new_ops
@@ -143,12 +147,20 @@ def _merge_kernel(key_hbm, *rest, B, P, R, npairs):
         cp.wait()
 
 
-def make_merge_pairs_fn(n, B, P, interpret=False):
+def _resolve_interpret(interpret):
+    if interpret is None:
+        import jax
+        return jax.default_backend() == "cpu"
+    return interpret
+
+
+def make_merge_pairs_fn(n, B, P, interpret=None):
     """Build the pallas pair-merge: operands (key i32[n], P payloads
     [n]) where each adjacent pair of B-runs is bitonic (first run
     ascending, second descending); returns them with every 2B-run
     sorted ascending.  n must be a multiple of 2B, B a power of two
     >= 128."""
+    interpret = _resolve_interpret(interpret)
     if B & (B - 1) or B < 128:
         raise ValueError("B must be a power of two >= 128")
     if n % (2 * B):
@@ -197,7 +209,7 @@ def _flip_second_runs(arrs, n, B):
     return out
 
 
-def sort_ksorted(operands, B, interpret=False):
+def sort_ksorted(operands, B, interpret=None):
     """Fast path: sort (key, *payloads) assuming every row is within
     ~B ranks of its sorted position.  Returns (sorted_ops, ok) where
     ok is the EXACT global sortedness flag of the result -- callers
@@ -239,7 +251,7 @@ def sort_ksorted(operands, B, interpret=False):
     return out, ok
 
 
-def sort_maybe_ksorted(operands, B, interpret=False):
+def sort_maybe_ksorted(operands, B, interpret=None):
     """Correct-by-construction sort: the k-sorted fast path guarded by
     its exact sortedness flag, falling back to a full lax.sort inside
     a lax.cond (one branch executes at runtime)."""

@@ -105,3 +105,32 @@ def test_sort_ksorted_rejects_bad_shapes():
         make_merge_pairs_fn(4096, 300, 1)
     with pytest.raises(ValueError):
         make_merge_pairs_fn(5000, 512, 1)
+
+
+def test_prepare_carry_sort_block_matches_full_sort():
+    """make_prepare_carry_fn(sort_block=...) (k-sorted fast sort with
+    padding to a 2B multiple) produces the same prepared bundle as the
+    full-lax.sort path: identical cell_2d/ranges/w8T, and the carried
+    (x, v) rows equal as a multiset (intra-cell order is free)."""
+    from fastpm_tpu.mesh import PM
+    from fastpm_tpu.ops.paint_pallas import make_prepare_carry_fn
+
+    pm = PM(Nmesh=(32, 32, 32), BoxSize=32.0)
+    rng = np.random.default_rng(3)
+    n = 3000  # NOT a multiple of 2B: exercises the pad/slice path
+    x = jnp.asarray((rng.random((n, 3)) * 32).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    p_ref = jax.jit(make_prepare_carry_fn(pm))
+    p_ks = jax.jit(make_prepare_carry_fn(pm, sort_block=256))
+    (pa, xa, va, _) = p_ref(x, v)
+    (pb, xb, vb, _) = p_ks(x, v)
+    assert bool(jnp.array_equal(pa["cell_2d"], pb["cell_2d"]))
+    assert bool(jnp.array_equal(pa["ranges"], pb["ranges"]))
+    assert float(jnp.abs(pa["w8T"] - pb["w8T"]).max()) == 0.0
+    ka = np.lexsort(np.asarray(xa).T)
+    kb = np.lexsort(np.asarray(xb).T)
+    assert np.array_equal(np.asarray(xa)[ka], np.asarray(xb)[kb])
+    assert np.array_equal(np.asarray(va)[ka], np.asarray(vb)[kb])
+    with pytest.raises(ValueError):
+        make_prepare_carry_fn(pm, sort_block=256)(
+            x, v, jnp.zeros((n,), jnp.uint32))
