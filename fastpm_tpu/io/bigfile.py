@@ -24,6 +24,18 @@ import numpy as np
 __all__ = ["BigFile", "BigBlock"]
 
 
+ITEMS_PER_FILE = 32 * 1024 * 1024   # io.c:353 items_per_file
+CHUNK_ROWS = 8 * 1024 * 1024        # bounded serialize buffer per write
+
+
+def auto_nfile(nrows: int) -> int:
+    """The reference's file fan-out rule: ceil(rows / 32M items), at
+    least 1 (io.c:473-479). Bounds per-file size so large columns are
+    split the same way the reference splits them for staggered
+    writers."""
+    return max(1, (nrows + ITEMS_PER_FILE - 1) // ITEMS_PER_FILE)
+
+
 def _normalize_dtype(dtype) -> str:
     """'f4' -> '<f4' etc.; endianness explicit, always little on our
     targets (bigfile.c:_dtype_normalize)."""
@@ -183,13 +195,20 @@ class BigBlock:
     def size(self) -> int:
         return sum(self.fsize)
 
-    def write_all(self, data: np.ndarray, Nfile: int = 1):
+    def write_all(self, data: np.ndarray, Nfile: Optional[int] = 1):
         """Write the whole dataset (rows x nmemb), splitting evenly over
-        Nfile data files."""
+        Nfile data files. Nfile=None applies the reference sizing rule
+        (ceil(rows / 32M items), io.c:473-479), the aggregated-IO
+        throttle of libfastpmio (io.c:349-360): large columns fan out
+        over many files instead of one monolith. Each file is streamed
+        in bounded chunks so the serialized buffer never exceeds
+        ~CHUNK_ROWS rows."""
         data = np.ascontiguousarray(data)
         if data.ndim == 1:
             data = data[:, None]
         nrows, nmemb = data.shape
+        if Nfile is None:
+            Nfile = auto_nfile(nrows)
         self.dtype = _normalize_dtype(data.dtype)
         data = data.astype(self.dtype)
         self.nmemb = nmemb
@@ -200,10 +219,15 @@ class BigBlock:
         checksums = []
         start = 0
         for i, n in enumerate(per):
-            raw = data[start:start + n].tobytes()
+            bytesum = 0  # unmasked; == _sysv_sum(whole) after the mask
             with open(os.path.join(self.path, "%06X" % i), "wb") as f:
-                f.write(raw)
-            checksums.append(_sysv_sum(raw))
+                for j0 in range(0, n, CHUNK_ROWS):
+                    raw = data[start + j0:
+                               start + min(j0 + CHUNK_ROWS, n)].tobytes()
+                    f.write(raw)
+                    bytesum += int(np.frombuffer(
+                        raw, dtype=np.uint8).sum(dtype=np.uint64))
+            checksums.append(bytesum & 0xffffffff)
             start += n
         self._checksums = checksums
         self._write_header(checksums)
@@ -251,7 +275,7 @@ class BigFile:
             raise FileNotFoundError(path)
 
     def create_block(self, name: str, data: Optional[np.ndarray] = None,
-                     Nfile: int = 1) -> BigBlock:
+                     Nfile: Optional[int] = 1) -> BigBlock:
         bpath = os.path.join(self.path, name)
         os.makedirs(bpath, exist_ok=True)
         block = BigBlock(bpath)

@@ -99,7 +99,8 @@ def _dataset_attrs(block, p: Store):
     block.attrs.set("M0", float(p.M0), "f8")
 
 
-def write_species(bf: BigFile, dataset: str, p: Store, Nfile: int = 1,
+def write_species(bf: BigFile, dataset: str, p: Store,
+                  Nfile: Optional[int] = None,
                   sort_by_id: bool = True, keep_mask=None):
     """Write a species store as dataset columns (fastpm_store_write)."""
     cols = {}
@@ -125,7 +126,7 @@ def write_species(bf: BigFile, dataset: str, p: Store, Nfile: int = 1,
 
 def write_snapshot(path: str, c: Cosmology, species: Dict[str, Store],
                    nc: int, boxsize: float,
-                   param_text: str = "", Nfile: int = 1,
+                   param_text: str = "", Nfile: Optional[int] = None,
                    sort_by_id: bool = True,
                    particle_fraction: float = 1.0) -> float:
     """Full snapshot write. Species stores must already be in snapshot

@@ -138,3 +138,33 @@ def test_snapshot_writer_direct(tmp_path):
     hdr = read_snapshot_header(str(tmp_path / "snap"))
     assert hdr["ParamFile"] == "nc = 8"
     np.testing.assert_allclose(hdr["MassTable"], [0, 5.0, 0, 0, 0, 0])
+
+
+def test_auto_nfile_and_chunked_checksum(tmp_path):
+    """Nfile=None applies the reference fan-out rule (io.c:473-479) and
+    the chunked writer's checksum equals the whole-buffer SysV sum."""
+    from fastpm_tpu.io import bigfile as bfm
+
+    assert bfm.auto_nfile(1) == 1
+    assert bfm.auto_nfile(bfm.ITEMS_PER_FILE) == 1
+    assert bfm.auto_nfile(bfm.ITEMS_PER_FILE + 1) == 2
+    assert bfm.auto_nfile(5 * bfm.ITEMS_PER_FILE) == 5
+
+    old = bfm.CHUNK_ROWS
+    bfm.CHUNK_ROWS = 7  # force many chunks
+    try:
+        bf = bfm.BigFile(str(tmp_path / "bf"), create=True)
+        data = np.arange(1000, dtype=np.float32).reshape(-1, 2)
+        blk = bf.create_block("X", data, Nfile=3)
+        assert blk.Nfile == 3
+        whole = data.astype("<f4").tobytes()
+        # per-file checksum == unchunked _sysv_sum of that file's slice
+        start = 0
+        for i, n in enumerate(blk.fsize):
+            raw = data[start:start + n].astype("<f4").tobytes()
+            assert blk._checksums[i] == bfm._sysv_sum(raw)
+            start += n
+        back = bf.open_block("X").read_all()
+        assert np.array_equal(back, data)
+    finally:
+        bfm.CHUNK_ROWS = old
