@@ -39,6 +39,8 @@ def main():
                 kw["paint8"] = True
             elif part.startswith("K"):
                 kw["K"] = int(part[1:])
+            elif part.startswith("C"):
+                kw["C"] = int(part[1:])
             elif part != "base":
                 raise ValueError(part)
         configs.append((name, kw))
