@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Real-chip bench of the HOMED halo-exchange force on a 1-device mesh
+(VERDICT r2 weak #7): the scalable shard_map path (ppermute halo
+reduce/gather + homed Pallas kernels) vs the single-device fused step
+(bench.py). On one device the ppermutes are self-sends, so the delta
+vs bench.py isolates what the homed kernels' extended-slab layout and
+exchange plumbing cost on real hardware.
+
+Prints one JSON line per engine."""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec
+    from fastpm_tpu.mesh import PM
+    from fastpm_tpu.benchlib import example_particles
+    from fastpm_tpu.parallel.pfft import SlabPM
+    from fastpm_tpu.parallel.psolver import (_force_local_homed_multi,
+                                             particle_spec, deltak_spec)
+
+    nc = int(os.environ.get("BENCH_NC", "256"))
+    b = int(os.environ.get("BENCH_B", "2"))
+    nsteps = int(os.environ.get("BENCH_STEPS", "3"))
+    H = int(os.environ.get("BENCH_H", "4"))
+    baseline = 1024 ** 3 * 40 / (60.0 * 16)
+    box = 1.0 * nc
+
+    pm = PM(nc * b, box)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
+    spm = SlabPM(pm, mesh, axis="x")
+    x0, v0 = example_particles(nc, box, seed=0)
+    coeffs = jnp.asarray([0.05, 0.02], dtype=jnp.float32)
+    pspec = particle_spec(mesh)
+    L = jnp.float32(box)
+
+    def local(xs, vs, coeffs):
+        outs, bad, _dk = _force_local_homed_multi(
+            spm, (xs,), (1.0,), "1_4", H)
+        acc = outs[0]["acc"]
+        v = vs + acc * coeffs[0]
+        x = xs + v * coeffs[1]
+        x = x - jnp.floor(x / L) * L
+        return x, v, bad
+
+    step = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(pspec, pspec, PartitionSpec()),
+        out_specs=(pspec, pspec, PartitionSpec()),
+        check_vma=False))
+
+    t_c = time.perf_counter()
+    x1, v1, bad = step(x0, v0, coeffs)
+    nbad = int(bad)
+    compile_s = time.perf_counter() - t_c
+    if nbad:
+        raise SystemExit(f"halo overflow: bad={nbad}")
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        x1, v1, bad = step(x1, v1, coeffs)
+    _ = float(jnp.sum(x1))
+    dt = time.perf_counter() - t0
+    rate = nc ** 3 * nsteps / dt
+    print(json.dumps({
+        "metric": f"homed_force_step_{nc}^3_B{b}_H{H}_1dev",
+        "value": round(rate, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(rate / baseline, 4),
+        "step_s": round(dt / nsteps, 4),
+        "compile_s": round(compile_s, 1)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,7 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
                  painter_type: str = "cic", support: int = 2,
                  donate: bool = True, carry_sorted: bool = True,
                  sort_block: int | None = None,
-                 paint8: bool = False,
+                 paint8: bool = True,
                  K: int = 512, C: int = 8192):
     """One full PM force+kick+drift step as a single jitted function:
     (x, v, coeffs[2]) -> (x, v, acc). The hot loop of the framework.
