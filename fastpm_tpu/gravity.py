@@ -89,10 +89,12 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
              and int(np.prod(pm.Nmesh)) > _PACK8_MAX_CELLS)
     prepared = None
     if fused:
-        from .ops.paint_pallas import make_prepare_fn, make_paint_from4_fn
+        from .ops.paint_pallas import make_prepare_fn, make_paint_from8_fn
         p0 = stores[0]
         prepare = _fused_cache(pm, "prepare", make_prepare_fn)
-        paint_from = _fused_cache(pm, "paint_from", make_paint_from4_fn)
+        # one-pass row-windowed deposit (vs from4: one particle visit,
+        # half the cell/weight DMA; bench_variants r3)
+        paint_from = _fused_cache(pm, "paint_from8", make_paint_from8_fn)
         prepared = prepare(p0.x)
         canvas = paint_from(prepared)
         mean_mass_per_cell = jnp.float32(p0.M0) * p0.np_local / pm.Norm

@@ -711,7 +711,7 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
                    cell_scratch,    # VMEM (2, 1, K) i32
                    w_scratch,       # VMEM (2, 8, 1, K) f32
                    sems,            # DMA sems (2, 2): cell, w8
-                   *, K, C, CLh, HR, nyp, nzp):
+                   *, K, C, CLh, HR, nyp, nzp, SUBR=16):
     """ONE-pass 8-corner deposit: each particle is visited once (the
     base-cell range of window w) and scatters into TWO accumulator
     streams -- stream 0 takes the dx=0 corner quadruple at rel =
@@ -785,43 +785,74 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
                     preferred_element_type=jnp.float32,
                 )
 
-            # rel/hi/lo/crossing/A are shared by the two streams --
-            # only the weight rows differ (rows 4*dx + 2*pi + dz)
-            his, As, crossings = [], [], []
-            for pi, d in enumerate((0, nzp)):
-                rel = jnp.where(valid, rel0 + d, -1)
-                hi = rel >> 7
-                his.append(hi)
-                crossings.append(((rel & 127) == 127) & valid)
-                As.append((hi == hi_row).astype(jnp.bfloat16))
-            hifix = jnp.where(
-                crossings[0], his[0] + 1,
-                jnp.where(crossings[1], his[1] + 1, -1))
-            A_fix = (hifix == hi_row).astype(jnp.bfloat16)
-            los = [jnp.where(valid, rel0 + d, -1) & 127
-                   for d in (0, nzp)]
-            Me = [l == lo_row for l in los]
-            Mo = [l + 1 == lo_row for l in los]
+            def do_round(R_A, base8, sub_row):
+                """One deposit round over an accumulator row window of
+                R_A rows at base8 (8-aligned; 0 = full width).
+                rel/hi/lo/crossing/A are shared by the two streams --
+                only the weight rows differ (rows 4*dx + 2*pi + dz)."""
+                his, As, crossings = [], [], []
+                for pi, d in enumerate((0, nzp)):
+                    rel = jnp.where(valid, rel0 + d, -1)
+                    hi = (rel >> 7) - base8
+                    his.append(hi)
+                    crossings.append(((rel & 127) == 127) & valid)
+                    As.append((hi == sub_row).astype(jnp.bfloat16))
+                # -1000000: "no fix" sentinel, matches no window row
+                hifix = jnp.where(
+                    crossings[0], his[0] + 1,
+                    jnp.where(crossings[1], his[1] + 1, -1000000))
+                A_fix = (hifix == sub_row).astype(jnp.bfloat16)
+                los = [jnp.where(valid, rel0 + d, -1) & 127
+                       for d in (0, nzp)]
+                Me = [l == lo_row for l in los]
+                Mo = [l + 1 == lo_row for l in los]
 
-            for dx in range(2):
-                acc = acc_scratch[dx]
-                w_cross = None
-                for pi in range(2):
-                    B = (jnp.where(Me[pi],
-                                   w_scratch[slot, 4 * dx + 2 * pi],
-                                   0.0)
-                         + jnp.where(Mo[pi],
-                                     w_scratch[slot,
-                                               4 * dx + 2 * pi + 1],
-                                     0.0))
-                    acc = deposit(acc, As[pi], B)
-                    wc = jnp.where(crossings[pi],
-                                   w_scratch[slot, 4 * dx + 2 * pi + 1],
-                                   0.0)
-                    w_cross = wc if w_cross is None else w_cross + wc
-                B_fix = jnp.where(lo_row == 0, w_cross, 0.0)
-                acc = deposit(acc, A_fix, B_fix)
-                acc_scratch[dx] = acc
+                row0 = base8 if isinstance(base8, int) \
+                    else pl.multiple_of(base8, 8)
+                for dx in range(2):
+                    acc = acc_scratch[dx, pl.ds(row0, R_A)]
+                    w_cross = None
+                    for pi in range(2):
+                        B = (jnp.where(Me[pi],
+                                       w_scratch[slot, 4 * dx + 2 * pi],
+                                       0.0)
+                             + jnp.where(Mo[pi],
+                                         w_scratch[slot,
+                                                   4 * dx + 2 * pi + 1],
+                                         0.0))
+                        acc = deposit(acc, As[pi], B)
+                        wc = jnp.where(crossings[pi],
+                                       w_scratch[slot,
+                                                 4 * dx + 2 * pi + 1],
+                                       0.0)
+                        w_cross = wc if w_cross is None else w_cross + wc
+                    B_fix = jnp.where(lo_row == 0, w_cross, 0.0)
+                    acc = deposit(acc, A_fix, B_fix)
+                    acc_scratch[dx, pl.ds(row0, R_A)] = acc
+
+            if SUBR is not None and SUBR < CLh + HR:
+                # dynamic row window (see _readout_kernel8): deposit
+                # dots shrink from (CLh+HR, K) to (SUBR, K); sparse
+                # chunks overflowing the window take the full path
+                row_lo = jnp.min(jnp.where(valid, rel0,
+                                           C + nzp)) >> 7
+                # +1 row: the lane-127 fix writes hi+1
+                row_hi = ((jnp.max(jnp.where(valid, rel0, 0))
+                           + nzp) >> 7) + 1
+                base8 = jnp.clip(row_lo & ~7, 0, CLh + HR - SUBR)
+                fits = row_hi - base8 < SUBR
+                sub_row = jax.lax.broadcasted_iota(
+                    jnp.int32, (SUBR, K), 0)
+
+                @pl.when(fits)
+                def _fast():
+                    do_round(SUBR, base8, sub_row)
+
+                @pl.when(jnp.logical_not(fits))
+                def _slow():
+                    do_round(CLh + HR, 0, hi_row)
+            else:
+                do_round(CLh + HR, 0, hi_row)
             return carry
 
         jax.lax.fori_loop(0, nrounds, body, 0)
@@ -834,7 +865,7 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
 
 
 def make_paint_from8_fn(pm: PM, K: int = 512, C: int = 8192,
-                        interpret=False):
+                        interpret=False, subr: int = 16):
     """paint_from with the ONE-pass 8-corner kernel (_paint_kernel8).
     Consumes the same prepared bundle as the 2-pass variant; only
     offset row 0 of the range table is used."""
@@ -852,8 +883,10 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int = 8192,
     if HR > CLh:
         raise ValueError("halo rows exceed the window (HR <= CLh "
                          "required by the paint carry)")
+    if subr % 8:
+        raise ValueError("subr must be a multiple of 8")
     kernel = functools.partial(_paint_kernel8, K=K, C=C, CLh=CLh,
-                               HR=HR, nyp=nyp, nzp=nzp)
+                               HR=HR, nyp=nyp, nzp=nzp, SUBR=subr)
 
     paint_call = pl.pallas_call(
         kernel,

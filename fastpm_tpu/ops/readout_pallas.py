@@ -726,7 +726,7 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
                      wsems,         # DMA sems (2,)
                      fsem,          # DMA sems (1,) carry flush
                      *, K, C, CLh, HR, RX, RXL, nyp, nzp,
-                     gather_mode="split"):
+                     gather_mode="split", SUBR=16):
     """ONE-pass 8-corner readout: window w holds TWO canvas blocks --
     block 0 at rows [w*CLh, w*CLh+CLh+HR) and block 1 one x-plane later
     (row offset RX = (nyp*nzp)//128, residual lane shift
@@ -851,71 +851,108 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
 
             mdt = (jnp.bfloat16 if gather_mode == "split"
                    else jnp.float32)
-            # pair q = 2*b + pi: block b, z-pair pi, corner weight rows
-            # (2q, 2q+1); block-b deltas carry the lane residual b*RXL
-            his, los, crossings = [], [], []
-            for b in range(2):
-                for d in (b * RXL, b * RXL + nzp):
-                    rel = jnp.where(valid, rel0 + d, -1)
-                    his.append(rel >> 7)
-                    los.append(rel & 127)
-                    crossings.append(((rel & 127) == 127) & valid)
-            A_q = [(h == hi_row).astype(mdt) for h in his]
-            hifix = [jnp.where(
-                         crossings[2 * b], his[2 * b] + 1,
-                         jnp.where(crossings[2 * b + 1],
-                                   his[2 * b + 1] + 1, -1))
-                     for b in range(2)]
-            A_fix = [(h == hi_row).astype(mdt) for h in hifix]
-            Me = [l == lo_row for l in los]
-            Mo = [l + 1 == lo_row for l in los]
 
-            def gather(b_hi, b_lo, A):
-                if gather_mode == "split":
+            def do_round(R_A, base8, sub_row):
+                """One chunk round over a canvas row window of R_A rows
+                starting at base8 (8-aligned, 0 for the full-width
+                path). pair q = 2*b + pi: block b, z-pair pi, corner
+                weight rows (2q, 2q+1); block-b deltas carry the lane
+                residual b*RXL."""
+                his, los, crossings = [], [], []
+                for b in range(2):
+                    for d in (b * RXL, b * RXL + nzp):
+                        rel = jnp.where(valid, rel0 + d, -1)
+                        his.append((rel >> 7) - base8)
+                        los.append(rel & 127)
+                        crossings.append(((rel & 127) == 127) & valid)
+                A_q = [(h == sub_row).astype(mdt) for h in his]
+                # -1000000: "no fix" sentinel, matches no window row
+                hifix = [jnp.where(
+                             crossings[2 * b], his[2 * b] + 1,
+                             jnp.where(crossings[2 * b + 1],
+                                       his[2 * b + 1] + 1, -1000000))
+                         for b in range(2)]
+                A_fix = [(h == sub_row).astype(mdt) for h in hifix]
+                Me = [l == lo_row for l in los]
+                Mo = [l + 1 == lo_row for l in los]
+
+                def gather(b_hi, b_lo, A):
+                    if gather_mode == "split":
+                        return jax.lax.dot_general(
+                            b_hi, A,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) + jax.lax.dot_general(
+                            b_lo, A,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
                     return jax.lax.dot_general(
                         b_hi, A,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ) + jax.lax.dot_general(
-                        b_lo, A,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                return jax.lax.dot_general(
-                    b_hi, A,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=(jax.lax.Precision.HIGHEST
-                               if gather_mode == "highest"
-                               else jax.lax.Precision.HIGH))
+                        precision=(jax.lax.Precision.HIGHEST
+                                   if gather_mode == "highest"
+                                   else jax.lax.Precision.HIGH))
 
-            for comp in range(3):
-                acc = None
-                for b in range(2):
-                    block = canvas_scratch[cslot, b, comp]
-                    if gather_mode == "split":
-                        b_hi = block.astype(jnp.bfloat16)
-                        b_lo = (block - b_hi.astype(jnp.float32)
-                                ).astype(jnp.bfloat16)
-                    else:
-                        b_hi, b_lo = block, None
-                    fixrow = gather(b_hi, b_lo, A_fix[b])[0:1, :]
-                    for pi in range(2):
-                        q = 2 * b + pi
-                        tmp = gather(b_hi, b_lo, A_q[q])
-                        v_even = jnp.sum(
-                            jnp.where(Me[q], tmp, 0.0),
-                            axis=0, keepdims=True)
-                        v_odd = jnp.sum(
-                            jnp.where(Mo[q], tmp, 0.0),
-                            axis=0, keepdims=True)
-                        v_odd = v_odd + jnp.where(crossings[q],
-                                                  fixrow, 0.0)
-                        v = (v_even * w_scratch[slot, 2 * q]
-                             + v_odd * w_scratch[slot, 2 * q + 1])
-                        acc = v if acc is None else acc + v
-                val_scratch[slot, comp] = \
-                    val_scratch[slot, comp] + acc
+                row0 = base8 if isinstance(base8, int) \
+                    else pl.multiple_of(base8, 8)
+                for comp in range(3):
+                    acc = None
+                    for b in range(2):
+                        block = canvas_scratch[
+                            cslot, b, comp, pl.ds(row0, R_A)]
+                        if gather_mode == "split":
+                            b_hi = block.astype(jnp.bfloat16)
+                            b_lo = (block - b_hi.astype(jnp.float32)
+                                    ).astype(jnp.bfloat16)
+                        else:
+                            b_hi, b_lo = block, None
+                        fixrow = gather(b_hi, b_lo, A_fix[b])[0:1, :]
+                        for pi in range(2):
+                            q = 2 * b + pi
+                            tmp = gather(b_hi, b_lo, A_q[q])
+                            v_even = jnp.sum(
+                                jnp.where(Me[q], tmp, 0.0),
+                                axis=0, keepdims=True)
+                            v_odd = jnp.sum(
+                                jnp.where(Mo[q], tmp, 0.0),
+                                axis=0, keepdims=True)
+                            v_odd = v_odd + jnp.where(crossings[q],
+                                                      fixrow, 0.0)
+                            v = (v_even * w_scratch[slot, 2 * q]
+                                 + v_odd * w_scratch[slot, 2 * q + 1])
+                            acc = v if acc is None else acc + v
+                    val_scratch[slot, comp] = \
+                        val_scratch[slot, comp] + acc
+
+            if SUBR is not None and SUBR < CLh + HR:
+                # dynamic row window: a cell-sorted chunk touches only
+                # span(rel)/128 + halo-delta rows of the block; slicing
+                # the block and shrinking the one-hot cuts the dot and
+                # mask-build cost by (CLh+HR)/SUBR (~4.5x at the bench
+                # shape). Sparse chunks whose span exceeds SUBR rows
+                # take the full-width path.
+                row_lo = jnp.min(jnp.where(valid, rel0,
+                                           C + RXL + nzp)) >> 7
+                # +1 row: the lane-127 fix reads hi+1, which can sit
+                # one row above (relmax + max delta) >> 7
+                row_hi = ((jnp.max(jnp.where(valid, rel0, 0))
+                           + RXL + nzp) >> 7) + 1
+                base8 = jnp.clip(row_lo & ~7, 0, CLh + HR - SUBR)
+                fits = row_hi - base8 < SUBR
+                sub_row = jax.lax.broadcasted_iota(
+                    jnp.int32, (SUBR, K), 0)
+
+                @pl.when(fits)
+                def _fast():
+                    do_round(SUBR, base8, sub_row)
+
+                @pl.when(jnp.logical_not(fits))
+                def _slow():
+                    do_round(CLh + HR, 0, hi_row)
+            else:
+                do_round(CLh + HR, 0, hi_row)
 
             @pl.when(r + 1 < nrounds)
             def _writeback():
@@ -942,7 +979,8 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
 
 
 def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
-                           interpret=False, gather_mode="split"):
+                           interpret=False, gather_mode="split",
+                           subr: int = 16):
     """readout3_from with the ONE-pass 8-corner kernel (see
     _readout_kernel8). Consumes the same prepared bundle as the 2-pass
     variant; only offset row 0 of the range table is used (window w
@@ -955,6 +993,8 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
         raise ValueError("C must be a multiple of 1024")
     if K % 128:
         raise ValueError("K must be a multiple of 128")
+    if subr % 8:
+        raise ValueError("subr must be a multiple of 8")
     CLh = C // 128
     RX = (nyp * nzp) // 128
     RX = (RX // 8) * 8            # DMA row starts must stay 8-aligned
@@ -965,7 +1005,7 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
     npad_blocks = W * CLh + RX + HR
     kernel = functools.partial(_readout_kernel8, K=K, C=C, CLh=CLh,
                                HR=HR, RX=RX, RXL=RXL, nyp=nyp, nzp=nzp,
-                               gather_mode=gather_mode)
+                               gather_mode=gather_mode, SUBR=subr)
 
     def build_call(n_padded):
         return pl.pallas_call(

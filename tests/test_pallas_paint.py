@@ -285,3 +285,50 @@ def test_pallas_paint_onepass_small_mesh():
                                          interpret=True)(prepared, 2.0))
     want = np.asarray(painter.paint(pos, 2.0))
     np.testing.assert_allclose(got, want, atol=4e-5)
+
+
+def test_pallas_readout3_onepass_row_window():
+    """The dynamic row-windowed gather (subr) is bit-identical to the
+    full-width path, including chunks that overflow the window (sparse
+    regions take the slow branch) and lane-127 fix rows."""
+    from fastpm_tpu.ops.readout_pallas import make_readout3_from8_fn
+
+    pm = PM(Nmesh=(20, 20, 20), BoxSize=20.0)
+    rng = np.random.RandomState(7)
+    # dense clump (fast branch) + uniform sparse tail (slow branch)
+    clump = 5.0 + rng.rand(3000, 3).astype(np.float32) * 0.8
+    spread = rng.rand(600, 3).astype(np.float32) * 20.0
+    x = jnp.asarray(np.concatenate([clump, spread]))
+    canvases = [jnp.asarray(rng.standard_normal(
+        (20, 20, 20)).astype(np.float32)) for _ in range(3)]
+    wide = make_readout3_from8_fn(pm, K=128, C=1024, interpret=True,
+                                  subr=1024)  # > CLh+HR: windowing off
+    narrow = make_readout3_from8_fn(pm, K=128, C=1024, interpret=True,
+                                    subr=8)
+    from fastpm_tpu.ops.paint_pallas import make_prepare_fn
+    prep = make_prepare_fn(pm, C=1024)(x)
+    prep["n"] = int(x.shape[0])
+    a = np.asarray(wide(prep, *canvases))
+    b = np.asarray(narrow(prep, *canvases))
+    assert np.array_equal(a, b)
+
+
+def test_pallas_paint_onepass_row_window():
+    """Row-windowed deposit (subr) matches the full-width one-pass
+    paint bit-for-bit, dense + sparse mix (both branches)."""
+    from fastpm_tpu.ops.paint_pallas import (make_prepare_fn,
+                                             make_paint_from8_fn)
+
+    pm = PM(Nmesh=(20, 20, 20), BoxSize=20.0)
+    rng = np.random.RandomState(11)
+    clump = 5.0 + rng.rand(3000, 3).astype(np.float32) * 0.8
+    spread = rng.rand(600, 3).astype(np.float32) * 20.0
+    x = jnp.asarray(np.concatenate([clump, spread]))
+    prep = make_prepare_fn(pm, C=1024)(x)
+    prep["n"] = int(x.shape[0])
+    a = np.asarray(make_paint_from8_fn(pm, K=128, C=1024,
+                                       interpret=True,
+                                       subr=1024)(prep))
+    b = np.asarray(make_paint_from8_fn(pm, K=128, C=1024,
+                                       interpret=True, subr=8)(prep))
+    assert np.array_equal(a, b)
