@@ -41,6 +41,8 @@ def main():
                 kw["K"] = int(part[1:])
             elif part.startswith("C"):
                 kw["C"] = int(part[1:])
+            elif part.startswith("subr"):
+                kw["subr"] = int(part[4:])
             elif part != "base":
                 raise ValueError(part)
         configs.append((name, kw))

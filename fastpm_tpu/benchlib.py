@@ -22,7 +22,8 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
                  donate: bool = True, carry_sorted: bool = True,
                  sort_block: int | None = None,
                  paint8: bool = True,
-                 K: int = 512, C: int = 8192):
+                 K: int = 512, C: int = 8192,
+                 subr: int | None = None):
     """One full PM force+kick+drift step as a single jitted function:
     (x, v, coeffs[2]) -> (x, v, acc). The hot loop of the framework.
 
@@ -49,10 +50,11 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
         prepare = make_prepare_fn(pm, C=C, pad_to=pad_to)
         prepare_carry = make_prepare_carry_fn(pm, C=C, pad_to=pad_to,
                                               sort_block=sort_block)
-        paint_maker = make_paint_from8_fn if paint8 \
-            else make_paint_from4_fn
-        paint_from = paint_maker(pm, K=K, C=C)
-        readout3_from = make_readout3_from8_fn(pm, K=K, C=C)
+        if paint8:
+            paint_from = make_paint_from8_fn(pm, K=K, C=C, subr=subr)
+        else:
+            paint_from = make_paint_from4_fn(pm, K=K, C=C)
+        readout3_from = make_readout3_from8_fn(pm, K=K, C=C, subr=subr)
     else:
         carry_sorted = False
 

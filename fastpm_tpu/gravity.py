@@ -92,8 +92,8 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
         from .ops.paint_pallas import make_prepare_fn, make_paint_from8_fn
         p0 = stores[0]
         prepare = _fused_cache(pm, "prepare", make_prepare_fn)
-        # one-pass row-windowed deposit (vs from4: one particle visit,
-        # half the cell/weight DMA; bench_variants r3)
+        # one-pass deposit (vs from4: one particle visit, half the
+        # cell/weight DMA; bench_variants r3)
         paint_from = _fused_cache(pm, "paint_from8", make_paint_from8_fn)
         prepared = prepare(p0.x)
         canvas = paint_from(prepared)

@@ -711,7 +711,7 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
                    cell_scratch,    # VMEM (2, 1, K) i32
                    w_scratch,       # VMEM (2, 8, 1, K) f32
                    sems,            # DMA sems (2, 2): cell, w8
-                   *, K, C, CLh, HR, nyp, nzp, SUBR=16):
+                   *, K, C, CLh, HR, nyp, nzp, SUBR=None):
     """ONE-pass 8-corner deposit: each particle is visited once (the
     base-cell range of window w) and scatters into TWO accumulator
     streams -- stream 0 takes the dx=0 corner quadruple at rel =
@@ -865,7 +865,7 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
 
 
 def make_paint_from8_fn(pm: PM, K: int = 512, C: int = 8192,
-                        interpret=False, subr: int = 16):
+                        interpret=False, subr: int | None = None):
     """paint_from with the ONE-pass 8-corner kernel (_paint_kernel8).
     Consumes the same prepared bundle as the 2-pass variant; only
     offset row 0 of the range table is used."""
@@ -883,7 +883,7 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int = 8192,
     if HR > CLh:
         raise ValueError("halo rows exceed the window (HR <= CLh "
                          "required by the paint carry)")
-    if subr % 8:
+    if subr is not None and subr % 8:
         raise ValueError("subr must be a multiple of 8")
     kernel = functools.partial(_paint_kernel8, K=K, C=C, CLh=CLh,
                                HR=HR, nyp=nyp, nzp=nzp, SUBR=subr)

@@ -726,7 +726,7 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
                      wsems,         # DMA sems (2,)
                      fsem,          # DMA sems (1,) carry flush
                      *, K, C, CLh, HR, RX, RXL, nyp, nzp,
-                     gather_mode="split", SUBR=16):
+                     gather_mode="split", SUBR=None, ablate=None):
     """ONE-pass 8-corner readout: window w holds TWO canvas blocks --
     block 0 at rows [w*CLh, w*CLh+CLh+HR) and block 1 one x-plane later
     (row offset RX = (nyp*nzp)//128, residual lane shift
@@ -908,16 +908,35 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
                                     ).astype(jnp.bfloat16)
                         else:
                             b_hi, b_lo = block, None
-                        fixrow = gather(b_hi, b_lo, A_fix[b])[0:1, :]
+                        if ablate == "nodot":
+                            # perf ablation: skip the MXU gathers but
+                            # keep all mask/sum VPU work (tmp rows
+                            # replaced by a broadcast of the block row)
+                            fixrow = block[0:1, :].astype(
+                                jnp.float32)[:, 0:1] * \
+                                jnp.ones((1, K), jnp.float32)
+                            tmp_all = block[0:1, 0:1].astype(
+                                jnp.float32) * jnp.ones((128, K),
+                                                        jnp.float32)
+                        else:
+                            fixrow = gather(b_hi, b_lo,
+                                            A_fix[b])[0:1, :]
                         for pi in range(2):
                             q = 2 * b + pi
-                            tmp = gather(b_hi, b_lo, A_q[q])
-                            v_even = jnp.sum(
-                                jnp.where(Me[q], tmp, 0.0),
-                                axis=0, keepdims=True)
-                            v_odd = jnp.sum(
-                                jnp.where(Mo[q], tmp, 0.0),
-                                axis=0, keepdims=True)
+                            if ablate == "nodot":
+                                tmp = tmp_all
+                            else:
+                                tmp = gather(b_hi, b_lo, A_q[q])
+                            if ablate == "nomask":
+                                v_even = tmp[0:1, :]
+                                v_odd = tmp[1:2, :]
+                            else:
+                                v_even = jnp.sum(
+                                    jnp.where(Me[q], tmp, 0.0),
+                                    axis=0, keepdims=True)
+                                v_odd = jnp.sum(
+                                    jnp.where(Mo[q], tmp, 0.0),
+                                    axis=0, keepdims=True)
                             v_odd = v_odd + jnp.where(crossings[q],
                                                       fixrow, 0.0)
                             v = (v_even * w_scratch[slot, 2 * q]
@@ -926,7 +945,13 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
                     val_scratch[slot, comp] = \
                         val_scratch[slot, comp] + acc
 
-            if SUBR is not None and SUBR < CLh + HR:
+            if ablate == "noround":
+                # perf ablation: no compute at all -- the DMA pipeline
+                # + loop overhead floor (touch w_scratch so the DMAs
+                # stay live)
+                val_scratch[slot, 0] = (val_scratch[slot, 0]
+                                        + w_scratch[slot, 0])
+            elif SUBR is not None and SUBR < CLh + HR:
                 # dynamic row window: a cell-sorted chunk touches only
                 # span(rel)/128 + halo-delta rows of the block; slicing
                 # the block and shrinking the one-hot cuts the dot and
@@ -980,7 +1005,7 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
 
 def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
                            interpret=False, gather_mode="split",
-                           subr: int = 16):
+                           subr: int | None = None, ablate=None):
     """readout3_from with the ONE-pass 8-corner kernel (see
     _readout_kernel8). Consumes the same prepared bundle as the 2-pass
     variant; only offset row 0 of the range table is used (window w
@@ -993,7 +1018,7 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
         raise ValueError("C must be a multiple of 1024")
     if K % 128:
         raise ValueError("K must be a multiple of 128")
-    if subr % 8:
+    if subr is not None and subr % 8:
         raise ValueError("subr must be a multiple of 8")
     CLh = C // 128
     RX = (nyp * nzp) // 128
@@ -1005,7 +1030,8 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
     npad_blocks = W * CLh + RX + HR
     kernel = functools.partial(_readout_kernel8, K=K, C=C, CLh=CLh,
                                HR=HR, RX=RX, RXL=RXL, nyp=nyp, nzp=nzp,
-                               gather_mode=gather_mode, SUBR=subr)
+                               gather_mode=gather_mode, SUBR=subr,
+                               ablate=ablate)
 
     def build_call(n_padded):
         return pl.pallas_call(
