@@ -721,7 +721,6 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
     cell/weight DMA of the 2-pass kernel (_paint_kernel4) at the cost
     of a second output stream + one shifted add."""
     w = pl.program_id(0)
-    hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, K), 0)
     lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     base_window = w * C
@@ -769,39 +768,33 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
             valid = (gidx >= s) & (gidx < e)
             rel0 = jnp.where(valid, cells - base_window, -2)
 
-            def deposit(acc, A_bf16, B):
-                # bf16 hi/lo split: one-hot A exact in bf16, two
-                # single-pass dots instead of a 6-pass HIGHEST dot
-                B_hi = B.astype(jnp.bfloat16)
-                B_lo = (B - B_hi.astype(jnp.float32)
-                        ).astype(jnp.bfloat16)
-                return acc + jax.lax.dot_general(
-                    A_bf16, B_hi,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    A_bf16, B_lo,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-
-            def do_round(R_A, base8, sub_row):
+            def do_round(R_A, base8):
                 """One deposit round over an accumulator row window of
                 R_A rows at base8 (8-aligned; 0 = full width).
                 rel/hi/lo/crossing/A are shared by the two streams --
-                only the weight rows differ (rows 4*dx + 2*pi + dz)."""
-                his, As, crossings = [], [], []
+                only the weight rows differ (rows 4*dx + 2*pi + dz).
+
+                Dot-merged: the three one-hot deposits (pi=0, pi=1,
+                lane-127 fix) concatenate along the contraction into
+                one (R_A, 3K) operand, and the two dx streams' weight
+                matrices concatenate along output lanes into (256, 3K),
+                so ONE hi/lo dot pair replaces the 12 small dots of the
+                unmerged round (same MACs, 6x fewer MXU dispatches;
+                the small dots measured ~38% of peak, BENCH_NOTES)."""
+                his, crossings = [], []
                 for pi, d in enumerate((0, nzp)):
                     rel = jnp.where(valid, rel0 + d, -1)
-                    hi = (rel >> 7) - base8
-                    his.append(hi)
+                    his.append((rel >> 7) - base8)
                     crossings.append(((rel & 127) == 127) & valid)
-                    As.append((hi == sub_row).astype(jnp.bfloat16))
                 # -1000000: "no fix" sentinel, matches no window row
                 hifix = jnp.where(
                     crossings[0], his[0] + 1,
                     jnp.where(crossings[1], his[1] + 1, -1000000))
-                A_fix = (hifix == sub_row).astype(jnp.bfloat16)
+                hi_cat = jnp.concatenate([his[0], his[1], hifix],
+                                         axis=1)          # (1, 3K)
+                sub_row3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (R_A, 3 * K), 0)
+                A3 = (sub_row3 == hi_cat).astype(jnp.bfloat16)
                 los = [jnp.where(valid, rel0 + d, -1) & 127
                        for d in (0, nzp)]
                 Me = [l == lo_row for l in los]
@@ -809,26 +802,45 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
 
                 row0 = base8 if isinstance(base8, int) \
                     else pl.multiple_of(base8, 8)
+                B_dx = []
                 for dx in range(2):
-                    acc = acc_scratch[dx, pl.ds(row0, R_A)]
                     w_cross = None
+                    Bs = []
                     for pi in range(2):
-                        B = (jnp.where(Me[pi],
-                                       w_scratch[slot, 4 * dx + 2 * pi],
-                                       0.0)
-                             + jnp.where(Mo[pi],
-                                         w_scratch[slot,
-                                                   4 * dx + 2 * pi + 1],
-                                         0.0))
-                        acc = deposit(acc, As[pi], B)
+                        Bs.append(
+                            jnp.where(Me[pi],
+                                      w_scratch[slot, 4 * dx + 2 * pi],
+                                      0.0)
+                            + jnp.where(Mo[pi],
+                                        w_scratch[slot,
+                                                  4 * dx + 2 * pi + 1],
+                                        0.0))
                         wc = jnp.where(crossings[pi],
                                        w_scratch[slot,
                                                  4 * dx + 2 * pi + 1],
                                        0.0)
                         w_cross = wc if w_cross is None else w_cross + wc
-                    B_fix = jnp.where(lo_row == 0, w_cross, 0.0)
-                    acc = deposit(acc, A_fix, B_fix)
-                    acc_scratch[dx, pl.ds(row0, R_A)] = acc
+                    Bs.append(jnp.where(lo_row == 0, w_cross, 0.0))
+                    B_dx.append(jnp.concatenate(Bs, axis=1))  # (128,3K)
+                B_cat = jnp.concatenate(B_dx, axis=0)         # (256,3K)
+                # bf16 hi/lo split: one-hot A exact in bf16, two
+                # single-pass dots instead of a 6-pass HIGHEST dot
+                B_hi = B_cat.astype(jnp.bfloat16)
+                B_lo = (B_cat - B_hi.astype(jnp.float32)
+                        ).astype(jnp.bfloat16)
+                res = jax.lax.dot_general(
+                    A3, B_hi,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    A3, B_lo,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                          # (R_A, 256)
+                for dx in range(2):
+                    acc_scratch[dx, pl.ds(row0, R_A)] = (
+                        acc_scratch[dx, pl.ds(row0, R_A)]
+                        + res[:, 128 * dx:128 * (dx + 1)])
 
             if SUBR is not None and SUBR < CLh + HR:
                 # dynamic row window (see _readout_kernel8): deposit
@@ -841,18 +853,16 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
                            + nzp) >> 7) + 1
                 base8 = jnp.clip(row_lo & ~7, 0, CLh + HR - SUBR)
                 fits = row_hi - base8 < SUBR
-                sub_row = jax.lax.broadcasted_iota(
-                    jnp.int32, (SUBR, K), 0)
 
                 @pl.when(fits)
                 def _fast():
-                    do_round(SUBR, base8, sub_row)
+                    do_round(SUBR, base8)
 
                 @pl.when(jnp.logical_not(fits))
                 def _slow():
-                    do_round(CLh + HR, 0, hi_row)
+                    do_round(CLh + HR, 0)
             else:
-                do_round(CLh + HR, 0, hi_row)
+                do_round(CLh + HR, 0)
             return carry
 
         jax.lax.fori_loop(0, nrounds, body, 0)

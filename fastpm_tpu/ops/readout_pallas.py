@@ -745,7 +745,6 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
     w = pl.program_id(0)
     nw = pl.num_programs(0)
     base_window = w * C
-    hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, K), 0)
     lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
@@ -852,12 +851,19 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
             mdt = (jnp.bfloat16 if gather_mode == "split"
                    else jnp.float32)
 
-            def do_round(R_A, base8, sub_row):
+            def do_round(R_A, base8):
                 """One chunk round over a canvas row window of R_A rows
                 starting at base8 (8-aligned, 0 for the full-width
                 path). pair q = 2*b + pi: block b, z-pair pi, corner
                 weight rows (2q, 2q+1); block-b deltas carry the lane
-                residual b*RXL."""
+                residual b*RXL.
+
+                Dot-merged: per block, ONE gather pair contracts a
+                comp-concatenated canvas (R_A, 384) against a
+                q0|q1|fix-concatenated one-hot (R_A, 3K) -- 36 small
+                dots/round become 4. Same MACs, but the MXU pays the
+                fill/dispatch cost 9x less often (the small dots
+                measured at ~38% of peak, BENCH_NOTES roofline)."""
                 his, los, crossings = [], [], []
                 for b in range(2):
                     for d in (b * RXL, b * RXL + nzp):
@@ -865,16 +871,16 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
                         his.append((rel >> 7) - base8)
                         los.append(rel & 127)
                         crossings.append(((rel & 127) == 127) & valid)
-                A_q = [(h == sub_row).astype(mdt) for h in his]
                 # -1000000: "no fix" sentinel, matches no window row
                 hifix = [jnp.where(
                              crossings[2 * b], his[2 * b] + 1,
                              jnp.where(crossings[2 * b + 1],
                                        his[2 * b + 1] + 1, -1000000))
                          for b in range(2)]
-                A_fix = [(h == sub_row).astype(mdt) for h in hifix]
                 Me = [l == lo_row for l in los]
                 Mo = [l + 1 == lo_row for l in los]
+                sub_row3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (R_A, 3 * K), 0)
 
                 def gather(b_hi, b_lo, A):
                     if gather_mode == "split":
@@ -897,36 +903,36 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
 
                 row0 = base8 if isinstance(base8, int) \
                     else pl.multiple_of(base8, 8)
-                for comp in range(3):
-                    acc = None
-                    for b in range(2):
-                        block = canvas_scratch[
-                            cslot, b, comp, pl.ds(row0, R_A)]
-                        if gather_mode == "split":
-                            b_hi = block.astype(jnp.bfloat16)
-                            b_lo = (block - b_hi.astype(jnp.float32)
-                                    ).astype(jnp.bfloat16)
-                        else:
-                            b_hi, b_lo = block, None
-                        if ablate == "nodot":
-                            # perf ablation: skip the MXU gathers but
-                            # keep all mask/sum VPU work (tmp rows
-                            # replaced by a broadcast of the block row)
-                            fixrow = block[0:1, :].astype(
-                                jnp.float32)[:, 0:1] * \
-                                jnp.ones((1, K), jnp.float32)
-                            tmp_all = block[0:1, 0:1].astype(
-                                jnp.float32) * jnp.ones((128, K),
-                                                        jnp.float32)
-                        else:
-                            fixrow = gather(b_hi, b_lo,
-                                            A_fix[b])[0:1, :]
+                for b in range(2):
+                    hi_cat = jnp.concatenate(
+                        [his[2 * b], his[2 * b + 1], hifix[b]], axis=1)
+                    A3 = (sub_row3 == hi_cat).astype(mdt)
+                    block = jnp.concatenate(
+                        [canvas_scratch[cslot, b, comp,
+                                        pl.ds(row0, R_A)]
+                         for comp in range(3)], axis=1)   # (R_A, 384)
+                    if gather_mode == "split":
+                        b_hi = block.astype(jnp.bfloat16)
+                        b_lo = (block - b_hi.astype(jnp.float32)
+                                ).astype(jnp.bfloat16)
+                    else:
+                        b_hi, b_lo = block, None
+                    if ablate == "nodot":
+                        # perf ablation: skip the MXU gather but keep
+                        # all mask/sum VPU work (res replaced by a
+                        # broadcast of one canvas element)
+                        res = block[0:1, 0:1].astype(jnp.float32) * \
+                            jnp.ones((384, 3 * K), jnp.float32)
+                    else:
+                        res = gather(b_hi, b_lo, A3)      # (384, 3K)
+                    for comp in range(3):
+                        fixrow = res[128 * comp:128 * comp + 1,
+                                     2 * K:3 * K]
+                        acc = None
                         for pi in range(2):
                             q = 2 * b + pi
-                            if ablate == "nodot":
-                                tmp = tmp_all
-                            else:
-                                tmp = gather(b_hi, b_lo, A_q[q])
+                            tmp = res[128 * comp:128 * (comp + 1),
+                                      K * pi:K * (pi + 1)]
                             if ablate == "nomask":
                                 v_even = tmp[0:1, :]
                                 v_odd = tmp[1:2, :]
@@ -942,8 +948,8 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
                             v = (v_even * w_scratch[slot, 2 * q]
                                  + v_odd * w_scratch[slot, 2 * q + 1])
                             acc = v if acc is None else acc + v
-                    val_scratch[slot, comp] = \
-                        val_scratch[slot, comp] + acc
+                        val_scratch[slot, comp] = \
+                            val_scratch[slot, comp] + acc
 
             if ablate == "noround":
                 # perf ablation: no compute at all -- the DMA pipeline
@@ -966,18 +972,16 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
                            + RXL + nzp) >> 7) + 1
                 base8 = jnp.clip(row_lo & ~7, 0, CLh + HR - SUBR)
                 fits = row_hi - base8 < SUBR
-                sub_row = jax.lax.broadcasted_iota(
-                    jnp.int32, (SUBR, K), 0)
 
                 @pl.when(fits)
                 def _fast():
-                    do_round(SUBR, base8, sub_row)
+                    do_round(SUBR, base8)
 
                 @pl.when(jnp.logical_not(fits))
                 def _slow():
-                    do_round(CLh + HR, 0, hi_row)
+                    do_round(CLh + HR, 0)
             else:
-                do_round(CLh + HR, 0, hi_row)
+                do_round(CLh + HR, 0)
 
             @pl.when(r + 1 < nrounds)
             def _writeback():
