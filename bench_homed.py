@@ -39,6 +39,13 @@ def main():
     coeffs = jnp.asarray([0.05, 0.02], dtype=jnp.float32)
     pspec = particle_spec(mesh)
     L = jnp.float32(box)
+    # commit inputs to the SAME sharding the step outputs carry --
+    # otherwise call #2 (jax Array with out_specs sharding, vs numpy
+    # with default sharding on call #1) triggers a second full compile
+    # INSIDE the timed loop (~50 s dressed up as a slow step)
+    from jax.sharding import NamedSharding
+    x0 = jax.device_put(x0, NamedSharding(mesh, pspec))
+    v0 = jax.device_put(v0, NamedSharding(mesh, pspec))
 
     def local(xs, vs, coeffs):
         outs, bad, _dk = _force_local_homed_multi(
@@ -61,10 +68,13 @@ def main():
     compile_s = time.perf_counter() - t_c
     if nbad:
         raise SystemExit(f"halo overflow: bad={nbad}")
+    per_step = []
     t0 = time.perf_counter()
     for _ in range(nsteps):
+        t1 = time.perf_counter()
         x1, v1, bad = step(x1, v1, coeffs)
-    _ = float(jnp.sum(x1))
+        _ = float(jnp.sum(x1))
+        per_step.append(round(time.perf_counter() - t1, 3))
     dt = time.perf_counter() - t0
     rate = nc ** 3 * nsteps / dt
     print(json.dumps({
@@ -73,6 +83,7 @@ def main():
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / baseline, 4),
         "step_s": round(dt / nsteps, 4),
+        "per_step_s": per_step,
         "compile_s": round(compile_s, 1)}))
 
 
