@@ -43,6 +43,8 @@ def main():
                 kw["C"] = int(part[1:])
             elif part.startswith("subr"):
                 kw["subr"] = int(part[4:])
+            elif part == "gather":
+                kw["payload_gather"] = True
             elif part != "base":
                 raise ValueError(part)
         configs.append((name, kw))

@@ -21,6 +21,7 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
                  painter_type: str = "cic", support: int = 2,
                  donate: bool = True, carry_sorted: bool = True,
                  sort_block: int | None = None,
+                 payload_gather: bool = False,
                  paint8: bool = True,
                  K: int = 512, C: int = 8192,
                  subr: int | None = None):
@@ -48,8 +49,9 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
         from .ops.readout_pallas import make_readout3_from8_fn
         pad_to = max(K, 1024)
         prepare = make_prepare_fn(pm, C=C, pad_to=pad_to)
-        prepare_carry = make_prepare_carry_fn(pm, C=C, pad_to=pad_to,
-                                              sort_block=sort_block)
+        prepare_carry = make_prepare_carry_fn(
+            pm, C=C, pad_to=pad_to, sort_block=sort_block,
+            payload_gather=payload_gather)
         if paint8:
             paint_from = make_paint_from8_fn(pm, K=K, C=C, subr=subr)
         else:

@@ -300,7 +300,8 @@ def make_prepare_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
 
 
 def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024,
-                          sort_block: int | None = None):
+                          sort_block: int | None = None,
+                          payload_gather: bool = False):
     """Order-free prepared-bundle builder: carries the PHASE-SPACE rows
     (x, v[, extra u32 columns]) through the cell sort instead of an
     un-sort index. The caller keeps particles in cell-sorted order
@@ -317,7 +318,12 @@ def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024,
     a full lax.sort -- exact-fallback-guarded, it wins whenever the
     carried order from the previous step is within ~sort_block ranks
     of sorted (sub-cell per-step displacements). f32 payloads only, so
-    extras are not supported with it."""
+    extras are not supported with it.
+
+    payload_gather: sort only (cell, index) through the multi-pass
+    comparator network and move the 6(+) payload columns with one
+    take() each afterwards -- trades 6 columns x O(log^2 n) comparator
+    passes for 6 O(n) gathers (bench variant; see BENCH_NOTES)."""
     nx, ny, nz = pm.Nmesh
     nyp, nzp = ny + 1, nz + 1
     mpad = (nx + 1) * nyp * nzp
@@ -354,6 +360,12 @@ def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024,
                                                       sort_block))
             else:
                 sorted_ops = sort_maybe_ksorted(ops_in, sort_block)
+        elif payload_gather:
+            idx = jnp.arange(n, dtype=jnp.int32)
+            cell_key, idx_s = jax.lax.sort((cell, idx), num_keys=1)
+            sorted_ops = (cell_key,) + tuple(
+                jnp.take(o, idx_s, axis=0, indices_are_sorted=False,
+                         unique_indices=True) for o in ops_in[1:])
         else:
             sorted_ops = jax.lax.sort(ops_in, num_keys=1)
         cell_s = sorted_ops[0]
