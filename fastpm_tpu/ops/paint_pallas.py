@@ -524,7 +524,7 @@ def _paint_kernel4(ranges_ref,      # SMEM (1, 2, 2) i32: [p] -> (s, e)
     w = pl.program_id(0)
     nw = pl.num_programs(0)
     base_window = w * C
-    hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, K), 0)
+    hi_row3 = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, 3 * K), 0)
     lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     deltas = (0, 1, nzp, nzp + 1)
@@ -599,12 +599,16 @@ def _paint_kernel4(ranges_ref,      # SMEM (1, 2, 2) i32: [p] -> (s, e)
                     )
 
                 # corner-PAIR sharing: z-adjacent corners (d, d+1)
-                # deposit through ONE dot with a combined lane mask;
-                # the lane-127 crossing of corner d+1 (-> row hi+1,
-                # lane 0) goes through a shared fix dot (nzp odd: the
-                # two pairs never cross for the same particle). 3 dots
-                # (x2 split) per round instead of 4.
+                # deposit through ONE one-hot with a combined lane
+                # mask; the lane-127 crossing of corner d+1 (-> row
+                # hi+1, lane 0) goes through a shared fix one-hot (nzp
+                # odd: the two pairs never cross for the same
+                # particle). Dot-merged (see _paint_kernel8): the
+                # pi0|pi1|fix one-hots and weight matrices concatenate
+                # along the contraction, so the whole round is ONE
+                # hi/lo dot pair.
                 his, crossings, w_cross = [], [], None
+                Bs = []
                 for pi, d in enumerate((0, nzp)):
                     rel = jnp.where(valid, rel0 + d, -1)
                     hi = rel >> 7
@@ -612,23 +616,25 @@ def _paint_kernel4(ranges_ref,      # SMEM (1, 2, 2) i32: [p] -> (s, e)
                     his.append(hi)
                     cross = (lo == 127) & valid
                     crossings.append(cross)
-                    A = (hi == hi_row).astype(jnp.bfloat16)
                     # lo+1 == 128 matches no lane: crossing columns
                     # fall out of B automatically
-                    B = (jnp.where(lo == lo_row,
-                                   w_scratch[slot, 2 * pi], 0.0)
-                         + jnp.where(lo + 1 == lo_row,
-                                     w_scratch[slot, 2 * pi + 1], 0.0))
-                    acc = deposit(acc, A, B)
+                    Bs.append(jnp.where(lo == lo_row,
+                                        w_scratch[slot, 2 * pi], 0.0)
+                              + jnp.where(lo + 1 == lo_row,
+                                          w_scratch[slot, 2 * pi + 1],
+                                          0.0))
                     wc = jnp.where(cross, w_scratch[slot, 2 * pi + 1],
                                    0.0)
                     w_cross = wc if w_cross is None else w_cross + wc
                 hifix = jnp.where(
                     crossings[0], his[0] + 1,
                     jnp.where(crossings[1], his[1] + 1, -1))
-                A_fix = (hifix == hi_row).astype(jnp.bfloat16)
-                B_fix = jnp.where(lo_row == 0, w_cross, 0.0)
-                acc = deposit(acc, A_fix, B_fix)
+                hi_cat = jnp.concatenate([his[0], his[1], hifix],
+                                         axis=1)          # (1, 3K)
+                A3 = (hi_row3 == hi_cat).astype(jnp.bfloat16)
+                Bs.append(jnp.where(lo_row == 0, w_cross, 0.0))
+                B_cat = jnp.concatenate(Bs, axis=1)       # (128, 3K)
+                acc = deposit(acc, A3, B_cat)
                 acc_scratch[...] = acc
                 return carry
 

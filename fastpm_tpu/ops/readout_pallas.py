@@ -393,7 +393,7 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
     w = pl.program_id(0)
     nw = pl.num_programs(0)
     base_window = w * C
-    hi_row = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, K), 0)
+    hi_row3 = jax.lax.broadcasted_iota(jnp.int32, (CLh + HR, 3 * K), 0)
     lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
@@ -530,11 +530,15 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                 # one-hot and lane masks built ONCE per round and
                 # reused by all 3 components (the per-round VPU mask
                 # builds, not the DMAs, dominate the b ~ 3.9 us/round
-                # sync term measured in BENCH_NOTES)
+                # sync term measured in BENCH_NOTES). Dot-merged (see
+                # _readout_kernel8): q0|q1|fix one-hots concatenate
+                # along the contraction, canvas comps along lanes, so
+                # one hi/lo gather pair serves the whole round.
                 mdt = (jnp.bfloat16 if gather_mode == "split"
                        else jnp.float32)
-                A_pi = [(h == hi_row).astype(mdt) for h in his]
-                A_fix = (hifix == hi_row).astype(mdt)
+                hi_cat = jnp.concatenate([his[0], his[1], hifix],
+                                         axis=1)          # (1, 3K)
+                A3 = (hi_row3 == hi_cat).astype(mdt)
                 Me = [l == lo_row for l in los]
                 Mo = [l + 1 == lo_row for l in los]
 
@@ -557,18 +561,23 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
                                    if gather_mode == "highest"
                                    else jax.lax.Precision.HIGH))
 
+                block = jnp.concatenate(
+                    [canvas_scratch[cslot, comp] for comp in range(3)],
+                    axis=1)                       # (CLh+HR, 384)
+                if gather_mode == "split":
+                    b_hi = block.astype(jnp.bfloat16)
+                    b_lo = (block - b_hi.astype(jnp.float32)
+                            ).astype(jnp.bfloat16)
+                else:
+                    b_hi, b_lo = block, None
+                res = gather(b_hi, b_lo, A3)      # (384, 3K)
                 for comp in range(3):
-                    block = canvas_scratch[cslot, comp]
-                    if gather_mode == "split":
-                        b_hi = block.astype(jnp.bfloat16)
-                        b_lo = (block - b_hi.astype(jnp.float32)
-                                ).astype(jnp.bfloat16)
-                    else:
-                        b_hi, b_lo = block, None
-                    fixrow = gather(b_hi, b_lo, A_fix)[0:1, :]  # lane 0
+                    fixrow = res[128 * comp:128 * comp + 1,
+                                 2 * K:3 * K]     # lane 0 of comp
                     acc = None
                     for pi in range(2):
-                        tmp = gather(b_hi, b_lo, A_pi[pi])
+                        tmp = res[128 * comp:128 * (comp + 1),
+                                  K * pi:K * (pi + 1)]
                         v_even = jnp.sum(
                             jnp.where(Me[pi], tmp, 0.0),
                             axis=0, keepdims=True)
