@@ -54,11 +54,11 @@ def main():
     baseline = 1024 ** 3 * 40 / (60.0 * 16)  # north-star per-chip rate
 
     if os.environ.get("BENCH_MATRIX"):
-        # scaling curve over (nc, B); one json line per config
-        # 256^3 B3 (768^3 mesh) exceeds this chip's 16 GB HBM (the
-        # packed-pair iFFT holds a full complex field); use 192^3 B3
+        # scaling curve over (nc, B); one json line per config.
+        # 256^3 B3 (768^3 mesh) runs via the adaptive c2r_pair
+        # fallback (pair_ok False -> two plain c2r, O(half) peak mem)
         for nc_i, b_i in ((128, 2), (256, 1), (256, 2), (192, 3),
-                          (320, 2)):
+                          (256, 3), (320, 2)):
             rate = run_one(nc_i, b_i, nsteps)
             print(json.dumps({
                 "metric": f"pm_step_{nc_i}^3_B{b_i}",

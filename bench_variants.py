@@ -23,7 +23,6 @@ def main():
     baseline = 1024 ** 3 * 40 / (60.0 * 16)
 
     box = 1.0 * nc
-    pm = PM(nc * b, box)
     x0, v0 = example_particles(nc, box, seed=0)
     coeffs = jnp.asarray([0.05, 0.02], dtype=jnp.float32)
 
@@ -45,11 +44,20 @@ def main():
                 kw["subr"] = int(part[4:])
             elif part == "gather":
                 kw["payload_gather"] = True
+            elif part == "mmfft":
+                kw["mmfft"] = True
             elif part != "base":
                 raise ValueError(part)
         configs.append((name, kw))
 
     for name, kw in configs:
+        # fresh PM per config: the mm-FFT mode is a cached property
+        # read from the environment at first use
+        if kw.pop("mmfft", False):
+            os.environ["FASTPM_TPU_FFT"] = "mm"
+        else:
+            os.environ.pop("FASTPM_TPU_FFT", None)
+        pm = PM(nc * b, box)
         step = make_step_fn(pm, donate=False, **kw)
         t_c = time.perf_counter()
         x1, v1, acc = step(x0, v0, coeffs)

@@ -225,12 +225,31 @@ class PM:
 
     # ---- FFTs (pmpfft.c:370-399) ----
 
+    @cached_property
+    def _use_mm_fft(self) -> bool:
+        """FASTPM_TPU_FFT=mm routes the FFTs through the matmul
+        (Cooley-Tukey einsum) kernels in ops/fftmm.py -- the MXU beats
+        XLA's TPU FFT rate (BENCH_NOTES roofline). Falls back to
+        jnp.fft when a mesh side has no small-factor split."""
+        import os
+        if os.environ.get("FASTPM_TPU_FFT", "xla") != "mm":
+            return False
+        from .ops.fftmm import mm_supported
+        return mm_supported(self.Nmesh)
+
     def r2c(self, x):
         """Real -> complex with 1/Norm so the round trip is unitary."""
+        if self._use_mm_fft:
+            from .ops.fftmm import rfftn_mm
+            return (rfftn_mm(x) / self.Norm).astype(self.cdtype)
         return (jnp.fft.rfftn(x) / self.Norm).astype(self.cdtype)
 
     def c2r(self, k):
         """Complex -> real, inverse of r2c."""
+        if self._use_mm_fft:
+            from .ops.fftmm import irfftn_mm
+            return irfftn_mm(k * self.Norm,
+                             self.Nmesh).astype(self.dtype)
         return jnp.fft.irfftn(k * self.Norm, s=self.Nmesh).astype(self.dtype)
 
     @cached_property
@@ -269,7 +288,11 @@ class PM:
         t = jnp.conj(t[::-1, ::-1, ::-1])
         t = jnp.roll(t, (1, 1), axis=(0, 1))    # [-i mod n] remap in x, y
         F = jnp.concatenate([front, t], axis=2) * self.Norm
-        out = jnp.fft.ifftn(F)
+        if self._use_mm_fft:
+            from .ops.fftmm import ifftn_mm
+            out = ifftn_mm(F)
+        else:
+            out = jnp.fft.ifftn(F)
         return (jnp.real(out).astype(self.dtype),
                 jnp.imag(out).astype(self.dtype))
 

@@ -29,7 +29,8 @@ def fmt_bytes(b):
 
 def main():
     quick = "--quick" in sys.argv
-    ndev = 16
+    stretch = "--stretch" in sys.argv
+    ndev = 64 if stretch else 16
     import jax
     jax.config.update("jax_platforms", "cpu")
     try:
@@ -52,6 +53,9 @@ def main():
     cases = [(256, 2, 8, 8), (512, 2, 8, 16)]
     if not quick:
         cases += [(1024, 2, 8, 16), (1024, 2, 16, 16)]
+    if stretch:
+        # SURVEY configs-ladder stretch shape: 2048^3 on v5p-64
+        cases += [(2048, 2, 64, 16)]
     for nc, b, nproc, H in cases:
         mesh = Mesh(np.array(jax.devices()[:nproc]), ("x",))
         pm = PM(nc * b, float(nc))
