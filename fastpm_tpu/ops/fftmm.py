@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["rfftn_mm", "irfftn_mm", "ifftn_mm", "fftn_mm",
-           "good_factorization"]
+           "fft_mm_axis", "rfft_mm_axis", "irfft_mm_axis",
+           "good_factorization", "mm_supported"]
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -184,3 +185,42 @@ def ifftn_mm(x):
         xr, xi = _ct_axis(xr, xi, ax, +1)
     scale = np.float32(1.0 / n_total)
     return jax.lax.complex(xr * scale, xi * scale)
+
+
+# ---- axis-wise variants (the sharded slab/pencil engines do local
+# per-axis FFTs around their collective transposes) ----
+
+def fft_mm_axis(x, axis: int, inverse: bool = False):
+    """jnp.fft.fft/ifft along one axis of a complex array."""
+    xr, xi = jnp.real(x), jnp.imag(x)
+    xr, xi = _ct_axis(xr, xi, axis, +1 if inverse else -1)
+    if inverse:
+        s = np.float32(1.0 / x.shape[axis])
+        return jax.lax.complex(xr * s, xi * s)
+    return jax.lax.complex(xr, xi)
+
+
+def rfft_mm_axis(x, axis: int):
+    """jnp.fft.rfft along one axis of a real array."""
+    n = x.shape[axis]
+    nh = n // 2 + 1
+    if axis in (-1, x.ndim - 1):
+        zr, zi = _ct_last(x, None, n, -1)
+        return jax.lax.complex(zr[..., :nh], zi[..., :nh])
+    xm = jnp.moveaxis(x, axis, -1)
+    zr, zi = _ct_last(xm, None, n, -1)
+    return jnp.moveaxis(jax.lax.complex(zr[..., :nh], zi[..., :nh]),
+                        -1, axis)
+
+
+def irfft_mm_axis(k, n: int, axis: int):
+    """jnp.fft.irfft along one axis (hermitian input, real output)."""
+    kr, ki = jnp.real(k), jnp.imag(k)
+    last = axis in (-1, k.ndim - 1)
+    if not last:
+        kr = jnp.moveaxis(kr, axis, -1)
+        ki = jnp.moveaxis(ki, axis, -1)
+    fr, fi = _herm_extend_last(kr, ki, n)
+    zr, _zi = _ct_last(fr, fi, n, +1)
+    zr = zr * np.float32(1.0 / n)
+    return zr if last else jnp.moveaxis(zr, -1, axis)

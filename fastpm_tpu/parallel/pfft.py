@@ -76,22 +76,39 @@ class SlabPM:
         normalized by 1/Norm like pm_r2c."""
         pm = self.pm
         nproc = self.nproc
-        k_yz = jnp.fft.rfftn(x_slab, axes=(1, 2))      # (nx_loc, Ny, Nzh)
+        if pm._use_mm_fft:
+            from ..ops.fftmm import rfft_mm_axis, fft_mm_axis
+            k_yz = fft_mm_axis(rfft_mm_axis(x_slab, 2), 1)
+        else:
+            k_yz = jnp.fft.rfftn(x_slab, axes=(1, 2))  # (nx_loc,Ny,Nzh)
         # transpose x <-> y: split axis 1 into P chunks, all_to_all
         k_t = jax.lax.all_to_all(k_yz, self.axis, split_axis=1,
                                  concat_axis=0, tiled=True)
         # now (Nx, Ny/P, Nzh); FFT along global x
-        k_full = jnp.fft.fft(k_t, axis=0)
+        if pm._use_mm_fft:
+            from ..ops.fftmm import fft_mm_axis
+            k_full = fft_mm_axis(k_t, 0)
+        else:
+            k_full = jnp.fft.fft(k_t, axis=0)
         return (k_full / pm.Norm).astype(pm.cdtype)
 
     def c2r_local(self, k_shard):
         """Inverse of r2c_local."""
         pm = self.pm
         k = k_shard * pm.Norm
-        k = jnp.fft.ifft(k, axis=0)
-        x_t = jax.lax.all_to_all(k, self.axis, split_axis=0,
-                                 concat_axis=1, tiled=True)
-        x = jnp.fft.irfftn(x_t, axes=(1, 2), s=(pm.Nmesh[1], pm.Nmesh[2]))
+        if pm._use_mm_fft:
+            from ..ops.fftmm import fft_mm_axis, irfft_mm_axis
+            k = fft_mm_axis(k, 0, inverse=True)
+            x_t = jax.lax.all_to_all(k, self.axis, split_axis=0,
+                                     concat_axis=1, tiled=True)
+            x = irfft_mm_axis(fft_mm_axis(x_t, 1, inverse=True),
+                              pm.Nmesh[2], 2)
+        else:
+            k = jnp.fft.ifft(k, axis=0)
+            x_t = jax.lax.all_to_all(k, self.axis, split_axis=0,
+                                     concat_axis=1, tiled=True)
+            x = jnp.fft.irfftn(x_t, axes=(1, 2),
+                               s=(pm.Nmesh[1], pm.Nmesh[2]))
         return x.astype(pm.dtype)
 
     # ---- shard-local k tables ----
@@ -257,18 +274,24 @@ class PencilPM:
 
     # ---- shard-local FFTs (call inside shard_map) ----
 
-    @staticmethod
-    def _fft_axis(a, axis, inverse=False):
+    def _fft_axis(self, a, axis, inverse=False):
         """FFT along a non-major axis via moveaxis: the CPU backend's
         fft thunk requires dim0-major layouts (XLA fuses the moves on
         TPU)."""
+        if self.pm._use_mm_fft:
+            from ..ops.fftmm import fft_mm_axis
+            return fft_mm_axis(a, axis, inverse=inverse)
         m = jnp.moveaxis(a, axis, -1)
         m = jnp.fft.ifft(m, axis=-1) if inverse else jnp.fft.fft(m, axis=-1)
         return jnp.moveaxis(m, -1, axis)
 
     def r2c_local(self, x_pencil):
         pm = self.pm
-        h = jnp.fft.rfft(x_pencil, axis=2)           # (nxl, nyl, Nzh)
+        if pm._use_mm_fft:
+            from ..ops.fftmm import rfft_mm_axis
+            h = rfft_mm_axis(x_pencil, 2)            # (nxl, nyl, Nzh)
+        else:
+            h = jnp.fft.rfft(x_pencil, axis=2)       # (nxl, nyl, Nzh)
         if self.nzp != self.nzh:
             h = jnp.pad(h, ((0, 0), (0, 0), (0, self.nzp - self.nzh)))
         # transpose z <-> y over 'y': (nxl, Ny, Nzp/Py)
@@ -292,7 +315,11 @@ class PencilPM:
                                concat_axis=2, tiled=True)
         if self.nzp != self.nzh:
             k = k[:, :, :self.nzh]
-        x = jnp.fft.irfft(k, axis=2, n=pm.Nmesh[2])
+        if pm._use_mm_fft:
+            from ..ops.fftmm import irfft_mm_axis
+            x = irfft_mm_axis(k, pm.Nmesh[2], 2)
+        else:
+            x = jnp.fft.irfft(k, axis=2, n=pm.Nmesh[2])
         return x.astype(pm.dtype)
 
     # ---- shard-local k tables ----

@@ -61,6 +61,65 @@ def test_pm_mm_mode_round_trip_and_pair():
         del os.environ["FASTPM_TPU_FFT"]
 
 
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_axis_helpers_match_numpy(axis):
+    rng = np.random.default_rng(14)
+    x = rng.standard_normal((8, 12, 16)).astype(np.float32)
+    c = (rng.standard_normal((8, 12, 16))
+         + 1j * rng.standard_normal((8, 12, 16))).astype(np.complex64)
+    a = np.asarray(fftmm.fft_mm_axis(jnp.asarray(c), axis))
+    b = np.fft.fft(c, axis=axis)
+    assert np.max(np.abs(a - b)) / np.max(np.abs(b)) < 2e-6
+    a = np.asarray(fftmm.fft_mm_axis(jnp.asarray(c), axis,
+                                     inverse=True))
+    b = np.fft.ifft(c, axis=axis)
+    assert np.max(np.abs(a - b)) / np.max(np.abs(b)) < 2e-6
+    a = np.asarray(fftmm.rfft_mm_axis(jnp.asarray(x), axis))
+    b = np.fft.rfft(x, axis=axis)
+    assert np.max(np.abs(a - b)) / np.max(np.abs(b)) < 2e-6
+    k = b.astype(np.complex64)
+    a = np.asarray(fftmm.irfft_mm_axis(jnp.asarray(k),
+                                       x.shape[axis], axis))
+    b2 = np.fft.irfft(k, n=x.shape[axis], axis=axis)
+    assert np.max(np.abs(a - b2)) / np.max(np.abs(b2)) < 2e-6
+
+
+def test_sharded_engines_mm_match_single_device():
+    """SlabPM/PencilPM r2c+c2r round trips under FASTPM_TPU_FFT=mm
+    match the single-device mm PM (pfft.py mm wiring)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+    from fastpm_tpu.parallel.pfft import SlabPM, PencilPM
+
+    os.environ["FASTPM_TPU_FFT"] = "mm"
+    try:
+        rng = np.random.default_rng(15)
+        x = rng.standard_normal((32, 32, 32)).astype(np.float32)
+        pm = PM(32, 64.0)
+        assert pm._use_mm_fft
+        want_k = np.asarray(pm.r2c(jnp.asarray(x)))
+        want_x = np.asarray(pm.c2r(pm.r2c(jnp.asarray(x))))
+
+        devs = np.array(jax.devices()[:8])
+        mesh = Mesh(devs, ("x",))
+        spm = SlabPM(pm, mesh, axis="x")
+        f = jax.jit(jax.shard_map(
+            lambda a: spm.c2r_local(spm.r2c_local(a)),
+            mesh=mesh, in_specs=P("x"), out_specs=P("x")))
+        got = np.asarray(f(jnp.asarray(x)))
+        assert np.max(np.abs(got - want_x)) < 1e-5
+
+        mesh2 = Mesh(devs.reshape(4, 2), ("x", "y"))
+        ppm = PencilPM(pm, mesh2, axes=("x", "y"))
+        f2 = jax.jit(jax.shard_map(
+            lambda a: ppm.c2r_local(ppm.r2c_local(a)),
+            mesh=mesh2, in_specs=P("x", "y"), out_specs=P("x", "y")))
+        got2 = np.asarray(f2(jnp.asarray(x)))
+        assert np.max(np.abs(got2 - want_x)) < 1e-5
+    finally:
+        del os.environ["FASTPM_TPU_FFT"]
+
+
 def test_unsupported_size_falls_back():
     os.environ["FASTPM_TPU_FFT"] = "mm"
     try:
