@@ -36,7 +36,13 @@ __all__ = ["rfftn_mm", "irfftn_mm", "ifftn_mm", "fftn_mm",
            "fft_mm_axis", "rfft_mm_axis", "irfft_mm_axis",
            "good_factorization", "mm_supported"]
 
-_PREC = jax.lax.Precision.HIGHEST
+def _prec():
+    """FASTPM_TPU_FFT_PREC: 'highest' (6-pass f32 emulation, default;
+    ~2e-7 rel) or 'high' (3-pass bf16 split, ~1e-6 rel, ~2x MXU rate).
+    Read per call so bench variants can flip it between compiles."""
+    import os
+    name = os.environ.get("FASTPM_TPU_FFT_PREC", "highest").upper()
+    return getattr(jax.lax.Precision, name)
 
 
 def good_factorization(N: int, max_factor: int = 64):
@@ -85,7 +91,7 @@ def _cdot(ar, ai, br, bi, sub):
     """Complex contraction via real einsums: (..., n, m) x (n, k) ->
     (..., k, m) for sub='...nm,nk->...km' etc."""
     def dot(x, w):
-        return jnp.einsum(sub, x, w, precision=_PREC)
+        return jnp.einsum(sub, x, w, precision=_prec())
     if ai is None:
         return dot(ar, br), dot(ar, bi)
     return (dot(ar, br) - dot(ai, bi)), (dot(ar, bi) + dot(ai, br))
