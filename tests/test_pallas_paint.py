@@ -138,6 +138,27 @@ def test_pallas_paint_v3_matches_painter():
     assert got.sum() == pytest.approx(4321.0, rel=1e-6)
 
 
+def test_prepare_carry_payload_gather_identical():
+    """payload_gather=True (2-operand key sort + per-column take) must
+    produce a bit-identical bundle and sorted rows to the 7-operand
+    stable sort."""
+    from fastpm_tpu.ops.paint_pallas import make_prepare_carry_fn
+
+    pm = PM(16, 32.0)
+    rng = np.random.default_rng(31)
+    n = 4000
+    pos = jnp.asarray(rng.uniform(0, 32, (n, 3)).astype(np.float32))
+    vel = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    a = jax.jit(make_prepare_carry_fn(pm, C=1024))(pos, vel)
+    b = jax.jit(make_prepare_carry_fn(pm, C=1024,
+                                      payload_gather=True))(pos, vel)
+    for key in ("ranges", "cell_2d", "w8T"):
+        np.testing.assert_array_equal(np.asarray(a[0][key]),
+                                      np.asarray(b[0][key]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+
 def test_prepare_carry_order_free():
     """The order-free bundle (make_prepare_carry_fn) must paint the
     same canvas and read out values aligned with the sorted (x, v)
