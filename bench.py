@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def run_one(nc: int, b: int, nsteps: int):
+def run_one(nc: int, b: int, nsteps: int, mmfft: bool = False):
     import jax
     from fastpm_tpu.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -27,6 +27,10 @@ def run_one(nc: int, b: int, nsteps: int):
     from fastpm_tpu.mesh import PM
     from fastpm_tpu.benchlib import make_step_fn, example_particles
 
+    if mmfft:
+        os.environ["FASTPM_TPU_FFT"] = "mm"
+    else:
+        os.environ.pop("FASTPM_TPU_FFT", None)
     box = 1.0 * nc
     pm = PM(nc * b, box)
     step = make_step_fn(pm, donate=False)
@@ -68,11 +72,23 @@ def main():
         return
 
     rate = run_one(nc, b, nsteps)
+    fft = "xla"
+    # the matmul-FFT path (ops/fftmm.py) usually beats XLA's TPU FFT;
+    # measure both and report the better step (BENCH_FFT=xla|mm pins)
+    pin = os.environ.get("BENCH_FFT")
+    if pin != "xla":
+        try:
+            rate_mm = run_one(nc, b, nsteps, mmfft=True)
+        except Exception:
+            rate_mm = 0.0
+        if pin == "mm" or rate_mm > rate:
+            rate, fft = rate_mm, "mm"
     result = {
         "metric": f"pm_step_{nc}^3_B{b}_particle_steps_per_sec",
         "value": round(rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / baseline, 4),
+        "fft": fft,
     }
     print(json.dumps(result))
 
