@@ -46,6 +46,8 @@ def main():
                 kw["payload_gather"] = True
             elif part == "mmfft":
                 kw["mmfft"] = True
+            elif part.startswith("stale"):
+                kw["stale"] = int(part[5:])
             elif part != "base":
                 raise ValueError(part)
         configs.append((name, kw))
@@ -58,6 +60,38 @@ def main():
         else:
             os.environ.pop("FASTPM_TPU_FFT", None)
         pm = PM(nc * b, box)
+        stale_every = kw.pop("stale", 0)
+        if stale_every:
+            from fastpm_tpu.benchlib import make_stale_step_fns
+            sf, ss = make_stale_step_fns(
+                pm, K=kw.get("K", 512), C=kw.get("C", 8192))
+            t_c = time.perf_counter()
+            x1, v1, acc, ranges = sf(x0, v0, coeffs)
+            x1, v1, acc, nbad = ss(x1, v1, ranges, coeffs)
+            _ = float(jnp.sum(x1)) + float(nbad)
+            compile_s = time.perf_counter() - t_c
+            t0 = time.perf_counter()
+            nb = 0
+            for i in range(nsteps):
+                if i % stale_every == 0:
+                    x1, v1, acc, ranges = sf(x1, v1, coeffs)
+                else:
+                    x1, v1, acc, nbad = ss(x1, v1, ranges, coeffs)
+                    nb = nb + nbad          # device-side accumulate
+            _ = float(jnp.sum(x1))
+            dt = time.perf_counter() - t0
+            if int(nb):
+                raise SystemExit(f"stale mover overflow: {int(nb)}")
+            rate = nc ** 3 * nsteps / dt
+            print(json.dumps({
+                "metric": f"pm_step_{nc}^3_B{b}:{name}",
+                "value": round(rate, 1),
+                "unit": "particle-steps/s",
+                "vs_baseline": round(rate / baseline, 4),
+                "step_s": round(dt / nsteps, 4),
+                "compile_s": round(compile_s, 1)}))
+            sys.stdout.flush()
+            continue
         step = make_step_fn(pm, donate=False, **kw)
         t_c = time.perf_counter()
         x1, v1, acc = step(x0, v0, coeffs)

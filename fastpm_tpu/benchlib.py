@@ -92,6 +92,95 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
     return jax.jit(step)
 
 
+def make_stale_step_fns(pm: PM, kernel_type: str = "1_4",
+                        K: int = 512, C: int = 8192,
+                        maxm_frac: float = 0.02,
+                        interpret: bool = False):
+    """Stale-order stepping (ops/stale.py): returns (step_fresh,
+    step_stale), both jitted.
+
+    step_fresh(x, v, coeffs) -> (x, v, acc, ranges): full prepare; the
+        outputs are in fresh cell-sorted order.
+    step_stale(x, v, ranges, coeffs) -> (x, v, acc, nbad): reuses the
+        carried order and range table; movers ride the side bundle.
+        nbad > 0 means the mover cap overflowed -- the caller must
+        redo a fresh step (same contract as the homed halo ladder)."""
+    from .ops.stale import make_stale_tools
+    from .ops.paint_pallas import make_paint_from8_fn
+    from .ops.readout_pallas import make_readout3_from8_fn
+    potorder, gradorder, _d, _ = kernel_orders(kernel_type)
+    L = jnp.asarray(pm.BoxSize, dtype=jnp.float32)
+    paint_plain = make_paint_from8_fn(pm, K=K, C=C,
+                                      interpret=interpret)
+    readout_plain = make_readout3_from8_fn(pm, K=K, C=C,
+                                           interpret=interpret)
+    # tools are built EAGERLY per particle count (constructing them
+    # inside a trace would cache trace-local constants; see the
+    # PM._device_const pattern)
+    tools_cache = {}
+    jit_cache = {}
+
+    def get_tools(n):
+        if n not in tools_cache:
+            maxm = max(int(n * maxm_frac) // 1024 * 1024, 1024)
+            tools_cache[n] = make_stale_tools(pm, K=K, C=C, maxm=maxm,
+                                              interpret=interpret)
+        return tools_cache[n]
+
+    def _force_fields(canvas, readout):
+        delta_k = pm.r2c(canvas)
+        fks = []
+        for d in range(3):
+            fk = transfers.apply_pot(pm, delta_k, potorder)
+            fks.append(transfers.apply_grad(pm, fk, d, gradorder))
+        f0, f1 = pm.c2r_pair(fks[0], fks[1])
+        fields = [f0, f1, pm.c2r(fks[2])]
+        return readout(fields)
+
+    def _kdk(x, v, acc, coeffs):
+        v = v + acc * coeffs[0]
+        x = x + v * coeffs[1]
+        return x - jnp.floor(x / L) * L, v
+
+    def _build(n):
+        tools = get_tools(n)
+
+        def step_fresh(x, v, coeffs):
+            prepared, x, v, _ = tools["fresh"](x, v)
+            norm = x.shape[0] / pm.Norm
+            acc = _force_fields(
+                paint_plain(prepared) / norm,
+                lambda fields: readout_plain(prepared, *fields))
+            x, v = _kdk(x, v, acc, coeffs)
+            return x, v, acc, prepared["ranges"]
+
+        def step_stale(x, v, ranges, coeffs):
+            main, mover, midx, nbad = tools["stale"](x, v, ranges)
+            norm = x.shape[0] / pm.Norm
+            acc = _force_fields(
+                tools["paint"](main, mover) / norm,
+                lambda fields: tools["readout3"](main, mover, midx,
+                                                 *fields))
+            x, v = _kdk(x, v, acc, coeffs)
+            return x, v, acc, nbad
+
+        return jax.jit(step_fresh), jax.jit(step_stale)
+
+    def step_fresh(x, v, coeffs):
+        n = x.shape[0]
+        if n not in jit_cache:
+            jit_cache[n] = _build(n)
+        return jit_cache[n][0](x, v, coeffs)
+
+    def step_stale(x, v, ranges, coeffs):
+        n = x.shape[0]
+        if n not in jit_cache:
+            jit_cache[n] = _build(n)
+        return jit_cache[n][1](x, v, ranges, coeffs)
+
+    return step_fresh, step_stale
+
+
 def example_particles(nc: int, boxsize: float, seed: int = 0, jitter=0.3):
     """A jittered lattice of nc^3 particles (f32)."""
     cell = boxsize / nc

@@ -1,0 +1,167 @@
+"""Stale-order stepping: reuse the cell sort across force steps.
+
+The prepare sort is ~25% of the single-chip step (BENCH_NOTES
+roofline) yet between consecutive steps almost every particle stays
+inside the window (C cells + halo rows) that owned it: per-step
+displacements are sub-cell, so only x-plane crossers (cell jumps of
+ny_pad*nz_pad) and window-edge y/z crossers leave coverage. A stale
+step therefore:
+
+1. keeps the carried particle ORDER and the window range table from
+   the last fresh prepare;
+2. recomputes cells and CIC weights elementwise from the fresh
+   positions (exact physics, no approximation);
+3. detects "movers" -- particles whose fresh cell left their stale
+   window's safe row span -- zeroes their weights in the main bundle
+   (they become inert: zero deposits, zero readout), and routes them
+   through a small freshly-sorted side bundle (paint adds canvases;
+   readout scatters the side values back by index);
+4. reports count > maxm as an overflow flag, on which the caller must
+   run a fresh prepare (same contract as the homed halo ladder).
+
+The result is EXACT (same corner weights; canvas addition reorders
+f32 sums only). Reference cost being attacked: the reference re-sorts
+ghosts every step too (pmghosts.c) but its sort is a local qsort;
+on TPU the 7-operand lax.sort is a multi-pass comparator network and
+dominates -- this trades it for an elementwise pass + a tiny sort.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh import PM
+from .paint_pallas import (_corner_offsets_padded, make_prepare_fn,
+                           make_paint_from8_fn)
+from .readout_pallas import make_readout3_from8_fn
+
+__all__ = ["make_stale_tools"]
+
+
+def make_stale_tools(pm: PM, K: int = 512, C: int = 8192,
+                     pad_to: int = 1024, maxm: int | None = None,
+                     interpret: bool = False):
+    """Build the stale-step toolkit. Returns a dict of functions:
+
+    fresh(x, v)        -> (prepared, xs, vs): full sort; the caller
+                          carries (xs, vs) and prepared['ranges'].
+    stale(x, v, ranges)-> (main, mover, midx, nbad): main/mover
+                          bundles for the SAME kernel factories.
+    paint(main, mover) -> canvas (both bundles painted and added).
+    readout3(main, mover, midx, cx, cy, cz) -> (n, 3) values in the
+                          carried order.
+    """
+    nx, ny, nz = pm.Nmesh
+    nyp, nzp = ny + 1, nz + 1
+    mpad = (nx + 1) * nyp * nzp
+    W = (mpad + C - 1) // C
+    CLh = C // 128
+    # coverage must satisfy BOTH kernels' geometries: readout8's
+    # block-1 lane residual (RXL) and paint8's smaller halo
+    RX8 = ((nyp * nzp) // 128 // 8) * 8
+    RXL = nyp * nzp - RX8 * 128
+    HR_r = ((RXL + nzp + 1 + 127) // 128 + 1)
+    HR_r = ((HR_r + 7) // 8) * 8
+    HR_p = ((nzp + 1 + 127) // 128 + 1)
+    HR_p = ((HR_p + 7) // 8) * 8
+    # safe span: max corner delta, the lane-127 fix reads one row
+    # above, and one extra row of margin
+    REL_MAX = ((CLh + min(HR_r, HR_p) - 1) * 128 - 1
+               - max(RXL + nzp, nzp + 1) - 128)
+    if maxm is None:
+        maxm = 0  # caller must size; see stale()
+    inv_cell = jnp.asarray(pm.InvCellSize, dtype=jnp.float32)
+    min_pad = pad_to - 256
+
+    from .paint_pallas import make_prepare_carry_fn
+    fresh = make_prepare_carry_fn(pm, C=C, pad_to=pad_to)
+    prepare_small = make_prepare_fn(pm, C=C, pad_to=pad_to)
+    paint_from = make_paint_from8_fn(pm, K=K, C=C, interpret=interpret)
+    readout_from = make_readout3_from8_fn(pm, K=K, C=C,
+                                          interpret=interpret)
+
+    def _cells_w8(pos):
+        gpos = pos * inv_cell
+        base = jnp.floor(gpos).astype(jnp.int32)
+        frac = gpos - base
+        base = jnp.stack([jnp.remainder(base[:, 0], nx),
+                          jnp.remainder(base[:, 1], ny),
+                          jnp.remainder(base[:, 2], nz)], axis=-1)
+        cell = ((base[:, 0] * nyp + base[:, 1]) * nzp + base[:, 2])
+        f = (frac[:, 0], frac[:, 1], frac[:, 2])
+        t = (1.0 - f[0], 1.0 - f[1], 1.0 - f[2])
+        w8 = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
+                        * (t[2], f[2])[dz]
+                        for dx in (0, 1) for dy in (0, 1)
+                        for dz in (0, 1)], axis=-1)
+        return cell, w8
+
+    def stale(x, v, ranges):
+        """Bundles for one stale step; x, v in the carried (stale
+        sorted) order, ranges from the last fresh prepare."""
+        del v
+        n = x.shape[0]
+        cell, w8 = _cells_w8(x)
+        # window of each index under the STALE partition (the s-column
+        # of offset row 0 tiles the array)
+        starts = ranges[:, 0, 0]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        widx = (jnp.searchsorted(starts, iota, side="right")
+                .astype(jnp.int32) - 1)
+        rel = cell - widx * C
+        mover = (rel < 0) | (rel > REL_MAX)
+        nmov = jnp.sum(mover.astype(jnp.int32))
+        nbad = jnp.maximum(nmov - maxm, 0)
+
+        # main bundle: fresh cells/weights in the stale order; movers
+        # inert via zero weights (their one-hot rows may still match
+        # in-range rows after wraparound -- zero weights guarantee
+        # zero deposit and zero readout either way)
+        keep = jnp.logical_not(mover)
+        w8_main = w8 * keep[:, None].astype(jnp.float32)
+        n_padded = ((n + min_pad + pad_to - 1) // pad_to) * pad_to
+        extra = n_padded - n
+        # clamp main cells into coverage so padded/mover lanes can
+        # never index below row 0 of a window block
+        cell_main = jnp.clip(rel, 0, REL_MAX) + widx * C
+        cell_2d = jnp.concatenate(
+            [cell_main, jnp.full((extra,), mpad - 1, jnp.int32)])[None]
+        w8T = jnp.concatenate(
+            [w8_main.T, jnp.zeros((8, extra), jnp.float32)],
+            axis=1)[:, None, :]
+        main = dict(ranges=ranges, cell_2d=cell_2d, w8T=w8T,
+                    orig=None, n=n)
+
+        # mover side bundle: gather, weight-mask the padding, sort
+        midx = jnp.nonzero(mover, size=maxm, fill_value=n)[0]
+        lane_valid = jnp.arange(maxm) < nmov
+        x_m = jnp.take(x, jnp.minimum(midx, n - 1), axis=0)
+        mover_b = prepare_small(x_m)
+        mover_b = dict(mover_b)
+        mover_b["w8T"] = mover_b["w8T"] * _sorted_valid(
+            mover_b, lane_valid)[None, None, :]
+        return main, mover_b, midx, nbad
+
+    def _sorted_valid(bundle, lane_valid):
+        """lane_valid permuted into the bundle's sorted order, padded
+        to the bundle width."""
+        orig = bundle["orig"]
+        npad = bundle["cell_2d"].shape[1]
+        vs = jnp.take(lane_valid.astype(jnp.float32), orig, axis=0)
+        return jnp.concatenate(
+            [vs, jnp.zeros((npad - vs.shape[0],), jnp.float32)])
+
+    def paint(main, mover_b):
+        return paint_from(main) + paint_from(mover_b)
+
+    def readout3(main, mover_b, midx, cx, cy, cz):
+        vals = readout_from(main, cx, cy, cz)
+        vals_m = readout_from(mover_b, cx, cy, cz)
+        return vals.at[midx].set(vals_m, mode="drop")
+
+    return dict(fresh=fresh, stale=stale, paint=paint,
+                readout3=readout3, REL_MAX=REL_MAX, W=W, maxm=maxm)

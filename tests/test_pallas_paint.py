@@ -138,6 +138,44 @@ def test_pallas_paint_v3_matches_painter():
     assert got.sum() == pytest.approx(4321.0, rel=1e-6)
 
 
+def test_stale_step_trajectory_matches_fresh():
+    """Stale-order stepping (ops/stale.py via make_stale_step_fns):
+    a 5-step trajectory with fresh prepares only every 3rd step must
+    match the plain per-step path (movers ride the side bundle; the
+    physics is exact up to f32 summation order)."""
+    from fastpm_tpu.benchlib import (make_stale_step_fns, make_step_fn,
+                                     example_particles)
+
+    pm = PM(32, 64.0)
+    x0, v0 = example_particles(16, 64.0, seed=2, jitter=0.4)
+    coeffs = jnp.asarray([0.5, 0.3], dtype=jnp.float32)
+    step_ref = make_step_fn(pm, donate=False)
+    xr, vr = x0, v0
+    for _ in range(5):
+        xr, vr, _a = step_ref(xr, vr, coeffs)
+
+    sf, ss = make_stale_step_fns(pm, K=128, C=1024, maxm_frac=0.3,
+                                 interpret=True)
+    x, v = x0, v0
+    ranges = None
+    for i in range(5):
+        if i % 3 == 0:
+            x, v, _a, ranges = sf(x, v, coeffs)
+        else:
+            x, v, _a, nbad = ss(x, v, ranges, coeffs)
+            assert int(nbad) == 0
+
+    def keyed(a, b):
+        k = np.lexsort((np.asarray(a)[:, 2], np.asarray(a)[:, 1],
+                        np.asarray(a)[:, 0]))
+        return np.asarray(a)[k], np.asarray(b)[k]
+
+    xs_s, vs_s = keyed(x, v)
+    xs_r, vs_r = keyed(xr, vr)
+    np.testing.assert_allclose(xs_s, xs_r, atol=5e-5)
+    np.testing.assert_allclose(vs_s, vs_r, atol=5e-5)
+
+
 def test_prepare_carry_payload_gather_identical():
     """payload_gather=True (2-operand key sort + per-column take) must
     produce a bit-identical bundle and sorted rows to the 7-operand
