@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def run_one(nc: int, b: int, nsteps: int, mmfft: bool = False):
+def run_one(nc: int, b: int, nsteps: int, mmfft: bool = False,
+            stale_every: int = 0):
     import jax
     from fastpm_tpu.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -33,13 +34,33 @@ def run_one(nc: int, b: int, nsteps: int, mmfft: bool = False):
         os.environ.pop("FASTPM_TPU_FFT", None)
     box = 1.0 * nc
     pm = PM(nc * b, box)
-    step = make_step_fn(pm, donate=False)
     x, v = example_particles(nc, box, seed=0)
     coeffs = jnp.asarray([0.05, 0.02], dtype=jnp.float32)
 
     # compile + warmup. NOTE: under the tunneled axon platform
     # block_until_ready does not synchronize; a host fetch of a scalar is
     # the only reliable barrier, so we time chained steps + one fetch.
+    if stale_every:
+        from fastpm_tpu.benchlib import make_stale_step_fns
+        sf, ss = make_stale_step_fns(pm)
+        x1, v1, acc, ranges = sf(x, v, coeffs)
+        x1, v1, acc, nbad = ss(x1, v1, ranges, coeffs)
+        _ = float(jnp.sum(x1)) + float(nbad)
+        t0 = time.perf_counter()
+        nb = 0
+        for i in range(nsteps):
+            if i % stale_every == 0:
+                x1, v1, acc, ranges = sf(x1, v1, coeffs)
+            else:
+                x1, v1, acc, nbad = ss(x1, v1, ranges, coeffs)
+                nb = nb + nbad
+        _ = float(jnp.sum(x1))
+        dt = time.perf_counter() - t0
+        if int(nb):
+            raise RuntimeError(f"stale mover overflow: {int(nb)}")
+        return nc ** 3 * nsteps / dt
+
+    step = make_step_fn(pm, donate=False)
     x1, v1, acc = step(x, v, coeffs)
     _ = float(jnp.sum(x1))
 
@@ -83,12 +104,25 @@ def main():
             rate_mm = 0.0
         if pin == "mm" or rate_mm > rate:
             rate, fft = rate_mm, "mm"
+    variant = "per-step-sort"
+    # stale-order stepping (ops/stale.py) amortizes the prepare sort;
+    # try it with the winning FFT mode (BENCH_STALE=0 disables)
+    if os.environ.get("BENCH_STALE", "4") != "0":
+        every = int(os.environ.get("BENCH_STALE", "4"))
+        try:
+            rate_st = run_one(nc, b, nsteps, mmfft=(fft == "mm"),
+                              stale_every=every)
+        except Exception:
+            rate_st = 0.0
+        if rate_st > rate:
+            rate, variant = rate_st, f"stale{every}"
     result = {
         "metric": f"pm_step_{nc}^3_B{b}_particle_steps_per_sec",
         "value": round(rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / baseline, 4),
         "fft": fft,
+        "variant": variant,
     }
     print(json.dumps(result))
 
