@@ -145,3 +145,80 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
                 [painter.readout(f, p.x) for f in tidal_fields], axis=-1)
         out.append(p.replace(**updates))
     return out, delta_k
+
+
+# per-particle store columns that must ride the order-free sort
+# (beyond x and v, which the carry bundle sorts natively)
+_CARRY_FIELDS = ("dx1", "dx2", "dv1", "id", "rand", "mass", "aemit",
+                 "potential", "tidal")
+
+
+def carry_eligible(pm: PM, painter: Painter, stores,
+                   compute_potential: bool,
+                   compute_tidal: bool) -> bool:
+    """Whether compute_force_carry can serve this configuration."""
+    from .painter import _PACK8_MAX_CELLS
+    return (painter._use_pallas and len(stores) == 1
+            and stores[0].mass is None and stores[0].v is not None
+            and not compute_potential and not compute_tidal
+            and int(np.prod(pm.Nmesh)) > _PACK8_MAX_CELLS)
+
+
+def compute_force_carry(pm: PM, painter: Painter, store: Store,
+                        kernel_type: str = "1_4",
+                        softening_type: str = "none",
+                        delta_transfer=None):
+    """Order-free fused force: like the fused branch of compute_force
+    but the store comes back PERMUTED into cell-sorted order (every
+    per-particle column rides the sort), which deletes the per-step
+    un-sort payload sort entirely — readout values are already aligned
+    with the sorted rows. Particle order is physically meaningless
+    (writers sort by id; summaries are order-free), matching the
+    reference, whose store order is likewise decomposition-defined
+    (store.c:486-657).
+
+    Returns (store_sorted, delta_k) with acc filled; the caller checks
+    carry_eligible first."""
+    from .ops.paint_pallas import (make_prepare_carry_fn,
+                                   make_paint_from8_fn)
+    from .ops.readout_pallas import make_readout3_from8_fn
+    prepare = _fused_cache(pm, "prepare_carry", make_prepare_carry_fn)
+    paint_from = _fused_cache(pm, "paint_from8", make_paint_from8_fn)
+    readout3_from = _fused_cache(pm, "readout3_from8",
+                                 make_readout3_from8_fn)
+    p0 = store
+    cols, spec = [], []
+    for name in _CARRY_FIELDS:
+        a = getattr(p0, name)
+        if a is None:
+            continue
+        if a.ndim == 1:
+            cols.append(a)
+            spec.append((name, 0))
+        else:
+            for j in range(a.shape[1]):
+                cols.append(a[:, j])
+            spec.append((name, a.shape[1]))
+    prepared, xs, vs, extras_s = prepare(p0.x, p0.v, tuple(cols))
+
+    canvas = paint_from(prepared)
+    mean_mass_per_cell = jnp.float32(p0.M0) * p0.np_local / pm.Norm
+    delta_k = pm.r2c(canvas * jnp.float32(p0.M0) / mean_mass_per_cell)
+    delta_k = kernels.apply_softening(pm, delta_k, softening_type)
+    if delta_transfer is not None:
+        delta_k = delta_transfer(pm, delta_k)
+    acc_ks = [kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
+                                            "acc", d) for d in range(3)]
+    f0, f1 = pm.c2r_pair(acc_ks[0], acc_ks[1])
+    acc = readout3_from(prepared, f0, f1, pm.c2r(acc_ks[2]))
+
+    updates = dict(x=xs, v=vs, acc=acc)
+    i = 0
+    for name, k in spec:
+        if k == 0:
+            updates[name] = extras_s[i]
+            i += 1
+        else:
+            updates[name] = jnp.stack(extras_s[i:i + k], axis=-1)
+            i += k
+    return p0.replace(**updates), delta_k

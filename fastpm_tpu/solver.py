@@ -9,6 +9,7 @@ at step granularity, preserving the reference's event architecture.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
@@ -25,6 +26,7 @@ from .mesh import PM
 from . import prof
 from .painter import Painter
 from .store import Store, lattice_store
+from . import gravity
 from .gravity import compute_force
 from .lpt import lpt_solve, lpt_evolve
 from . import transfers, events as ev
@@ -59,6 +61,12 @@ class SolverConfig:
     nLPT: float = -2.5
     compute_potential: bool = False
     compute_tidal: bool = False
+    # order-free stepping: let the fused force return the store in
+    # cell-sorted order (deletes the per-step un-sort; writers sort by
+    # id anyway). Default from FASTPM_TPU_ORDER_FREE=1.
+    order_free: bool = dataclasses.field(
+        default_factory=lambda: bool(int(
+            os.environ.get("FASTPM_TPU_ORDER_FREE", "0"))))
     np_alloc_factor: float = 4.0      # kept for parity; no arena here
     # emulate the reference's per-MPI-rank rand streams
     # (_fastpm_store_fill_rand, store.c:693-718): rand_ntask > 1
@@ -317,11 +325,23 @@ class Solver:
             @jax.jit
             def jit_fn(stores):
                 stores = [p.wrap(L) for p in stores]
-                new_stores, dk = compute_force(
-                    pm, painter, stores, cfg.kernel_type,
-                    cfg.softening_type,
-                    compute_potential=cfg.compute_potential,
-                    compute_tidal=cfg.compute_tidal)
+                if cfg.order_free and gravity.carry_eligible(
+                        pm, painter, stores, cfg.compute_potential,
+                        cfg.compute_tidal):
+                    # order-free fused force: the store comes back in
+                    # cell-sorted order (all columns permuted), which
+                    # deletes the per-step un-sort payload sort;
+                    # particle order is physically meaningless
+                    ns, dk = gravity.compute_force_carry(
+                        pm, painter, stores[0], cfg.kernel_type,
+                        cfg.softening_type)
+                    new_stores = [ns]
+                else:
+                    new_stores, dk = compute_force(
+                        pm, painter, stores, cfg.kernel_type,
+                        cfg.softening_type,
+                        compute_potential=cfg.compute_potential,
+                        compute_tidal=cfg.compute_tidal)
                 dk_decic = transfers.apply_decic(pm, dk)
                 return (new_stores, dk_decic,
                         dk if with_pgd else None)
@@ -331,6 +351,12 @@ class Solver:
                 new_stripped, dk_decic, dk_pre = jit_fn(stripped)
                 outs = []
                 for orig, ns in zip(stores, new_stripped):
+                    if cfg.order_free:
+                        # every column was permuted: keep ns wholesale,
+                        # restoring only the stripped static stamps
+                        outs.append(ns.replace(a_x=orig.a_x,
+                                               a_v=orig.a_v))
+                        continue
                     updates = dict(x=ns.x, acc=ns.acc)
                     if cfg.compute_potential and orig.potential is not None:
                         updates["potential"] = ns.potential

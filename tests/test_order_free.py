@@ -1,0 +1,81 @@
+"""Order-free fused force (gravity.compute_force_carry): the permuted
+store must agree with the order-preserving compute_force when matched
+by particle id, and every per-particle column must ride the sort."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastpm_tpu.mesh import PM
+from fastpm_tpu.store import Store, lattice_store
+from fastpm_tpu.painter import Painter
+from fastpm_tpu import gravity
+
+
+@pytest.fixture
+def fused_interpret(monkeypatch):
+    """Force carry-eligibility on CPU: pallas kernels in interpret
+    mode, pack8 threshold down to 0."""
+    import fastpm_tpu.painter as painter_mod
+    from fastpm_tpu.ops.paint_pallas import (make_prepare_carry_fn,
+                                             make_prepare_fn,
+                                             make_paint_from8_fn)
+    from fastpm_tpu.ops.readout_pallas import make_readout3_from8_fn
+
+    monkeypatch.setattr(painter_mod, "_PACK8_MAX_CELLS", 0)
+    cache = {}
+
+    def fused_cache(pm, kind, builder):
+        key = (pm.cache_key, kind)
+        if key not in cache:
+            if kind == "prepare_carry":
+                cache[key] = make_prepare_carry_fn(pm, C=1024)
+            elif kind == "prepare":
+                cache[key] = make_prepare_fn(pm, C=1024)
+            elif kind == "paint_from8":
+                cache[key] = make_paint_from8_fn(pm, K=128, C=1024,
+                                                 interpret=True)
+            elif kind == "readout3_from8":
+                cache[key] = make_readout3_from8_fn(pm, K=128, C=1024,
+                                                    interpret=True)
+            else:
+                raise KeyError(kind)
+        return cache[key]
+
+    monkeypatch.setattr(gravity, "_fused_cache", fused_cache)
+    return None
+
+
+def test_compute_force_carry_matches_by_id(fused_interpret, monkeypatch):
+    pm = PM(32, 64.0)
+    p = lattice_store(pm, Nc=16)
+    rng = np.random.default_rng(41)
+    n = p.x.shape[0]
+    p = p.replace(
+        x=jnp.asarray(rng.uniform(0, 64, (n, 3)).astype(np.float32)),
+        v=jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32)),
+        aemit=jnp.asarray(rng.uniform(0, 1, (n,)).astype(np.float32)))
+    painter = Painter(pm, "cic", 2, backend="xla")
+    monkeypatch.setattr(Painter, "_use_pallas",
+                        property(lambda self: True))
+
+    assert gravity.carry_eligible(pm, painter, [p], False, False)
+
+    ref, dk_ref = gravity.compute_force(pm, painter, [p], "1_4", "none")
+    got, dk = gravity.compute_force_carry(pm, painter, p, "1_4", "none")
+
+    np.testing.assert_allclose(np.asarray(jnp.abs(dk - dk_ref)).max(),
+                               0.0, atol=2e-5)
+    # match rows by id: every column must carry the same permutation
+    ref0 = ref[0]
+    oa = np.argsort(np.asarray(ref0.id))
+    ob = np.argsort(np.asarray(got.id))
+    assert np.array_equal(np.asarray(ref0.id)[oa],
+                          np.asarray(got.id)[ob])
+    for name in ("x", "v", "aemit"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref0, name))[oa],
+            np.asarray(getattr(got, name))[ob], err_msg=name)
+    np.testing.assert_allclose(np.asarray(ref0.acc)[oa],
+                               np.asarray(got.acc)[ob], atol=5e-5)
