@@ -55,6 +55,8 @@ def test_compute_force_carry_matches_by_id(fused_interpret, monkeypatch):
     p = p.replace(
         x=jnp.asarray(rng.uniform(0, 64, (n, 3)).astype(np.float32)),
         v=jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32)),
+        dx1=jnp.asarray(rng.standard_normal((n, 3))
+                        .astype(np.float32)),
         aemit=jnp.asarray(rng.uniform(0, 1, (n,)).astype(np.float32)))
     painter = Painter(pm, "cic", 2, backend="xla")
     monkeypatch.setattr(Painter, "_use_pallas",
@@ -73,7 +75,7 @@ def test_compute_force_carry_matches_by_id(fused_interpret, monkeypatch):
     ob = np.argsort(np.asarray(got.id))
     assert np.array_equal(np.asarray(ref0.id)[oa],
                           np.asarray(got.id)[ob])
-    for name in ("x", "v", "aemit"):
+    for name in ("x", "v", "dx1", "aemit"):
         np.testing.assert_array_equal(
             np.asarray(getattr(ref0, name))[oa],
             np.asarray(getattr(got, name))[ob], err_msg=name)
