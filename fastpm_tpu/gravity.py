@@ -221,4 +221,37 @@ def compute_force_carry(pm: PM, painter: Painter, store: Store,
         else:
             updates[name] = jnp.stack(extras_s[i:i + k], axis=-1)
             i += k
-    return p0.replace(**updates), delta_k
+    return p0.replace(**updates), delta_k, prepared["ranges"]
+
+
+def compute_force_stale(pm: PM, painter: Painter, store: Store,
+                        ranges, maxm: int,
+                        kernel_type: str = "1_4",
+                        softening_type: str = "none",
+                        delta_transfer=None):
+    """Stale-order fused force (ops/stale.py): the store is ALREADY in
+    the cell-sorted order of a previous compute_force_carry whose
+    range table is `ranges`; cells and CIC weights are recomputed
+    elementwise and window-leavers ride a small side bundle, so no
+    per-particle sort runs at all. Returns (store, delta_k, nbad);
+    nbad > 0 means the mover cap overflowed and the caller must redo
+    a fresh carry force (the result is then invalid)."""
+    from .ops.stale import make_stale_tools
+
+    def build(pm):
+        return make_stale_tools(pm, maxm=maxm)
+    tools = _fused_cache(pm, ("stale", maxm), build)
+    p0 = store
+    main, mover, midx, nbad = tools["stale"](p0.x, None, ranges)
+    canvas = tools["paint"](main, mover)
+    mean_mass_per_cell = jnp.float32(p0.M0) * p0.np_local / pm.Norm
+    delta_k = pm.r2c(canvas * jnp.float32(p0.M0) / mean_mass_per_cell)
+    delta_k = kernels.apply_softening(pm, delta_k, softening_type)
+    if delta_transfer is not None:
+        delta_k = delta_transfer(pm, delta_k)
+    acc_ks = [kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
+                                            "acc", d) for d in range(3)]
+    f0, f1 = pm.c2r_pair(acc_ks[0], acc_ks[1])
+    acc = tools["readout3"](main, mover, midx, f0, f1,
+                            pm.c2r(acc_ks[2]))
+    return p0.replace(acc=acc), delta_k, nbad

@@ -67,6 +67,13 @@ class SolverConfig:
     order_free: bool = dataclasses.field(
         default_factory=lambda: bool(int(
             os.environ.get("FASTPM_TPU_ORDER_FREE", "0"))))
+    # stale stepping (requires order_free): run N-1 of every N forces
+    # with the previous fresh prepare's sort order + range table
+    # (ops/stale.py); mover-cap overflow transparently falls back to a
+    # fresh force. Default from FASTPM_TPU_STALE=N.
+    stale_every: int = dataclasses.field(
+        default_factory=lambda: int(
+            os.environ.get("FASTPM_TPU_STALE", "0")))
     np_alloc_factor: float = 4.0      # kept for parity; no arena here
     # emulate the reference's per-MPI-rank rand streams
     # (_fastpm_store_fill_rand, store.c:693-718): rand_ntask > 1
@@ -172,6 +179,7 @@ class Solver:
                 pgdc=jnp.zeros((p.np_local, 3), dtype=jnp.float32))
 
         self._jitted_force = {}
+        self._stale_state = {}
 
     # ---- species management (solver.c:248-280) ----
 
@@ -246,6 +254,10 @@ class Solver:
         if not self._keep_lpt:
             p = p.replace(dx1=None, dx2=None, dv1=None)
         self.species[species] = p
+        # new particles: any carried stale range table is invalid (the
+        # first stale attempt would overflow and self-heal, but a
+        # clean reset avoids the wasted program)
+        self._stale_state.clear()
 
         self.event_handlers.emit(ev.EVENT_LPT, ev.STAGE_AFTER,
                                  solver=self, pm=self.lptpm,
@@ -332,7 +344,7 @@ class Solver:
                     # cell-sorted order (all columns permuted), which
                     # deletes the per-step un-sort payload sort;
                     # particle order is physically meaningless
-                    ns, dk = gravity.compute_force_carry(
+                    ns, dk, ranges = gravity.compute_force_carry(
                         pm, painter, stores[0], cfg.kernel_type,
                         cfg.softening_type)
                     new_stores = [ns]
@@ -342,17 +354,29 @@ class Solver:
                         cfg.softening_type,
                         compute_potential=cfg.compute_potential,
                         compute_tidal=cfg.compute_tidal)
+                    ranges = None
                 dk_decic = transfers.apply_decic(pm, dk)
                 return (new_stores, dk_decic,
-                        dk if with_pgd else None)
+                        dk if with_pgd else None, ranges)
 
-            def cached(stores):
-                stripped = [p.replace(a_x=0.0, a_v=0.0) for p in stores]
-                new_stripped, dk_decic, dk_pre = jit_fn(stripped)
+            @jax.jit
+            def jit_stale(stores, ranges):
+                stores = [p.wrap(L) for p in stores]
+                n = stores[0].x.shape[0]
+                maxm = max(int(n * 0.02) // 1024 * 1024, 1024)
+                ns, dk, nbad = gravity.compute_force_stale(
+                    pm, painter, stores[0], ranges, maxm,
+                    cfg.kernel_type, cfg.softening_type)
+                dk_decic = transfers.apply_decic(pm, dk)
+                return ([ns], dk_decic,
+                        dk if with_pgd else None, nbad)
+
+            def _merge(stores, new_stripped):
                 outs = []
                 for orig, ns in zip(stores, new_stripped):
                     if cfg.order_free:
-                        # every column was permuted: keep ns wholesale,
+                        # every column was permuted (or none, in the
+                        # stale/fallback cases): keep ns wholesale,
                         # restoring only the stripped static stamps
                         outs.append(ns.replace(a_x=orig.a_x,
                                                a_v=orig.a_v))
@@ -363,7 +387,26 @@ class Solver:
                     if cfg.compute_tidal and orig.tidal is not None:
                         updates["tidal"] = ns.tidal
                     outs.append(orig.replace(**updates))
-                return outs, dk_decic, dk_pre
+                return outs
+
+            def cached(stores):
+                stripped = [p.replace(a_x=0.0, a_v=0.0) for p in stores]
+                state = self._stale_state.get(key)
+                if (cfg.order_free and cfg.stale_every > 1
+                        and state is not None
+                        and state["since"] < cfg.stale_every - 1):
+                    ns, dkd, dkp, nbad = jit_stale(stripped,
+                                                   state["ranges"])
+                    if int(nbad) == 0:
+                        state["since"] += 1
+                        return _merge(stores, ns), dkd, dkp
+                    # mover-cap overflow: the stale result is invalid;
+                    # fall through to a fresh carry force
+                new_stripped, dk_decic, dk_pre, ranges = jit_fn(stripped)
+                if ranges is not None and cfg.stale_every > 1:
+                    self._stale_state[key] = {"ranges": ranges,
+                                              "since": 0}
+                return _merge(stores, new_stripped), dk_decic, dk_pre
 
             self._jitted_force[key] = cached
         return cached

@@ -40,7 +40,10 @@ def fused_interpret(monkeypatch):
                 cache[key] = make_readout3_from8_fn(pm, K=128, C=1024,
                                                     interpret=True)
             else:
-                raise KeyError(kind)
+                # e.g. ("stale", maxm): defer to the builder closure
+                # (make_stale_tools is monkeypatched to interpret mode
+                # in the tests that reach this)
+                cache[key] = builder(pm)
         return cache[key]
 
     monkeypatch.setattr(gravity, "_fused_cache", fused_cache)
@@ -65,7 +68,8 @@ def test_compute_force_carry_matches_by_id(fused_interpret, monkeypatch):
     assert gravity.carry_eligible(pm, painter, [p], False, False)
 
     ref, dk_ref = gravity.compute_force(pm, painter, [p], "1_4", "none")
-    got, dk = gravity.compute_force_carry(pm, painter, p, "1_4", "none")
+    got, dk, ranges = gravity.compute_force_carry(pm, painter, p,
+                                                  "1_4", "none")
 
     np.testing.assert_allclose(np.asarray(jnp.abs(dk - dk_ref)).max(),
                                0.0, atol=2e-5)
@@ -81,3 +85,53 @@ def test_compute_force_carry_matches_by_id(fused_interpret, monkeypatch):
             np.asarray(getattr(got, name))[ob], err_msg=name)
     np.testing.assert_allclose(np.asarray(ref0.acc)[oa],
                                np.asarray(got.acc)[ob], atol=5e-5)
+
+
+def test_compute_force_stale_matches_fresh(fused_interpret,
+                                           monkeypatch):
+    """After a carry force, a slightly-drifted store's stale force
+    (reusing the carry's range table) must match a fresh carry force
+    on the same positions."""
+    import fastpm_tpu.ops.stale as stale_mod
+    from fastpm_tpu.ops.paint_pallas import (make_prepare_carry_fn,
+                                             make_prepare_fn,
+                                             make_paint_from8_fn)
+    from fastpm_tpu.ops.readout_pallas import make_readout3_from8_fn
+
+    pm = PM(32, 64.0)
+    p = lattice_store(pm, Nc=16)
+    rng = np.random.default_rng(42)
+    n = p.x.shape[0]
+    p = p.replace(
+        x=jnp.asarray(rng.uniform(0, 64, (n, 3)).astype(np.float32)),
+        v=jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32)))
+    painter = Painter(pm, "cic", 2, backend="xla")
+    monkeypatch.setattr(Painter, "_use_pallas",
+                        property(lambda self: True))
+
+    # interpret-mode stale tools (gravity caches by (pm, ("stale", m)))
+    real_make = stale_mod.make_stale_tools
+    monkeypatch.setattr(
+        stale_mod, "make_stale_tools",
+        lambda pm_, **kw: real_make(pm_, C=1024, K=128,
+                                    interpret=True,
+                                    maxm=kw.get("maxm", 1024)))
+
+    sorted_p, _dk, ranges = gravity.compute_force_carry(
+        pm, painter, p, "1_4", "none")
+    drifted = sorted_p.replace(
+        x=(sorted_p.x + sorted_p.v * 0.2) % 64.0)
+
+    stale_p, dk_s, nbad = gravity.compute_force_stale(
+        pm, painter, drifted, ranges, 2048, "1_4", "none")
+    assert int(nbad) == 0
+    fresh_p, dk_f, _r = gravity.compute_force_carry(
+        pm, painter, drifted, "1_4", "none")
+
+    # same positions, same physics; stale keeps the drifted order
+    ob = np.argsort(np.asarray(stale_p.id))
+    oa = np.argsort(np.asarray(fresh_p.id))
+    np.testing.assert_allclose(np.asarray(stale_p.acc)[ob],
+                               np.asarray(fresh_p.acc)[oa], atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.abs(dk_s - dk_f)).max(), 0.0, atol=2e-5)
