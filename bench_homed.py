@@ -68,13 +68,20 @@ def main():
     compile_s = time.perf_counter() - t_c
     if nbad:
         raise SystemExit(f"halo overflow: bad={nbad}")
+    # per-step fetches change the metric (adds a host round trip per
+    # step, forbids cross-step overlap) -- keep the headline timing
+    # chained+one-fetch like bench.py; BENCH_HOMED_PERSTEP=1 opts into
+    # the diagnostic per-step timings (recompile hunting)
     per_step = []
+    diag = bool(os.environ.get("BENCH_HOMED_PERSTEP"))
     t0 = time.perf_counter()
     for _ in range(nsteps):
         t1 = time.perf_counter()
         x1, v1, bad = step(x1, v1, coeffs)
-        _ = float(jnp.sum(x1))
-        per_step.append(round(time.perf_counter() - t1, 3))
+        if diag:
+            _ = float(jnp.sum(x1))
+            per_step.append(round(time.perf_counter() - t1, 3))
+    _ = float(jnp.sum(x1))
     dt = time.perf_counter() - t0
     rate = nc ** 3 * nsteps / dt
     print(json.dumps({

@@ -155,7 +155,7 @@ def make_stale_step_fns(pm: PM, kernel_type: str = "1_4",
             return x, v, acc, prepared["ranges"]
 
         def step_stale(x, v, ranges, coeffs):
-            main, mover, midx, nbad = tools["stale"](x, v, ranges)
+            main, mover, midx, nbad = tools["stale"](x, ranges)
             norm = x.shape[0] / pm.Norm
             acc = _force_fields(
                 tools["paint"](main, mover) / norm,

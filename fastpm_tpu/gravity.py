@@ -147,10 +147,20 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
     return out, delta_k
 
 
-# per-particle store columns that must ride the order-free sort
-# (beyond x and v, which the carry bundle sorts natively)
-_CARRY_FIELDS = ("dx1", "dx2", "dv1", "id", "rand", "mass", "aemit",
-                 "potential", "tidal")
+def _carry_fields():
+    """Per-particle store columns that must ride the order-free sort:
+    EVERY array field except x/v (sorted natively by the carry bundle)
+    and acc (overwritten by the force). Derived from the dataclass so
+    a newly added column can never silently stay in the old order."""
+    import dataclasses as _dc
+    out = []
+    for f in _dc.fields(Store):
+        if f.metadata.get("static"):
+            continue
+        if f.name in ("x", "v", "acc"):
+            continue
+        out.append(f.name)
+    return tuple(out)
 
 
 def carry_eligible(pm: PM, painter: Painter, stores,
@@ -177,8 +187,10 @@ def compute_force_carry(pm: PM, painter: Painter, store: Store,
     reference, whose store order is likewise decomposition-defined
     (store.c:486-657).
 
-    Returns (store_sorted, delta_k) with acc filled; the caller checks
-    carry_eligible first."""
+    Returns (store_sorted, delta_k, ranges) with acc filled; ranges is
+    the prepare's window range table, which compute_force_stale can
+    reuse on subsequent steps. The caller checks carry_eligible
+    first."""
     from .ops.paint_pallas import (make_prepare_carry_fn,
                                    make_paint_from8_fn)
     from .ops.readout_pallas import make_readout3_from8_fn
@@ -188,17 +200,20 @@ def compute_force_carry(pm: PM, painter: Painter, store: Store,
                                  make_readout3_from8_fn)
     p0 = store
     cols, spec = [], []
-    for name in _CARRY_FIELDS:
+    for name in _carry_fields():
         a = getattr(p0, name)
         if a is None:
             continue
+        dt = a.dtype
+        if dt == jnp.bool_:          # sort payloads must be numeric
+            a = a.astype(jnp.uint8)
         if a.ndim == 1:
             cols.append(a)
-            spec.append((name, 0))
+            spec.append((name, 0, dt))
         else:
             for j in range(a.shape[1]):
                 cols.append(a[:, j])
-            spec.append((name, a.shape[1]))
+            spec.append((name, a.shape[1], dt))
     prepared, xs, vs, extras_s = prepare(p0.x, p0.v, tuple(cols))
 
     canvas = paint_from(prepared)
@@ -214,12 +229,13 @@ def compute_force_carry(pm: PM, painter: Painter, store: Store,
 
     updates = dict(x=xs, v=vs, acc=acc)
     i = 0
-    for name, k in spec:
+    for name, k, dt in spec:
         if k == 0:
-            updates[name] = extras_s[i]
+            updates[name] = extras_s[i].astype(dt)
             i += 1
         else:
-            updates[name] = jnp.stack(extras_s[i:i + k], axis=-1)
+            updates[name] = jnp.stack(
+                extras_s[i:i + k], axis=-1).astype(dt)
             i += k
     return p0.replace(**updates), delta_k, prepared["ranges"]
 
@@ -237,12 +253,20 @@ def compute_force_stale(pm: PM, painter: Painter, store: Store,
     nbad > 0 means the mover cap overflowed and the caller must redo
     a fresh carry force (the result is then invalid)."""
     from .ops.stale import make_stale_tools
+    from .ops.paint_pallas import make_paint_from8_fn
+    from .ops.readout_pallas import make_readout3_from8_fn
 
     def build(pm):
-        return make_stale_tools(pm, maxm=maxm)
+        # reuse the already-built fused kernels (same K/C defaults)
+        return make_stale_tools(
+            pm, maxm=maxm,
+            paint_from=_fused_cache(pm, "paint_from8",
+                                    make_paint_from8_fn),
+            readout_from=_fused_cache(pm, "readout3_from8",
+                                      make_readout3_from8_fn))
     tools = _fused_cache(pm, ("stale", maxm), build)
     p0 = store
-    main, mover, midx, nbad = tools["stale"](p0.x, None, ranges)
+    main, mover, midx, nbad = tools["stale"](p0.x, ranges)
     canvas = tools["paint"](main, mover)
     mean_mass_per_cell = jnp.float32(p0.M0) * p0.np_local / pm.Norm
     delta_k = pm.r2c(canvas * jnp.float32(p0.M0) / mean_mass_per_cell)

@@ -248,6 +248,31 @@ def paint_sorted(pm: PM, pos, mass=1.0, K: int = 256, C: int = 1024,
     return make_paint_fn(pm, K=K, C=C, interpret=interpret)(pos, mass)
 
 
+def base_cell_frac(pos, inv_cell, nx, ny, nz, nyp, nzp):
+    """THE canonical padded-cell + CIC-fraction formula. Shared by the
+    prepare builders and the stale stepper (ops/stale.py) -- stale
+    exactness depends on bit-identity with the fresh prepare."""
+    gpos = pos * inv_cell
+    base = jnp.floor(gpos).astype(jnp.int32)
+    frac = gpos - base
+    base = jnp.stack([jnp.remainder(base[:, 0], nx),
+                      jnp.remainder(base[:, 1], ny),
+                      jnp.remainder(base[:, 2], nz)], axis=-1)
+    cell = ((base[:, 0] * nyp + base[:, 1]) * nzp + base[:, 2])
+    return cell, frac
+
+
+def w8_from_frac(f0, f1, f2):
+    """(n, 8) CIC corner weights from the three fractions (corner
+    order dx-major, matching the kernels' w8T rows)."""
+    f = (f0, f1, f2)
+    t = (1.0 - f0, 1.0 - f1, 1.0 - f2)
+    return jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
+                      * (t[2], f[2])[dz]
+                      for dx in (0, 1) for dy in (0, 1)
+                      for dz in (0, 1)], axis=-1)
+
+
 def make_prepare_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
     """Shared sorted-bundle builder for the paint and readout kernels:
     ONE sort by padded cell (carrying fx, fy, fz and the original index)
@@ -263,22 +288,12 @@ def make_prepare_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
 
     def prepare(pos):
         n = pos.shape[0]
-        gpos = pos * inv_cell
-        base = jnp.floor(gpos).astype(jnp.int32)
-        frac = gpos - base
-        base = jnp.stack([jnp.remainder(base[:, 0], nx),
-                          jnp.remainder(base[:, 1], ny),
-                          jnp.remainder(base[:, 2], nz)], axis=-1)
-        cell = ((base[:, 0] * nyp + base[:, 1]) * nzp + base[:, 2])
+        cell, frac = base_cell_frac(pos, inv_cell, nx, ny, nz,
+                                    nyp, nzp)
         iota = jnp.arange(n, dtype=jnp.int32)
         cell_s, fx, fy, fz, orig = jax.lax.sort(
             (cell, frac[:, 0], frac[:, 1], frac[:, 2], iota), num_keys=1)
-        f = (fx, fy, fz)
-        t = (1.0 - fx, 1.0 - fy, 1.0 - fz)
-        w8_s = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
-                          * (t[2], f[2])[dz]
-                          for dx in (0, 1) for dy in (0, 1)
-                          for dz in (0, 1)], axis=-1)
+        w8_s = w8_from_frac(fx, fy, fz)
 
         n_padded = ((n + min_pad + pad_to - 1) // pad_to) * pad_to
         extra = n_padded - n
@@ -334,12 +349,8 @@ def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024,
 
     def prepare(pos, vel, extras=()):
         n = pos.shape[0]
-        gpos = pos * inv_cell
-        base = jnp.floor(gpos).astype(jnp.int32)
-        base = jnp.stack([jnp.remainder(base[:, 0], nx),
-                          jnp.remainder(base[:, 1], ny),
-                          jnp.remainder(base[:, 2], nz)], axis=-1)
-        cell = ((base[:, 0] * nyp + base[:, 1]) * nzp + base[:, 2])
+        cell, _frac = base_cell_frac(pos, inv_cell, nx, ny, nz,
+                                     nyp, nzp)
         ops_in = (cell, pos[:, 0], pos[:, 1], pos[:, 2],
                   vel[:, 0], vel[:, 1], vel[:, 2]) + tuple(extras)
         if sort_block is not None:
@@ -373,15 +384,11 @@ def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024,
         vs = jnp.stack(sorted_ops[4:7], axis=-1)
         extras_s = sorted_ops[7:]
         # recompute fracs from the sorted positions (bit-identical to
-        # pre-sort fracs: same inputs, same ops)
-        gs = xs * inv_cell
-        fr = gs - jnp.floor(gs)
-        f = (fr[:, 0], fr[:, 1], fr[:, 2])
-        t = (1.0 - f[0], 1.0 - f[1], 1.0 - f[2])
-        w8_s = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
-                          * (t[2], f[2])[dz]
-                          for dx in (0, 1) for dy in (0, 1)
-                          for dz in (0, 1)], axis=-1)
+        # pre-sort fracs: same inputs, same ops -- gpos - floor(gpos)
+        # == gpos - base since base = floor(gpos))
+        _cell2, fr = base_cell_frac(xs, inv_cell, nx, ny, nz,
+                                    nyp, nzp)
+        w8_s = w8_from_frac(fr[:, 0], fr[:, 1], fr[:, 2])
 
         n_padded = ((n + min_pad + pad_to - 1) // pad_to) * pad_to
         extra = n_padded - n
@@ -892,6 +899,17 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
     tailB_ref[...] = acc_scratch[1, CLh:CLh + HR]
 
 
+def paint8_geometry(pm: PM, C: int = 8192):
+    """Accumulator-window geometry of the 8-corner paint kernel:
+    (CLh, HR). Single source of truth for the stale stepper's
+    safe-span check (ops/stale.py)."""
+    nzp = pm.Nmesh[2] + 1
+    CLh = C // 128
+    HR = ((nzp + 1 + 127) // 128 + 1)
+    HR = ((HR + 7) // 8) * 8
+    return CLh, HR
+
+
 def make_paint_from8_fn(pm: PM, K: int = 512, C: int = 8192,
                         interpret=False, subr: int | None = None):
     """paint_from with the ONE-pass 8-corner kernel (_paint_kernel8).
@@ -905,9 +923,7 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int = 8192,
         raise ValueError("C must be a multiple of 1024")
     if K % 128:
         raise ValueError("K must be a multiple of 128")
-    CLh = C // 128
-    HR = ((nzp + 1 + 127) // 128 + 1)
-    HR = ((HR + 7) // 8) * 8
+    CLh, HR = paint8_geometry(pm, C)
     if HR > CLh:
         raise ValueError("halo rows exceed the window (HR <= CLh "
                          "required by the paint carry)")

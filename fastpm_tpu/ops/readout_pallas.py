@@ -1016,6 +1016,23 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
         flush_carry()
 
 
+def readout8_geometry(pm: PM, C: int = 8192):
+    """Canvas-window geometry of the 8-corner readout kernel:
+    (CLh, HR, RX, RXL). Single source of truth -- the stale stepper's
+    safe-span check (ops/stale.py) imports this so it can never
+    desynchronize from the kernel."""
+    _nx, ny, nz = pm.Nmesh
+    nyp, nzp = ny + 1, nz + 1
+    CLh = C // 128
+    RX = (nyp * nzp) // 128
+    RX = (RX // 8) * 8            # DMA row starts must stay 8-aligned
+    RXL = nyp * nzp - RX * 128    # lane residual (< 1024 + 128)
+    # halo rows: max rel = C - 1 + RXL + nzp + 1
+    HR = ((RXL + nzp + 1 + 127) // 128 + 1)
+    HR = ((HR + 7) // 8) * 8
+    return CLh, HR, RX, RXL
+
+
 def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
                            interpret=False, gather_mode="split",
                            subr: int | None = None, ablate=None):
@@ -1033,13 +1050,7 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
         raise ValueError("K must be a multiple of 128")
     if subr is not None and subr % 8:
         raise ValueError("subr must be a multiple of 8")
-    CLh = C // 128
-    RX = (nyp * nzp) // 128
-    RX = (RX // 8) * 8            # DMA row starts must stay 8-aligned
-    RXL = nyp * nzp - RX * 128    # lane residual (< 1024 + 128)
-    # halo rows: max rel = C - 1 + RXL + nzp + 1
-    HR = ((RXL + nzp + 1 + 127) // 128 + 1)
-    HR = ((HR + 7) // 8) * 8
+    CLh, HR, RX, RXL = readout8_geometry(pm, C)
     npad_blocks = W * CLh + RX + HR
     kernel = functools.partial(_readout_kernel8, K=K, C=C, CLh=CLh,
                                HR=HR, RX=RX, RXL=RXL, nyp=nyp, nzp=nzp,

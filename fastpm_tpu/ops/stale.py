@@ -35,75 +35,72 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh import PM
-from .paint_pallas import (_corner_offsets_padded, make_prepare_fn,
-                           make_paint_from8_fn)
-from .readout_pallas import make_readout3_from8_fn
+from .paint_pallas import (make_prepare_fn, make_paint_from8_fn,
+                           make_prepare_carry_fn, base_cell_frac,
+                           w8_from_frac, paint8_geometry)
+from .readout_pallas import make_readout3_from8_fn, readout8_geometry
 
-__all__ = ["make_stale_tools"]
+__all__ = ["make_stale_tools", "stale_safe_span"]
+
+
+def stale_safe_span(pm: PM, C: int) -> int:
+    """Largest rel = cell - w*C a non-mover may reach, derived from
+    the kernel factories' OWN geometry functions (paint8_geometry /
+    readout8_geometry) so a kernel-geometry change can never silently
+    widen the span past the DMA'd canvas window."""
+    nzp = pm.Nmesh[2] + 1
+    CLh, HR_p = paint8_geometry(pm, C)
+    _CLh, HR_r, _RX, RXL = readout8_geometry(pm, C)
+    # safe span: max corner delta, the lane-127 fix reads one row
+    # above, and one extra row of margin
+    return ((CLh + min(HR_r, HR_p) - 1) * 128 - 1
+            - max(RXL + nzp, nzp + 1) - 128)
 
 
 def make_stale_tools(pm: PM, K: int = 512, C: int = 8192,
                      pad_to: int = 1024, maxm: int | None = None,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     paint_from=None, readout_from=None):
     """Build the stale-step toolkit. Returns a dict of functions:
 
     fresh(x, v)        -> (prepared, xs, vs): full sort; the caller
                           carries (xs, vs) and prepared['ranges'].
-    stale(x, v, ranges)-> (main, mover, midx, nbad): main/mover
+    stale(x, ranges)   -> (main, mover, midx, nbad): main/mover
                           bundles for the SAME kernel factories.
     paint(main, mover) -> canvas (both bundles painted and added).
     readout3(main, mover, midx, cx, cy, cz) -> (n, 3) values in the
                           carried order.
-    """
+
+    paint_from/readout_from: pass already-built from8 kernels (e.g.
+    gravity's _fused_cache instances) to avoid constructing duplicate
+    pallas programs; they must use the same (K, C)."""
     nx, ny, nz = pm.Nmesh
     nyp, nzp = ny + 1, nz + 1
     mpad = (nx + 1) * nyp * nzp
     W = (mpad + C - 1) // C
-    CLh = C // 128
-    # coverage must satisfy BOTH kernels' geometries: readout8's
-    # block-1 lane residual (RXL) and paint8's smaller halo
-    RX8 = ((nyp * nzp) // 128 // 8) * 8
-    RXL = nyp * nzp - RX8 * 128
-    HR_r = ((RXL + nzp + 1 + 127) // 128 + 1)
-    HR_r = ((HR_r + 7) // 8) * 8
-    HR_p = ((nzp + 1 + 127) // 128 + 1)
-    HR_p = ((HR_p + 7) // 8) * 8
-    # safe span: max corner delta, the lane-127 fix reads one row
-    # above, and one extra row of margin
-    REL_MAX = ((CLh + min(HR_r, HR_p) - 1) * 128 - 1
-               - max(RXL + nzp, nzp + 1) - 128)
+    REL_MAX = stale_safe_span(pm, C)
     if maxm is None:
         maxm = 0  # caller must size; see stale()
     inv_cell = jnp.asarray(pm.InvCellSize, dtype=jnp.float32)
     min_pad = pad_to - 256
 
-    from .paint_pallas import make_prepare_carry_fn
     fresh = make_prepare_carry_fn(pm, C=C, pad_to=pad_to)
     prepare_small = make_prepare_fn(pm, C=C, pad_to=pad_to)
-    paint_from = make_paint_from8_fn(pm, K=K, C=C, interpret=interpret)
-    readout_from = make_readout3_from8_fn(pm, K=K, C=C,
-                                          interpret=interpret)
+    if paint_from is None:
+        paint_from = make_paint_from8_fn(pm, K=K, C=C,
+                                         interpret=interpret)
+    if readout_from is None:
+        readout_from = make_readout3_from8_fn(pm, K=K, C=C,
+                                              interpret=interpret)
 
     def _cells_w8(pos):
-        gpos = pos * inv_cell
-        base = jnp.floor(gpos).astype(jnp.int32)
-        frac = gpos - base
-        base = jnp.stack([jnp.remainder(base[:, 0], nx),
-                          jnp.remainder(base[:, 1], ny),
-                          jnp.remainder(base[:, 2], nz)], axis=-1)
-        cell = ((base[:, 0] * nyp + base[:, 1]) * nzp + base[:, 2])
-        f = (frac[:, 0], frac[:, 1], frac[:, 2])
-        t = (1.0 - f[0], 1.0 - f[1], 1.0 - f[2])
-        w8 = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
-                        * (t[2], f[2])[dz]
-                        for dx in (0, 1) for dy in (0, 1)
-                        for dz in (0, 1)], axis=-1)
-        return cell, w8
+        cell, frac = base_cell_frac(pos, inv_cell, nx, ny, nz,
+                                    nyp, nzp)
+        return cell, w8_from_frac(frac[:, 0], frac[:, 1], frac[:, 2])
 
-    def stale(x, v, ranges):
-        """Bundles for one stale step; x, v in the carried (stale
-        sorted) order, ranges from the last fresh prepare."""
-        del v
+    def stale(x, ranges):
+        """Bundles for one stale step; x in the carried (stale sorted)
+        order, ranges from the last fresh prepare."""
         n = x.shape[0]
         cell, w8 = _cells_w8(x)
         # window of each index under the STALE partition (the s-column

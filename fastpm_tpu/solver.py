@@ -397,6 +397,12 @@ class Solver:
                         and state["since"] < cfg.stale_every - 1):
                     ns, dkd, dkp, nbad = jit_stale(stripped,
                                                    state["ranges"])
+                    # int(nbad) is a per-step host fetch: required for
+                    # correctness (an overflowed result must not be
+                    # applied), and the solver already fetches scalars
+                    # per step (broadband log). The pure-bench stale
+                    # loop avoids it, so expect the solver's stale win
+                    # to be slightly smaller than bench_variants'.
                     if int(nbad) == 0:
                         state["since"] += 1
                         return _merge(stores, ns), dkd, dkp

@@ -114,8 +114,7 @@ def test_compute_force_stale_matches_fresh(fused_interpret,
     monkeypatch.setattr(
         stale_mod, "make_stale_tools",
         lambda pm_, **kw: real_make(pm_, C=1024, K=128,
-                                    interpret=True,
-                                    maxm=kw.get("maxm", 1024)))
+                                    interpret=True, **kw))
 
     sorted_p, _dk, ranges = gravity.compute_force_carry(
         pm, painter, p, "1_4", "none")
