@@ -177,7 +177,10 @@ def make_paint_fn(pm: PM, K: int = 256, C: int = 1024, interpret=False):
         interpret=interpret,
     )
 
-    inv_cell = jnp.asarray(pm.InvCellSize, dtype=jnp.float32)
+    # numpy, NOT jnp: these builders may be constructed inside a jit
+    # trace (gravity._fused_cache); a jnp constant born in one trace
+    # and cached leaks into the next (UnexpectedTracerError)
+    inv_cell = np.asarray(pm.InvCellSize, dtype=np.float32)
 
     def paint(pos, mass=1.0):
         n = pos.shape[0]
@@ -283,7 +286,10 @@ def make_prepare_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
     mpad = (nx + 1) * nyp * nzp
     W = (mpad + C - 1) // C
     offsets = _corner_offsets_padded(nyp, nzp)
-    inv_cell = jnp.asarray(pm.InvCellSize, dtype=jnp.float32)
+    # numpy, NOT jnp: these builders may be constructed inside a jit
+    # trace (gravity._fused_cache); a jnp constant born in one trace
+    # and cached leaks into the next (UnexpectedTracerError)
+    inv_cell = np.asarray(pm.InvCellSize, dtype=np.float32)
     min_pad = pad_to - 256   # >= K + 128 for the paint kernel's DMA
 
     def prepare(pos):
@@ -344,7 +350,10 @@ def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024,
     mpad = (nx + 1) * nyp * nzp
     W = (mpad + C - 1) // C
     offsets = _corner_offsets_padded(nyp, nzp)
-    inv_cell = jnp.asarray(pm.InvCellSize, dtype=jnp.float32)
+    # numpy, NOT jnp: these builders may be constructed inside a jit
+    # trace (gravity._fused_cache); a jnp constant born in one trace
+    # and cached leaks into the next (UnexpectedTracerError)
+    inv_cell = np.asarray(pm.InvCellSize, dtype=np.float32)
     min_pad = pad_to - 256
 
     def prepare(pos, vel, extras=()):

@@ -207,7 +207,10 @@ def make_readout3_fn(pm: PM, K: int = 512, C: int = 4096,
             interpret=interpret,
         )
 
-    inv_cell = jnp.asarray(pm.InvCellSize, dtype=jnp.float32)
+    # numpy, NOT jnp: these builders may be constructed inside a jit
+    # trace (gravity._fused_cache); a jnp constant born in one trace
+    # and cached leaks into the next (UnexpectedTracerError)
+    inv_cell = np.asarray(pm.InvCellSize, dtype=np.float32)
     npad_blocks = W * CLh
 
     def pad_canvas(canvas):

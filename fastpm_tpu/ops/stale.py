@@ -81,7 +81,10 @@ def make_stale_tools(pm: PM, K: int = 512, C: int = 8192,
     REL_MAX = stale_safe_span(pm, C)
     if maxm is None:
         maxm = 0  # caller must size; see stale()
-    inv_cell = jnp.asarray(pm.InvCellSize, dtype=jnp.float32)
+    # numpy, NOT jnp: these builders may be constructed inside a jit
+    # trace (gravity._fused_cache); a jnp constant born in one trace
+    # and cached leaks into the next (UnexpectedTracerError)
+    inv_cell = np.asarray(pm.InvCellSize, dtype=np.float32)
     min_pad = pad_to - 256
 
     fresh = make_prepare_carry_fn(pm, C=C, pad_to=pad_to)

@@ -134,3 +134,52 @@ def test_compute_force_stale_matches_fresh(fused_interpret,
                                np.asarray(fresh_p.acc)[oa], atol=5e-5)
     np.testing.assert_allclose(
         np.asarray(jnp.abs(dk_s - dk_f)).max(), 0.0, atol=2e-5)
+
+
+def test_solver_stale_policy_matches_order_free(fused_interpret,
+                                                monkeypatch):
+    """The solver's stale state machine (fresh carry force -> N-1
+    stale forces -> refresh; overflow falls back) must produce the
+    same evolution as order_free alone."""
+    import fastpm_tpu.ops.stale as stale_mod
+    from fastpm_tpu.powerspectrum import FuncK
+    from fastpm_tpu.cosmology import Cosmology
+    from fastpm_tpu import ic
+    from fastpm_tpu.solver import Solver, SolverConfig
+
+    monkeypatch.setattr(Painter, "_use_pallas",
+                        property(lambda self: True))
+    real_make = stale_mod.make_stale_tools
+    monkeypatch.setattr(
+        stale_mod, "make_stale_tools",
+        lambda pm_, **kw: real_make(pm_, C=1024, K=128,
+                                    interpret=True, **kw))
+    # the fixture's _fused_cache builds C=1024/K=128 interpret kernels
+
+    cosmo = Cosmology(h=0.6774, Omega_m=0.307494, T_cmb=0.0,
+                      growth_mode="lcdm")
+    pk = FuncK.from_file("tests/fixtures/powerspec.txt")
+
+    def run(stale_every):
+        cfg = SolverConfig(nc=16, boxsize=128.0,
+                           time_step=list(np.linspace(0.1, 1.0, 5)),
+                           force_mode="fastpm", pm_nc_factor=2,
+                           lpt_nc_factor=1, order_free=True,
+                           stale_every=stale_every)
+        s = Solver(cfg, cosmo)
+        dk, _v = ic.linear_field(s.lptpm, cosmo, pk, seed=100,
+                                 aout=1.0,
+                                 remove_cosmic_variance=True)
+        s.setup_lpt(dk, cfg.time_step[0])
+        s.evolve()
+        p = s.species["cdm"]
+        order = np.argsort(np.asarray(p.id))
+        return (np.asarray(p.x)[order], np.asarray(p.v)[order],
+                s._stale_state)
+
+    xa, va, _st = run(0)
+    xb, vb, st = run(3)
+    assert st, "stale state was never engaged"
+    # stale forces are exact up to f32 summation order
+    np.testing.assert_allclose(xa, xb, atol=1e-4)
+    np.testing.assert_allclose(va, vb, atol=1e-4)
