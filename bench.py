@@ -106,8 +106,10 @@ def main():
             rate, fft = rate_mm, "mm"
     variant = "per-step-sort"
     # stale-order stepping (ops/stale.py) amortizes the prepare sort;
-    # try it with the winning FFT mode (BENCH_STALE=0 disables)
-    if os.environ.get("BENCH_STALE", "4") != "0":
+    # opt-in (BENCH_STALE=N): chip-measured 2.05 s/step at 256^3 B2
+    # C15360 vs 0.61 s for the per-step sort (round-3 matrix) -- the
+    # mover side-bundle path loses far more than the sort saves.
+    if os.environ.get("BENCH_STALE", "0") != "0":
         every = int(os.environ.get("BENCH_STALE", "4"))
         try:
             rate_st = run_one(nc, b, nsteps, mmfft=(fft == "mm"),

@@ -23,7 +23,7 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
                  sort_block: int | None = None,
                  payload_gather: bool = False,
                  paint8: bool = True,
-                 K: int = 512, C: int = 8192,
+                 K: int = 512, C: int | None = None,
                  subr: int | None = None):
     """One full PM force+kick+drift step as a single jitted function:
     (x, v, coeffs[2]) -> (x, v, acc). The hot loop of the framework.
@@ -35,6 +35,9 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
     painter = Painter(pm, painter_type, support)
     potorder, gradorder, difforder, _ = kernel_orders(kernel_type)
     L = jnp.asarray(pm.BoxSize, dtype=jnp.float32)
+    if C is None:
+        from .ops.paint_pallas import auto_window_C
+        C = auto_window_C(pm.Nmesh[1] + 1, pm.Nmesh[2] + 1)
 
     from .painter import _PACK8_MAX_CELLS
     fused = (painter._use_pallas and painter_type == "cic"
@@ -93,7 +96,7 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
 
 
 def make_stale_step_fns(pm: PM, kernel_type: str = "1_4",
-                        K: int = 512, C: int = 8192,
+                        K: int = 512, C: int | None = None,
                         maxm_frac: float = 0.02,
                         interpret: bool = False):
     """Stale-order stepping (ops/stale.py): returns (step_fresh,

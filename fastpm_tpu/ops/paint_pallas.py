@@ -276,13 +276,40 @@ def w8_from_frac(f0, f1, f2):
                       for dz in (0, 1)], axis=-1)
 
 
-def make_prepare_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
+def auto_window_C(nyp: int, nzp: int, eight: bool = True) -> int:
+    """Pick the cell-window size C so the 8-corner kernels' canvas
+    window (CLh + HR rows of 128 lanes) is EXACTLY 128 rows -- one full
+    MXU contraction fill for the merged one-hot dots. Chip-measured +6%
+    over the legacy C=8192 (72-row window) at 256^3 B2: 26.06M ->
+    27.63M particle-steps/s (BENCH_NOTES round-3 matrix).
+
+    eight=True reproduces readout8_geometry's halo-row count (the
+    production one-pass kernels, where block 1 sits one x-plane later
+    and deltas carry the RXL lane residual); eight=False the 4-corner/
+    homed geometry (halo spans nzp+1 only). test_pallas_paint pins the
+    formulas together."""
+    if eight:
+        RX = ((nyp * nzp) // 128 // 8) * 8
+        span = nyp * nzp - RX * 128 + nzp + 1   # RXL + nzp + 1
+    else:
+        span = nzp + 1
+    HR = (span + 127) // 128 + 1
+    HR = ((HR + 7) // 8) * 8
+    CLh = 128 - HR
+    if CLh < 16:          # degenerate (enormous Nz): legacy window
+        return 8192
+    return CLh * 128
+
+
+def make_prepare_fn(pm: PM, C: int | None = None, pad_to: int = 1024):
     """Shared sorted-bundle builder for the paint and readout kernels:
     ONE sort by padded cell (carrying fx, fy, fz and the original index)
     and ONE per-(window, corner) range table serve both, halving the
     per-force-step indexing cost."""
     nx, ny, nz = pm.Nmesh
     nyp, nzp = ny + 1, nz + 1
+    if C is None:
+        C = auto_window_C(nyp, nzp)
     mpad = (nx + 1) * nyp * nzp
     W = (mpad + C - 1) // C
     offsets = _corner_offsets_padded(nyp, nzp)
@@ -320,7 +347,8 @@ def make_prepare_fn(pm: PM, C: int = 8192, pad_to: int = 1024):
     return prepare
 
 
-def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024,
+def make_prepare_carry_fn(pm: PM, C: int | None = None,
+                          pad_to: int = 1024,
                           sort_block: int | None = None,
                           payload_gather: bool = False):
     """Order-free prepared-bundle builder: carries the PHASE-SPACE rows
@@ -347,6 +375,8 @@ def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024,
     passes for 6 O(n) gathers (bench variant; see BENCH_NOTES)."""
     nx, ny, nz = pm.Nmesh
     nyp, nzp = ny + 1, nz + 1
+    if C is None:
+        C = auto_window_C(nyp, nzp)
     mpad = (nx + 1) * nyp * nzp
     W = (mpad + C - 1) // C
     offsets = _corner_offsets_padded(nyp, nzp)
@@ -419,12 +449,14 @@ def make_prepare_carry_fn(pm: PM, C: int = 8192, pad_to: int = 1024,
     return prepare
 
 
-def make_paint_from_fn(pm: PM, K: int = 512, C: int = 8192,
+def make_paint_from_fn(pm: PM, K: int = 512, C: int | None = None,
                        interpret=False):
     """Paint from a prepared bundle (make_prepare_fn). The scalar mass
     multiplies the final canvas."""
     nx, ny, nz = pm.Nmesh
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    if C is None:
+        C = auto_window_C(nyp, nzp)
     mpad = nxp * nyp * nzp
     W = (mpad + C - 1) // C
     if C % 1024:
@@ -472,7 +504,8 @@ def make_paint_from_fn(pm: PM, K: int = 512, C: int = 8192,
     return paint_from
 
 
-def make_prepare_homed_fn(shape, C: int = 8192, pad_to: int = 1024):
+def make_prepare_homed_fn(shape, C: int | None = None,
+                          pad_to: int = 1024):
     """Prepared-bundle builder for the HOMED local slab (open x axis,
     periodic y/z): input is the precomputed (relx, iy, iz, frac) of
     parallel.psolver._cic_rel, so the cell math is bit-identical to the
@@ -480,6 +513,9 @@ def make_prepare_homed_fn(shape, C: int = 8192, pad_to: int = 1024):
     (nx_local + 1, Ny + 1, Nz + 1) and the x face is NOT folded."""
     nx, ny, nz = shape
     nyp, nzp = ny + 1, nz + 1
+    if C is None:
+        # eight=False: the homed trio shares this window choice
+        C = auto_window_C(nyp, nzp, eight=False)
     mpad = (nx + 1) * nyp * nzp
     W = (mpad + C - 1) // C
     offsets = _corner_offsets_padded(nyp, nzp)
@@ -663,11 +699,15 @@ def _paint_kernel4(ranges_ref,      # SMEM (1, 2, 2) i32: [p] -> (s, e)
     del nw
 
 
-def make_paint_from4_fn(pm: PM, K: int = 512, C: int = 8192,
+def make_paint_from4_fn(pm: PM, K: int = 512, C: int | None = None,
                         interpret=False):
     """paint_from with the 4-corners-per-pass kernel."""
     nx, ny, nz = pm.Nmesh
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    if C is None:
+        # eight=True: must match make_prepare_fn's window choice (the
+        # bundles are shared with the from8 kernels)
+        C = auto_window_C(nyp, nzp)
     mpad = nxp * nyp * nzp
     W = (mpad + C - 1) // C
     if C % 1024:
@@ -919,13 +959,15 @@ def paint8_geometry(pm: PM, C: int = 8192):
     return CLh, HR
 
 
-def make_paint_from8_fn(pm: PM, K: int = 512, C: int = 8192,
+def make_paint_from8_fn(pm: PM, K: int = 512, C: int | None = None,
                         interpret=False, subr: int | None = None):
     """paint_from with the ONE-pass 8-corner kernel (_paint_kernel8).
     Consumes the same prepared bundle as the 2-pass variant; only
     offset row 0 of the range table is used."""
     nx, ny, nz = pm.Nmesh
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    if C is None:
+        C = auto_window_C(nyp, nzp)
     mpad = nxp * nyp * nzp
     W = (mpad + C - 1) // C
     if C % 1024:
@@ -1004,7 +1046,7 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int = 8192,
     return paint_from
 
 
-def make_paint_from4_homed_fn(shape, K: int = 512, C: int = 8192,
+def make_paint_from4_homed_fn(shape, K: int = 512, C: int | None = None,
                               interpret=False, vma=None):
     """Homed-slab paint (open x): returns the (nx_local + 1, Ny, Nz)
     extended canvas with the periodic y/z faces folded and the x face
@@ -1012,6 +1054,8 @@ def make_paint_from4_homed_fn(shape, K: int = 512, C: int = 8192,
     neighbor). Consumes bundles from make_prepare_homed_fn(shape)."""
     nx, ny, nz = shape
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    if C is None:
+        C = auto_window_C(nyp, nzp, eight=False)
     mpad = nxp * nyp * nzp
     W = (mpad + C - 1) // C
     if C % 1024:

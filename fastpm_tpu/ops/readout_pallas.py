@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..mesh import PM
-from .paint_pallas import _corner_offsets_padded
+from .paint_pallas import _corner_offsets_padded, auto_window_C
 
 __all__ = ["make_readout3_fn", "make_readout3_from_fn",
            "make_readout3_from4_fn", "make_readout3_from8_fn",
@@ -283,13 +283,15 @@ def make_readout3_fn(pm: PM, K: int = 512, C: int = 4096,
     return jax.jit(readout3)
 
 
-def make_readout3_from_fn(pm: PM, K: int = 1024, C: int = 8192,
+def make_readout3_from_fn(pm: PM, K: int = 1024, C: int | None = None,
                           interpret=False):
     """3-component readout from a prepared bundle
     (paint_pallas.make_prepare_fn with the same C): reuses the sort and
     the (window, corner) ranges paid by the paint."""
     nx, ny, nz = pm.Nmesh
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    if C is None:
+        C = auto_window_C(nyp, nzp)
     mpad = nxp * nyp * nzp
     W = (mpad + C - 1) // C
     if C % 1024:
@@ -627,7 +629,7 @@ def _readout_kernel4(ranges_ref,     # SMEM (1, 2, 2) i32: [p] -> (s, e)
             flush_carry(p)
 
 
-def make_readout3_from4_fn(pm: PM, K: int = 512, C: int = 8192,
+def make_readout3_from4_fn(pm: PM, K: int = 512, C: int | None = None,
                            interpret=False, gather_mode="split"):
     """readout3_from with the 4-corners-per-pass kernel.
 
@@ -635,6 +637,8 @@ def make_readout3_from4_fn(pm: PM, K: int = 512, C: int = 8192,
     'high' or 'highest' (f32 emulated matmul at that precision)."""
     nx, ny, nz = pm.Nmesh
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    if C is None:
+        C = auto_window_C(nyp, nzp)
     mpad = nxp * nyp * nzp
     W = (mpad + C - 1) // C
     if C % 1024:
@@ -1036,7 +1040,7 @@ def readout8_geometry(pm: PM, C: int = 8192):
     return CLh, HR, RX, RXL
 
 
-def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
+def make_readout3_from8_fn(pm: PM, K: int = 512, C: int | None = None,
                            interpret=False, gather_mode="split",
                            subr: int | None = None, ablate=None):
     """readout3_from with the ONE-pass 8-corner kernel (see
@@ -1045,6 +1049,8 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
     owns exactly the particles whose base cell lies in it)."""
     nx, ny, nz = pm.Nmesh
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    if C is None:
+        C = auto_window_C(nyp, nzp)
     mpad = nxp * nyp * nzp
     W = (mpad + C - 1) // C
     if C % 1024:
@@ -1127,7 +1133,8 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int = 8192,
     return readout3_from
 
 
-def make_readout3_from4_homed_fn(shape, K: int = 512, C: int = 8192,
+def make_readout3_from4_homed_fn(shape, K: int = 512,
+                                 C: int | None = None,
                                  interpret=False, gather_mode="split",
                                  vma=None):
     """Homed-slab 3-component readout (open x axis): the input fields
@@ -1137,6 +1144,8 @@ def make_readout3_from4_homed_fn(shape, K: int = 512, C: int = 8192,
     paint_pallas.make_prepare_homed_fn(shape)."""
     nx, ny, nz = shape
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    if C is None:
+        C = auto_window_C(nyp, nzp, eight=False)
     mpad = nxp * nyp * nzp
     W = (mpad + C - 1) // C
     if C % 1024:

@@ -57,7 +57,7 @@ def stale_safe_span(pm: PM, C: int) -> int:
             - max(RXL + nzp, nzp + 1) - 128)
 
 
-def make_stale_tools(pm: PM, K: int = 512, C: int = 8192,
+def make_stale_tools(pm: PM, K: int = 512, C: int | None = None,
                      pad_to: int = 1024, maxm: int | None = None,
                      interpret: bool = False,
                      paint_from=None, readout_from=None):
@@ -76,6 +76,9 @@ def make_stale_tools(pm: PM, K: int = 512, C: int = 8192,
     pallas programs; they must use the same (K, C)."""
     nx, ny, nz = pm.Nmesh
     nyp, nzp = ny + 1, nz + 1
+    if C is None:
+        from .paint_pallas import auto_window_C
+        C = auto_window_C(nyp, nzp)
     mpad = (nx + 1) * nyp * nzp
     W = (mpad + C - 1) // C
     REL_MAX = stale_safe_span(pm, C)

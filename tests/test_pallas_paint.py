@@ -391,3 +391,36 @@ def test_pallas_paint_onepass_row_window():
     b = np.asarray(make_paint_from8_fn(pm, K=128, C=1024,
                                        interpret=True, subr=8)(prep))
     assert np.array_equal(a, b)
+
+
+def test_auto_window_C_hits_one_mxu_fill():
+    """auto_window_C (the C=None default of every prepared-bundle
+    builder) picks the window so the 8-corner kernels' canvas block is
+    exactly 128 rows -- one full MXU contraction (chip-measured +6%,
+    BENCH_NOTES round-3 matrix) -- and stays consistent with the
+    kernels' own geometry helpers."""
+    from fastpm_tpu.ops.paint_pallas import (auto_window_C,
+                                             paint8_geometry)
+    from fastpm_tpu.ops.readout_pallas import readout8_geometry
+
+    for nmesh in ((512, 512, 512), (256, 256, 256), (384, 384, 384),
+                  (768, 768, 768), (1024, 1024, 1024),
+                  (2048, 2048, 2048), (64, 64, 64),
+                  (128, 192, 320)):
+        pm = PM(Nmesh=nmesh, BoxSize=float(nmesh[0]))
+        nyp, nzp = nmesh[1] + 1, nmesh[2] + 1
+        C = auto_window_C(nyp, nzp)
+        assert C % 1024 == 0
+        CLh, HR, _RX, _RXL = readout8_geometry(pm, C)
+        assert CLh + HR == 128, (nmesh, CLh, HR)
+        # the paint window never exceeds one fill either (HR_p <= HR_r)
+        CLp, HRp = paint8_geometry(pm, C)
+        assert CLp + HRp <= 128
+        assert HRp <= CLp                   # the paint carry contract
+        # homed trio: 4-corner geometry, same 128-row target
+        Ch = auto_window_C(nyp, nzp, eight=False)
+        assert Ch % 1024 == 0
+        assert Ch // 128 + paint8_geometry(pm, Ch)[1] == 128
+
+    # the bench shape lands on the measured winner
+    assert auto_window_C(513, 513) == 15360
