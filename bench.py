@@ -109,8 +109,9 @@ def main():
     # opt-in (BENCH_STALE=N): chip-measured 2.05 s/step at 256^3 B2
     # C15360 vs 0.61 s for the per-step sort (round-3 matrix) -- the
     # mover side-bundle path loses far more than the sort saves.
-    if os.environ.get("BENCH_STALE", "0") != "0":
-        every = int(os.environ.get("BENCH_STALE", "4"))
+    stale_env = os.environ.get("BENCH_STALE", "0")
+    if stale_env != "0":
+        every = int(stale_env)
         try:
             rate_st = run_one(nc, b, nsteps, mmfft=(fft == "mm"),
                               stale_every=every)

@@ -236,6 +236,15 @@ class SnapshotChecker:
             log.info("RSD factor %e", rsd)
             n = snapshot["cdm"].np_local
             log.info("Writing %d objects.", n)
+            if s.lra is not None and s.lra.init_done:
+                # persist the neutrino linear-response state with every
+                # snapshot so LRA runs restart exactly
+                # (ncdm_lr_save_neutrinos; io.c:591-596,
+                # neutrinos_lra.c:329-473)
+                from .io.bigfile import BigFile
+                s.lra.save(BigFile(path, create=True))
+                log.info("Saved neutrino linear-response state "
+                         "(%d history entries)", len(s.lra.scalefact))
         if p.write_fof:
             from .fof import find_halos
             from .io.snapshots import write_halo_catalog
@@ -808,6 +817,22 @@ def run_fastpm(p: Params, log=None, restart: str = None,
         solver.species["cdm"] = store
         # do not rewrite snapshots at or before the restart time
         checker.iout = sum(1 for a in checker.aout if a <= a0 + 1e-7)
+        if solver.lra is not None:
+            # restore the neutrino linear-response history; without it
+            # a restarted LRA run would re-seed delta_nu from the
+            # z_transfer input, which is wrong past z_transfer
+            # (io.c:591-596; neutrinos_lra.c:329-473)
+            from .io.bigfile import BigFile
+            bf = BigFile(restart)
+            if bf.has_block("Neutrino"):
+                solver.lra.load(bf)
+                log.info("Restored neutrino linear-response state "
+                         "(%d history entries)",
+                         len(solver.lra.scalefact))
+            else:
+                log.info("WARNING: LRA restart without a Neutrino "
+                         "block; delta_nu history re-seeds from the "
+                         "transfer input")
     elif p.read_runpbic:
         a0 = p.time_step[0]
         prepare_runpbic(solver, p.read_runpbic, a0, log)

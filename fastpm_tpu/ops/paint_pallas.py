@@ -276,6 +276,26 @@ def w8_from_frac(f0, f1, f2):
                       for dz in (0, 1)], axis=-1)
 
 
+def window_halo_rows(nyp: int, nzp: int, eight: bool = True) -> int:
+    """Halo rows (HR) of the paint/readout canvas windows -- the rows
+    past the window that a particle whose base cell sits at the window
+    edge can still touch. SINGLE source of truth: auto_window_C,
+    paint8_geometry, readout8_geometry and every kernel builder derive
+    HR from here so kernel geometry can never desynchronize.
+
+    eight=True is the one-pass 8-corner geometry (block 1 of the canvas
+    sits one x-plane later, so deltas additionally carry the RX lane
+    residual); eight=False the 4-corner/homed geometry (halo spans
+    nzp+1 only). HR does not depend on the window size C."""
+    if eight:
+        RX = ((nyp * nzp) // 128 // 8) * 8
+        span = nyp * nzp - RX * 128 + nzp + 1   # RXL + nzp + 1
+    else:
+        span = nzp + 1
+    HR = (span + 127) // 128 + 1
+    return ((HR + 7) // 8) * 8
+
+
 def auto_window_C(nyp: int, nzp: int, eight: bool = True) -> int:
     """Pick the cell-window size C so the 8-corner kernels' canvas
     window (CLh + HR rows of 128 lanes) is EXACTLY 128 rows -- one full
@@ -283,21 +303,15 @@ def auto_window_C(nyp: int, nzp: int, eight: bool = True) -> int:
     over the legacy C=8192 (72-row window) at 256^3 B2: 26.06M ->
     27.63M particle-steps/s (BENCH_NOTES round-3 matrix).
 
-    eight=True reproduces readout8_geometry's halo-row count (the
-    production one-pass kernels, where block 1 sits one x-plane later
-    and deltas carry the RXL lane residual); eight=False the 4-corner/
-    homed geometry (halo spans nzp+1 only). test_pallas_paint pins the
-    formulas together."""
-    if eight:
-        RX = ((nyp * nzp) // 128 // 8) * 8
-        span = nyp * nzp - RX * 128 + nzp + 1   # RXL + nzp + 1
-    else:
-        span = nzp + 1
-    HR = (span + 127) // 128 + 1
-    HR = ((HR + 7) // 8) * 8
+    See window_halo_rows for the eight= geometry distinction;
+    test_pallas_paint pins the formulas together."""
+    HR = window_halo_rows(nyp, nzp, eight)
     CLh = 128 - HR
-    if CLh < 16:          # degenerate (enormous Nz): legacy window
-        return 8192
+    if CLh < 16:
+        # degenerate (enormous Nz): no single-fill window exists. Grow
+        # C until the kernels' HR <= CLh invariant holds (HR is a
+        # multiple of 8, so C stays a multiple of 1024).
+        CLh = max(HR, 64)
     return CLh * 128
 
 
@@ -715,8 +729,7 @@ def make_paint_from4_fn(pm: PM, K: int = 512, C: int | None = None,
     if K % 128:
         raise ValueError("K must be a multiple of 128")
     CLh = C // 128
-    HR = ((nzp + 1 + 127) // 128 + 1)
-    HR = ((HR + 7) // 8) * 8
+    HR = window_halo_rows(nyp, nzp, eight=False)
     if HR > CLh:
         raise ValueError("halo rows exceed the window (HR <= CLh "
                          "required by the paint carry)")
@@ -952,11 +965,9 @@ def paint8_geometry(pm: PM, C: int = 8192):
     """Accumulator-window geometry of the 8-corner paint kernel:
     (CLh, HR). Single source of truth for the stale stepper's
     safe-span check (ops/stale.py)."""
-    nzp = pm.Nmesh[2] + 1
+    nyp, nzp = pm.Nmesh[1] + 1, pm.Nmesh[2] + 1
     CLh = C // 128
-    HR = ((nzp + 1 + 127) // 128 + 1)
-    HR = ((HR + 7) // 8) * 8
-    return CLh, HR
+    return CLh, window_halo_rows(nyp, nzp, eight=False)
 
 
 def make_paint_from8_fn(pm: PM, K: int = 512, C: int | None = None,
@@ -1063,8 +1074,7 @@ def make_paint_from4_homed_fn(shape, K: int = 512, C: int | None = None,
     if K % 128:
         raise ValueError("K must be a multiple of 128")
     CLh = C // 128
-    HR = ((nzp + 1 + 127) // 128 + 1)
-    HR = ((HR + 7) // 8) * 8
+    HR = window_halo_rows(nyp, nzp, eight=False)
     if HR > CLh:
         raise ValueError("halo rows exceed the window (HR <= CLh "
                          "required by the paint carry)")

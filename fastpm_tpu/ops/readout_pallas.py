@@ -36,7 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..mesh import PM
-from .paint_pallas import _corner_offsets_padded, auto_window_C
+from .paint_pallas import (_corner_offsets_padded, auto_window_C,
+                           window_halo_rows)
 
 __all__ = ["make_readout3_fn", "make_readout3_from_fn",
            "make_readout3_from4_fn", "make_readout3_from8_fn",
@@ -647,8 +648,7 @@ def make_readout3_from4_fn(pm: PM, K: int = 512, C: int | None = None,
         raise ValueError("K must be a multiple of 128")
     CLh = C // 128
     # halo rows covering delta up to nzp+1 (multiple of 8 for tiling)
-    HR = ((nzp + 1 + 127) // 128 + 1)
-    HR = ((HR + 7) // 8) * 8
+    HR = window_halo_rows(nyp, nzp, eight=False)
     npad_blocks = W * CLh + HR
     kernel = functools.partial(_readout_kernel4, K=K, C=C, CLh=CLh,
                                HR=HR, nyp=nyp, nzp=nzp,
@@ -1035,8 +1035,7 @@ def readout8_geometry(pm: PM, C: int = 8192):
     RX = (RX // 8) * 8            # DMA row starts must stay 8-aligned
     RXL = nyp * nzp - RX * 128    # lane residual (< 1024 + 128)
     # halo rows: max rel = C - 1 + RXL + nzp + 1
-    HR = ((RXL + nzp + 1 + 127) // 128 + 1)
-    HR = ((HR + 7) // 8) * 8
+    HR = window_halo_rows(nyp, nzp, eight=True)
     return CLh, HR, RX, RXL
 
 
@@ -1153,8 +1152,7 @@ def make_readout3_from4_homed_fn(shape, K: int = 512,
     if K % 128:
         raise ValueError("K must be a multiple of 128")
     CLh = C // 128
-    HR = ((nzp + 1 + 127) // 128 + 1)
-    HR = ((HR + 7) // 8) * 8
+    HR = window_halo_rows(nyp, nzp, eight=False)
     npad_blocks = W * CLh + HR
     kernel = functools.partial(_readout_kernel4, K=K, C=C, CLh=CLh,
                                HR=HR, nyp=nyp, nzp=nzp,

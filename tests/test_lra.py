@@ -52,6 +52,75 @@ def test_delta_nu_suppressed_at_small_scales():
     assert np.all(ratio >= 0)
 
 
+LRA_RUN = """
+nc = 16
+boxsize = 64.0
+time_step = linspace(0.2, 1, 5)
+aout = {0.6, 1.0}
+Omega_m = 0.307494
+h = 0.6774
+T_cmb = 2.725
+N_eff = 3.046
+N_nu = 3
+m_ncdm = {0.2}
+n_shell = 0
+ncdm_freestreaming = true
+ncdm_matterlike = false
+ncdm_linearresponse = true
+ncdm_transfer_redshift = 4.0
+read_powerspectrum = "/root/repo/tests/fixtures/powerspec.txt"
+random_seed = 100
+force_mode = "fastpm"
+growth_mode = "ODE"
+pm_nc_factor = 1
+np_alloc_factor = 2.0
+write_snapshot = "%(out)s/fastpm"
+"""
+
+
+def test_lra_restart_equivalence(tmp_path):
+    """An LRA run persists its delta_tot history in every snapshot and
+    restores it on restart (io.c:591-596; neutrinos_lra.c:329-473): a
+    stop+restart run must carry the SAME delta_nu history as a
+    straight-through run, not re-seed from the transfer input."""
+    from fastpm_tpu.config.params import load_params_from_string
+    from fastpm_tpu.cli import run_fastpm
+    from fastpm_tpu.diagnostics import Log
+    from fastpm_tpu.io.bigfile import BigFile
+    from fastpm_tpu.io.snapshots import read_species
+
+    out1 = tmp_path / "straight"
+    out2 = tmp_path / "restarted"
+    p1 = load_params_from_string(LRA_RUN % dict(out=out1))
+    s1 = run_fastpm(p1, Log(echo=False))
+
+    # the mid-run snapshot carries the Neutrino state blocks
+    mid = BigFile(str(out1 / "fastpm_0.6000"))
+    assert mid.has_block("Neutrino")
+    assert mid.has_block("Neutrino/Deltas")
+    n_mid = len(np.atleast_1d(
+        mid.open_block("Neutrino").attrs.get("scalefact")))
+
+    p2 = load_params_from_string(LRA_RUN % dict(out=out2))
+    s2 = run_fastpm(p2, Log(echo=False),
+                    restart=str(out1 / "fastpm_0.6000"))
+
+    # the restarted solver resumed from the saved history (>= the
+    # mid-run length, not re-seeded to 1 entry)
+    assert len(s2.lra.scalefact) >= n_mid
+    # both final histories describe the same times and deltas
+    np.testing.assert_allclose(np.asarray(s2.lra.scalefact),
+                               np.asarray(s1.lra.scalefact), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s2.lra.delta_tot),
+                               np.asarray(s1.lra.delta_tot), rtol=0.03)
+
+    a = read_species(str(out1 / "fastpm_1.0000"), "1")
+    b = read_species(str(out2 / "fastpm_1.0000"), "1")
+    np.testing.assert_array_equal(a["id"], b["id"])
+    np.testing.assert_allclose(a["x"], b["x"], atol=2e-3)
+    np.testing.assert_allclose(a["v"], b["v"], atol=2e-1)
+
+
 def test_state_save_load(tmp_path):
     from fastpm_tpu.io.bigfile import BigFile
     k = np.logspace(-2, 0, 16)

@@ -424,3 +424,12 @@ def test_auto_window_C_hits_one_mxu_fill():
 
     # the bench shape lands on the measured winner
     assert auto_window_C(513, 513) == 15360
+
+    # degenerate (enormous Nz, no single-fill window): the chosen C
+    # must still satisfy the kernels' HR <= CLh carry invariant
+    from fastpm_tpu.ops.paint_pallas import window_halo_rows
+    for nzp_big in (16385, 40961):
+        for eight in (True, False):
+            Cd = auto_window_C(513, nzp_big, eight=eight)
+            assert Cd % 1024 == 0
+            assert window_halo_rows(513, nzp_big, eight) <= Cd // 128
