@@ -99,6 +99,12 @@ def main():
         timeit(tr, lambda k: jnp.sum(jnp.real(k)), reps, delta_k))
     fk = tr(delta_k)
 
+    # the round-4 production inverse: pot transfer + fused 3-gradient
+    # return (mesh.c2r_grad3) in ONE program
+    g3 = jax.jit(lambda k: pm.c2r_grad3(
+        transfers.apply_pot(pm, k, potorder), gradorder))
+    add("pot+grad3(all 3)", timeit(g3, ssum, reps, delta_k))
+
     c2r = jax.jit(pm.c2r)
     add("c2r(x1)", timeit(c2r, ssum, reps, fk))
     f0 = c2r(fk)

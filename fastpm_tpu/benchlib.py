@@ -74,13 +74,11 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
             canvas = painter.paint(x, 1.0)
         canvas = canvas / (x.shape[0] / pm.Norm)
         delta_k = pm.r2c(canvas)
-        fks = []
-        for d in range(3):
-            fk = transfers.apply_pot(pm, delta_k, potorder)
-            fks.append(transfers.apply_grad(pm, fk, d, gradorder))
-        # 3 c2r -> one packed complex iFFT + one c2r (mesh.c2r_pair)
-        f0, f1 = pm.c2r_pair(fks[0], fks[1])
-        fields = [f0, f1, pm.c2r(fks[2])]
+        # one potential transfer + the fused 3-gradient inverse
+        # (mesh.c2r_grad3: direct hermitian z-stage + shared axis-0
+        # inverse on the mm engine; packed-pair iFFT otherwise)
+        pot_k = transfers.apply_pot(pm, delta_k, potorder)
+        fields = list(pm.c2r_grad3(pot_k, gradorder))
         if fused:
             acc = readout3_from(prepared, *fields)
         else:
@@ -132,12 +130,8 @@ def make_stale_step_fns(pm: PM, kernel_type: str = "1_4",
 
     def _force_fields(canvas, readout):
         delta_k = pm.r2c(canvas)
-        fks = []
-        for d in range(3):
-            fk = transfers.apply_pot(pm, delta_k, potorder)
-            fks.append(transfers.apply_grad(pm, fk, d, gradorder))
-        f0, f1 = pm.c2r_pair(fks[0], fks[1])
-        fields = [f0, f1, pm.c2r(fks[2])]
+        pot_k = transfers.apply_pot(pm, delta_k, potorder)
+        fields = list(pm.c2r_grad3(pot_k, gradorder))
         return readout(fields)
 
     def _kdk(x, v, acc, coeffs):

@@ -106,11 +106,13 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
     if delta_transfer is not None:
         delta_k = delta_transfer(pm, delta_k)
 
-    acc_ks = [kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
-                                            "acc", d) for d in range(3)]
-    # 3 c2r -> one packed complex iFFT + one c2r (mesh.c2r_pair)
-    f0, f1 = pm.c2r_pair(acc_ks[0], acc_ks[1])
-    acc_fields = [f0, f1, pm.c2r(acc_ks[2])]
+    # one potential transfer + the fused 3-gradient inverse (on the mm
+    # engine: direct hermitian z-stage + shared axis-0 inverse; else
+    # the packed-pair iFFT + c2r)
+    pot_k = kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
+                                          "potential")
+    gradorder = kernels.kernel_orders(kernel_type)[1]
+    acc_fields = list(pm.c2r_grad3(pot_k, gradorder))
 
     pot_field = None
     if compute_potential:
@@ -222,10 +224,11 @@ def compute_force_carry(pm: PM, painter: Painter, store: Store,
     delta_k = kernels.apply_softening(pm, delta_k, softening_type)
     if delta_transfer is not None:
         delta_k = delta_transfer(pm, delta_k)
-    acc_ks = [kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
-                                            "acc", d) for d in range(3)]
-    f0, f1 = pm.c2r_pair(acc_ks[0], acc_ks[1])
-    acc = readout3_from(prepared, f0, f1, pm.c2r(acc_ks[2]))
+    pot_k = kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
+                                          "potential")
+    f0, f1, f2 = pm.c2r_grad3(pot_k,
+                              kernels.kernel_orders(kernel_type)[1])
+    acc = readout3_from(prepared, f0, f1, f2)
 
     updates = dict(x=xs, v=vs, acc=acc)
     i = 0
@@ -273,9 +276,9 @@ def compute_force_stale(pm: PM, painter: Painter, store: Store,
     delta_k = kernels.apply_softening(pm, delta_k, softening_type)
     if delta_transfer is not None:
         delta_k = delta_transfer(pm, delta_k)
-    acc_ks = [kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
-                                            "acc", d) for d in range(3)]
-    f0, f1 = pm.c2r_pair(acc_ks[0], acc_ks[1])
-    acc = tools["readout3"](main, mover, midx, f0, f1,
-                            pm.c2r(acc_ks[2]))
+    pot_k = kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
+                                          "potential")
+    f0, f1, f2 = pm.c2r_grad3(pot_k,
+                              kernels.kernel_orders(kernel_type)[1])
+    acc = tools["readout3"](main, mover, midx, f0, f1, f2)
     return p0.replace(acc=acc), delta_k, nbad

@@ -270,6 +270,11 @@ class PM:
         gravity gradient-return FFT work (the reference pays one c2r per
         component, gravity.c:374-426).
 
+        REQUIRES hermitian inputs: the tail planes are reconstructed by
+        conjugate symmetry, so a field that is anti-hermitian on the
+        Nyquist planes (e.g. an order-0 i*k diff) comes back WRONG --
+        use plain c2r there (see c2r_grad3's gradorder gate).
+
         Falls back to two plain c2r calls when the packed complex field
         exceeds the memory budget (see pair_ok): 2 c2r = ~1.6x the paired
         cost but O(half) the peak memory."""
@@ -295,6 +300,48 @@ class PM:
             out = jnp.fft.ifftn(F)
         return (jnp.real(out).astype(self.dtype),
                 jnp.imag(out).astype(self.dtype))
+
+    def c2r_grad3(self, fk, gradorder: int):
+        """The force step's three gradient returns in one call:
+        (c2r(i k_d * fk) for d in x, y, z), with the diff table order
+        per kernel (0 = k, 1 = k_finite super-Lanczos) and apply_diff's
+        self-conjugate-mode zeroing semantics (gravity.c:34-64).
+
+        On the mm engine this is the fused shared-stage inverse
+        (ops/fftmm.grad3_c2r_mm): direct hermitian z-stage, shared
+        axis-0 inverse, diff tables fused into the einsum reads --
+        replacing [3 transfer passes + packed-pair iFFT + c2r].
+        Otherwise: the transfer + c2r_pair + c2r pipeline."""
+        from . import transfers
+        if self._use_mm_fft:
+            from .ops.fftmm import grad3_c2r_mm
+            name = ["k", "k_finite"][gradorder]
+            if gradorder == 0:
+                # k_finite is zero on every axis-Nyquist/DC plane, so
+                # the self-conjugate mask is automatic for order 1;
+                # order 0 (plain i k) needs the explicit zeroing
+                m0, m1, m2 = (jnp.asarray(m.astype(np.float32))
+                              for m in self.nyquist_masks_1d)
+                fk = fk * (1.0 - m0[:, None, None] * m1[None, :, None]
+                           * m2[None, None, :])
+            gx, gy, gz = grad3_c2r_mm(
+                fk * self.Norm, self.Nmesh,
+                self.table(name, 0), self.table(name, 1),
+                self.table(name, 2))
+            return (gx.astype(self.dtype), gy.astype(self.dtype),
+                    gz.astype(self.dtype))
+        fks = [transfers.apply_grad(self, fk, d, gradorder)
+               for d in range(3)]
+        if gradorder == 0:
+            # i*k (order 0) leaves the axis-Nyquist planes
+            # ANTI-hermitian (the k table is -k_nyq there), so the
+            # packed-pair trick -- which hermitian-completes the tail
+            # -- would corrupt kernels 3_2/EASTWOOD/NAIVE; pay the
+            # three plain c2r (each implicitly hermitian-completes the
+            # stored half exactly like PFFT's c2r does)
+            return self.c2r(fks[0]), self.c2r(fks[1]), self.c2r(fks[2])
+        f0, f1 = self.c2r_pair(fks[0], fks[1])
+        return f0, f1, self.c2r(fks[2])
 
     # ---- diagnostics ----
 

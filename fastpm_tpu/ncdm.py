@@ -213,9 +213,14 @@ def split_ncdm(nid: NcdmInitData, src: Store, name: str = "ncdm") -> Store:
     qsize = int(np.prod(src.q_nc))
     ids = None
     if src.id is not None:
-        s_idx = jnp.tile(jnp.arange(nsplit, dtype=jnp.int64), (n,))
-        ids = (s_idx * qsize + jnp.repeat(
-            src.id.astype(jnp.int64), nsplit)).astype(jnp.int64)
+        # split ids encode the shell/direction index above q_size
+        # (store.c:669); values reach nsplit*qsize, so the dtype policy
+        # applies to that bound (uint32 wraps silently otherwise)
+        from .store import id_dtype
+        idt = id_dtype(nsplit * qsize)
+        s_idx = jnp.tile(jnp.arange(nsplit, dtype=idt), (n,))
+        ids = (s_idx * jnp.asarray(qsize, idt) + jnp.repeat(
+            src.id.astype(idt), nsplit)).astype(idt)
     m = jnp.tile(mass, (n,)) * jnp.float32(M0)
 
     return Store(

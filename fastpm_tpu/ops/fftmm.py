@@ -37,11 +37,13 @@ __all__ = ["rfftn_mm", "irfftn_mm", "ifftn_mm", "fftn_mm",
            "good_factorization", "mm_supported"]
 
 def _prec():
-    """FASTPM_TPU_FFT_PREC: 'highest' (6-pass f32 emulation, default;
-    ~2e-7 rel) or 'high' (3-pass bf16 split, ~1e-6 rel, ~2x MXU rate).
+    """FASTPM_TPU_FFT_PREC: 'high' (3-pass bf16 split, default) or
+    'highest' (6-pass f32 emulation). Chip-measured at 512^3: both
+    land at 6.5e-7 max rel err vs the XLA FFT (the f32 input rounding
+    dominates), and high is ~6% faster on the r2c (BENCH_NOTES r4).
     Read per call so bench variants can flip it between compiles."""
     import os
-    name = os.environ.get("FASTPM_TPU_FFT_PREC", "highest").upper()
+    name = os.environ.get("FASTPM_TPU_FFT_PREC", "high").upper()
     return getattr(jax.lax.Precision, name)
 
 
@@ -63,10 +65,35 @@ def good_factorization(N: int, max_factor: int = 64):
     return best[0], best[1]
 
 
+def wide_factorization(N: int, n1_target: int = 128):
+    """N = N1*N2 with N1 the largest divisor <= n1_target: the stage-1
+    contraction fills the MXU depth (128 rows) and stage 2 degenerates
+    to a cheap skinny matmul. The sqrt split contracts over ~sqrt(N)
+    (16-32 at PM meshes) -- 1/8..1/4 of the MXU depth -- which is why
+    the einsum stages measured dispatch/layout-bound (VERDICT r3)."""
+    best = None
+    for n1 in range(2, min(N, n1_target) + 1):
+        if N % n1 == 0:
+            best = n1
+    if best is None or best < 2 or N // best > 512:
+        return None
+    return best, N // best
+
+
+def _fac(N: int):
+    """The active CT split policy (FASTPM_TPU_FFT_FAC: sqrt | wide)."""
+    import os
+    mode = os.environ.get("FASTPM_TPU_FFT_FAC", "sqrt")
+    if mode == "wide":
+        return wide_factorization(N) or good_factorization(N)
+    return good_factorization(N)
+
+
 @functools.lru_cache(maxsize=64)
-def _dft_tables(N: int, sign: int):
+def _dft_tables(N: int, sign: int, fac=None):
     """numpy (cached) W1, T, W2 complex64 tables for one CT split."""
-    fac = good_factorization(N)
+    if fac is None:
+        fac = _fac(N)
     if fac is None:
         return None
     N1, N2 = fac
@@ -100,7 +127,9 @@ def _cdot(ar, ai, br, bi, sub):
 def _ct_last(xr, xi, N: int, sign: int):
     """One CT DFT over the LAST axis of (real, imag) f32 arrays.
     xi may be None (real input). Returns (real, imag) f32."""
-    tabs = _dft_tables(N, sign)
+    # resolve the split policy HERE so the lru cache keys on the actual
+    # factorization (env flips between compiles must not hit stale tabs)
+    tabs = _dft_tables(N, sign, _fac(N))
     assert tabs is not None
     N1, N2, W1, T, W2 = tabs
     W1r, W1i = jnp.asarray(W1.real), jnp.asarray(W1.imag)
@@ -119,6 +148,60 @@ def _ct_last(xr, xi, N: int, sign: int):
     zr = jnp.swapaxes(zr, -1, -2).reshape(lead + (N,))
     zi = jnp.swapaxes(zi, -1, -2).reshape(lead + (N,))
     return zr, zi
+
+
+def _direct() -> bool:
+    """FASTPM_TPU_FFT_DIRECT (default ON): do the hermitian (last)
+    axis as ONE full-depth real-matrix contraction pair instead of the
+    CT split + hermitian extension. ~5x the FLOPs of the CT split but
+    a 257+-deep MXU contraction (vs 16-32), no twiddle, no
+    intermediate materialization, and the c2r direction skips building
+    the full-nz complex field entirely. Chip-measured at 512^3: c2r
+    86.7 (XLA) / 80.2 (CT) -> 58.5 ms (BENCH_NOTES r4)."""
+    import os
+    return os.environ.get("FASTPM_TPU_FFT_DIRECT", "1") == "1"
+
+
+@functools.lru_cache(maxsize=32)
+def _r2c_direct_tables(N: int):
+    """(N, Nh) cos / -sin f32 matrices: real signal -> hermitian half."""
+    n = np.arange(N, dtype=np.int64)[:, None]
+    k = np.arange(N // 2 + 1, dtype=np.int64)[None, :]
+    ang = 2.0 * np.pi * ((n * k) % N) / N
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=32)
+def _c2r_direct_tables(N: int):
+    """(Nh, N) weighted inverse matrices: hermitian half -> real signal
+    (the conjugate tail's contribution rides the weight-2 rows)."""
+    k = np.arange(N // 2 + 1, dtype=np.int64)[:, None]
+    n = np.arange(N, dtype=np.int64)[None, :]
+    ang = 2.0 * np.pi * ((k * n) % N) / N
+    w = np.where((k == 0) | (k == N // 2), 1.0, 2.0)
+    return ((w * np.cos(ang)).astype(np.float32),
+            (-(w * np.sin(ang))).astype(np.float32))
+
+
+def _r2c_last_direct(x):
+    """Forward DFT of the last (real) axis, hermitian-half output."""
+    N = x.shape[-1]
+    Cf, Sf = _r2c_direct_tables(N)
+    p = _prec()
+    zr = jnp.einsum("...n,nk->...k", x, jnp.asarray(Cf), precision=p)
+    zi = jnp.einsum("...n,nk->...k", x, jnp.asarray(Sf), precision=p)
+    return zr, zi
+
+
+def _c2r_last_direct(gr, gi, N: int):
+    """Inverse DFT of the last (hermitian-half) axis, real output,
+    UNSCALED (caller applies 1/N factors)."""
+    Ci, Si = _c2r_direct_tables(N)
+    p = _prec()
+    return (jnp.einsum("...k,kn->...n", gr, jnp.asarray(Ci), precision=p)
+            + jnp.einsum("...k,kn->...n", gi, jnp.asarray(Si),
+                         precision=p))
 
 
 def _ct_axis(xr, xi, axis: int, sign: int):
@@ -141,8 +224,11 @@ def rfftn_mm(x):
     (nx, ny, nz//2+1)."""
     nx, ny, nz = x.shape
     nzh = nz // 2 + 1
-    zr, zi = _ct_last(x, None, nz, -1)
-    zr, zi = zr[..., :nzh], zi[..., :nzh]
+    if _direct():
+        zr, zi = _r2c_last_direct(x)
+    else:
+        zr, zi = _ct_last(x, None, nz, -1)
+        zr, zi = zr[..., :nzh], zi[..., :nzh]
     zr, zi = _ct_axis(zr, zi, 1, -1)
     zr, zi = _ct_axis(zr, zi, 0, -1)
     return jax.lax.complex(zr, zi)
@@ -169,8 +255,11 @@ def irfftn_mm(k, s):
     kr, ki = jnp.real(k), jnp.imag(k)
     kr, ki = _ct_axis(kr, ki, 0, +1)
     kr, ki = _ct_axis(kr, ki, 1, +1)
-    fr, fi = _herm_extend_last(kr, ki, nz)
-    zr, _zi = _ct_last(fr, fi, nz, +1)
+    if _direct():
+        zr = _c2r_last_direct(kr, ki, nz)
+    else:
+        fr, fi = _herm_extend_last(kr, ki, nz)
+        zr, _zi = _ct_last(fr, fi, nz, +1)
     return zr * np.float32(1.0 / (nx * ny * nz))
 
 
@@ -193,6 +282,50 @@ def ifftn_mm(x):
     return jax.lax.complex(xr * scale, xi * scale)
 
 
+def grad3_c2r_mm(pk, s, tx, ty, tz):
+    """The three gradient returns of the force step in ONE fused
+    inverse: grad_d = irfftn(i * t_d * pk) for d = x, y, z, where t_d
+    is the 1D diff table along axis d (k or k_finite; transfer.c:116,
+    gravity.c:374-426 pays one full c2r per component instead).
+
+    Structure (the big wins over 3 independent irfftn / the packed-pair
+    ifftn):
+      * the z (hermitian) stage is the DIRECT half->real contraction:
+        no hermitian extension, no full-nz complex field, so every x/y
+        stage works on nz/2+1 planes instead of nz;
+      * grad_y and grad_z SHARE the axis-0 inverse U = X(pk) (the diff
+        tables along y/z commute with the x-stage);
+      * the i*t_d multiplies are elementwise 1D broadcasts that XLA
+        fuses into the adjacent einsum reads -- the force step's
+        separate transfer passes disappear.
+
+    pk: (nx, ny, nz//2+1) complex64; s = (nx, ny, nz); t* 1D float
+    tables of length nx, ny, nz//2+1. Returns (gx, gy, gz) real f32,
+    scaled like jnp.fft.irfftn (1/N)."""
+    nx, ny, nz = s
+    pr, pi = jnp.real(pk), jnp.imag(pk)
+    txc = jnp.asarray(tx, jnp.float32).reshape(nx, 1, 1)
+    tyc = jnp.asarray(ty, jnp.float32).reshape(1, ny, 1)
+    tzc = jnp.asarray(tz, jnp.float32).reshape(1, 1, nz // 2 + 1)
+    scale = np.float32(1.0 / (nx * ny * nz))
+
+    # shared axis-0 inverse of the potential spectrum
+    U_r, U_i = _ct_axis(pr, pi, 0, +1)
+    # grad_x: i*tx folds into the x-stage input (fused elementwise)
+    Ux_r, Ux_i = _ct_axis(-txc * pi, txc * pr, 0, +1)
+
+    # axis-1 inverses
+    Ax_r, Ax_i = _ct_axis(Ux_r, Ux_i, 1, +1)
+    Ay_r, Ay_i = _ct_axis(-tyc * U_i, tyc * U_r, 1, +1)
+    Az_r, Az_i = _ct_axis(U_r, U_i, 1, +1)
+
+    # hermitian z-stage, direct half->real (i*tz fused for grad_z)
+    gx = _c2r_last_direct(Ax_r, Ax_i, nz) * scale
+    gy = _c2r_last_direct(Ay_r, Ay_i, nz) * scale
+    gz = _c2r_last_direct(-tzc * Az_i, tzc * Az_r, nz) * scale
+    return gx, gy, gz
+
+
 # ---- axis-wise variants (the sharded slab/pencil engines do local
 # per-axis FFTs around their collective transposes) ----
 
@@ -210,13 +343,15 @@ def rfft_mm_axis(x, axis: int):
     """jnp.fft.rfft along one axis of a real array."""
     n = x.shape[axis]
     nh = n // 2 + 1
-    if axis in (-1, x.ndim - 1):
-        zr, zi = _ct_last(x, None, n, -1)
-        return jax.lax.complex(zr[..., :nh], zi[..., :nh])
-    xm = jnp.moveaxis(x, axis, -1)
-    zr, zi = _ct_last(xm, None, n, -1)
-    return jnp.moveaxis(jax.lax.complex(zr[..., :nh], zi[..., :nh]),
-                        -1, axis)
+    last = axis in (-1, x.ndim - 1)
+    xm = x if last else jnp.moveaxis(x, axis, -1)
+    if _direct():
+        zr, zi = _r2c_last_direct(xm)
+    else:
+        zr, zi = _ct_last(xm, None, n, -1)
+        zr, zi = zr[..., :nh], zi[..., :nh]
+    out = jax.lax.complex(zr, zi)
+    return out if last else jnp.moveaxis(out, -1, axis)
 
 
 def irfft_mm_axis(k, n: int, axis: int):
@@ -226,7 +361,10 @@ def irfft_mm_axis(k, n: int, axis: int):
     if not last:
         kr = jnp.moveaxis(kr, axis, -1)
         ki = jnp.moveaxis(ki, axis, -1)
-    fr, fi = _herm_extend_last(kr, ki, n)
-    zr, _zi = _ct_last(fr, fi, n, +1)
+    if _direct():
+        zr = _c2r_last_direct(kr, ki, n)
+    else:
+        fr, fi = _herm_extend_last(kr, ki, n)
+        zr, _zi = _ct_last(fr, fi, n, +1)
     zr = zr * np.float32(1.0 / n)
     return zr if last else jnp.moveaxis(zr, -1, axis)

@@ -136,12 +136,16 @@ def fof_labels_device(x, linking_length, boxsize, rmax: int = 32,
         cond, body, (lab0, jnp.bool_(True), jnp.int32(0)))
 
     # convert sorted-space representatives to min ORIGINAL index per
-    # group, then back to original order
-    min_orig = jax.ops.segment_min(order.astype(jnp.int64), lab,
+    # group, then back to original order. Labels are LOCAL indices, so
+    # int32 suffices below 2^31 rows; beyond that the id-capacity
+    # policy applies (store.ensure_id_capacity -- int64 needs x64)
+    from ..store import id_dtype
+    ldt = jnp.int32 if n < 2 ** 31 else id_dtype(n)
+    min_orig = jax.ops.segment_min(order.astype(ldt), lab,
                                    num_segments=n,
                                    indices_are_sorted=False)
     lab_orig_sorted = min_orig[lab]
-    out = jnp.zeros(n, dtype=jnp.int64).at[order].set(lab_orig_sorted)
+    out = jnp.zeros(n, dtype=ldt).at[order].set(lab_orig_sorted)
     return out
 
 

@@ -535,12 +535,24 @@ def make_prepare_homed_fn(shape, C: int | None = None,
     offsets = _corner_offsets_padded(nyp, nzp)
     min_pad = pad_to - 256
 
-    def prepare(relx, iy, iz, frac):
+    def prepare(relx, iy, iz, frac, mass=None):
+        """mass (optional, per-particle): adds a mass-weighted corner
+        table 'w8T_m' to the bundle so per-particle-mass species (ncdm
+        FD splits) deposit through the Pallas paint instead of falling
+        back to XLA scatter; the mass-FREE 'w8T' still serves the
+        readout (gravity weights are per-field, not per-mass)."""
         n = relx.shape[0]
         cell = ((relx * nyp + iy) * nzp + iz)
         iota = jnp.arange(n, dtype=jnp.int32)
-        cell_s, fx, fy, fz, orig = jax.lax.sort(
-            (cell, frac[:, 0], frac[:, 1], frac[:, 2], iota), num_keys=1)
+        if mass is None:
+            cell_s, fx, fy, fz, orig = jax.lax.sort(
+                (cell, frac[:, 0], frac[:, 1], frac[:, 2], iota),
+                num_keys=1)
+            m_s = None
+        else:
+            cell_s, fx, fy, fz, m_s, orig = jax.lax.sort(
+                (cell, frac[:, 0], frac[:, 1], frac[:, 2],
+                 mass.astype(jnp.float32), iota), num_keys=1)
         f = (fx, fy, fz)
         t = (1.0 - fx, 1.0 - fy, 1.0 - fz)
         w8_s = jnp.stack([(t[0], f[0])[dx] * (t[1], f[1])[dy]
@@ -552,17 +564,23 @@ def make_prepare_homed_fn(shape, C: int | None = None,
         extra = n_padded - n
         cell_2d = jnp.concatenate(
             [cell_s, jnp.full((extra,), mpad - 1, jnp.int32)])[None, :]
-        w8T = jnp.concatenate(
-            [w8_s.T, jnp.zeros((8, extra), jnp.float32)],
-            axis=1)[:, None, :]
+
+        def pack8(w8):
+            return jnp.concatenate(
+                [w8.T, jnp.zeros((8, extra), jnp.float32)],
+                axis=1)[:, None, :]
 
         edges = jnp.arange(W + 1, dtype=jnp.int32) * C
         bounds = jnp.stack(
             [jnp.searchsorted(cell_s, edges - off).astype(jnp.int32)
              for off in offsets], axis=1)
         ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
-        return dict(ranges=ranges, cell_2d=cell_2d, w8T=w8T, orig=orig,
-                    n=n)
+        out = dict(ranges=ranges, cell_2d=cell_2d, w8T=pack8(w8_s),
+                   orig=orig, n=n)
+        if m_s is not None:
+            # key PRESENCE is the static flag (a bool leaf would trace)
+            out["w8T_m"] = pack8(w8_s * m_s[:, None])
+        return out
 
     return prepare
 
@@ -1058,11 +1076,17 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int | None = None,
 
 
 def make_paint_from4_homed_fn(shape, K: int = 512, C: int | None = None,
-                              interpret=False, vma=None):
+                              interpret=False, vma=None,
+                              open_y: bool = False):
     """Homed-slab paint (open x): returns the (nx_local + 1, Ny, Nz)
     extended canvas with the periodic y/z faces folded and the x face
     KEPT (the +1 plane is the halo the caller ppermutes to the right
-    neighbor). Consumes bundles from make_prepare_homed_fn(shape)."""
+    neighbor). Consumes bundles from make_prepare_homed_fn(shape).
+
+    open_y=True is the PENCIL-homed variant (2D halo exchange,
+    psolver._force_local_homed_pencil_multi): y is an open halo axis
+    like x, so the output keeps the +1 y plane too and only the
+    periodic z face folds. shape = (nlx + 2Hx, nly + 2Hy, Nz)."""
     nx, ny, nz = shape
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
     if C is None:
@@ -1115,14 +1139,20 @@ def make_paint_from4_homed_fn(shape, K: int = 512, C: int | None = None,
 
     def paint_from(prepared, mass=1.0):
         ranges2 = prepared["ranges"][:, (0, 4), :]
-        main, tail = paint_call(ranges2, prepared["cell_2d"],
-                                prepared["w8T"])
+        # a mass-weighted bundle deposits w8 * m (per-particle-mass
+        # species); the mass-free w8T still serves the readout
+        w8T = prepared.get("w8T_m", prepared["w8T"])
+        main, tail = paint_call(ranges2, prepared["cell_2d"], w8T)
         padded = jnp.concatenate([main, tail]).reshape(-1)[:mpad]
         padded = padded.reshape(nxp, nyp, nzp)
-        canvas = padded[:, :ny, :nz]            # keep all x planes
-        canvas = canvas.at[:, 0, :].add(padded[:, ny, :nz])
-        canvas = canvas.at[:, :, 0].add(padded[:, :ny, nz])
-        canvas = canvas.at[:, 0, 0].add(padded[:, ny, nz])
+        if open_y:
+            canvas = padded[:, :, :nz]          # keep all x AND y planes
+            canvas = canvas.at[:, :, 0].add(padded[:, :, nz])
+        else:
+            canvas = padded[:, :ny, :nz]        # keep all x planes
+            canvas = canvas.at[:, 0, :].add(padded[:, ny, :nz])
+            canvas = canvas.at[:, :, 0].add(padded[:, :ny, nz])
+            canvas = canvas.at[:, 0, 0].add(padded[:, ny, nz])
         if not (jnp.ndim(mass) == 0 and isinstance(mass, float)
                 and mass == 1.0):
             canvas = canvas * mass

@@ -1135,12 +1135,17 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int | None = None,
 def make_readout3_from4_homed_fn(shape, K: int = 512,
                                  C: int | None = None,
                                  interpret=False, gather_mode="split",
-                                 vma=None):
+                                 vma=None, open_y: bool = False):
     """Homed-slab 3-component readout (open x axis): the input fields
     are the EXTENDED local slabs (nx_local + 1, Ny, Nz) -- interior
     plus halo planes already fetched by the caller's ppermutes -- so
     only the periodic y/z faces are padded. Consumes bundles from
-    paint_pallas.make_prepare_homed_fn(shape)."""
+    paint_pallas.make_prepare_homed_fn(shape).
+
+    open_y=True is the PENCIL-homed variant: the fields are the 2D
+    extended pencils (nlx + 2Hx + 1, nly + 2Hy + 1, Nz) -- y halo
+    planes already gathered -- so only the periodic z face pads.
+    shape = (nlx + 2Hx, nly + 2Hy, Nz)."""
     nx, ny, nz = shape
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
     if C is None:
@@ -1195,12 +1200,18 @@ def make_readout3_from4_homed_fn(shape, K: int = 512,
 
     def pad_canvas(field_ext):
         """(nxp, ny, nz) extended field -> padded (nxp, nyp, nzp)
-        blocks; only y/z faces are periodic."""
+        blocks; only y/z faces are periodic. With open_y the field is
+        (nxp, nyp, nz) -- x and y halo planes already gathered -- and
+        only the z face is periodic."""
         p = jnp.zeros((nxp, nyp, nzp), dtype=jnp.float32)
-        p = p.at[:, :ny, :nz].set(field_ext)
-        p = p.at[:, ny, :nz].set(field_ext[:, 0])
-        p = p.at[:, :ny, nz].set(field_ext[:, :, 0])
-        p = p.at[:, ny, nz].set(field_ext[:, 0, 0])
+        if open_y:
+            p = p.at[:, :, :nz].set(field_ext)
+            p = p.at[:, :, nz].set(field_ext[:, :, 0])
+        else:
+            p = p.at[:, :ny, :nz].set(field_ext)
+            p = p.at[:, ny, :nz].set(field_ext[:, 0])
+            p = p.at[:, :ny, nz].set(field_ext[:, :, 0])
+            p = p.at[:, ny, nz].set(field_ext[:, 0, 0])
         flat = p.reshape(-1)
         flat = jnp.concatenate(
             [flat, jnp.zeros((npad_blocks * 128 - mpad,), jnp.float32)])

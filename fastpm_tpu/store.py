@@ -81,12 +81,17 @@ class Store:
         if id is None:
             id = self.id
         n0, n1, n2 = self.q_nc
-        strides = (n1 * n2, n2, 1)
+        # constants typed to the id dtype: a bare Python int >= 2^31
+        # (any mesh past 1290^3) would fail weak-type parsing even
+        # though it fits uint32/int64
+        qsize = jnp.asarray(n0 * n1 * n2, id.dtype)
+        s0 = jnp.asarray(n1 * n2, id.dtype)
+        s1 = jnp.asarray(n2, id.dtype)
         # split species encode the split index above q_size (store.c:669)
-        id = id % (n0 * n1 * n2)
-        i0 = id // strides[0]
-        i1 = (id - i0 * strides[0]) // strides[1]
-        i2 = id - i0 * strides[0] - i1 * strides[1]
+        id = id % qsize
+        i0 = id // s0
+        i1 = (id - i0 * s0) // s1
+        i2 = id - i0 * s0 - i1 * s1
         q = jnp.stack([i0, i1, i2], axis=-1).astype(jnp.float32)
         scale = jnp.asarray(self.q_scale, dtype=jnp.float32)
         shift = jnp.asarray(self.q_shift, dtype=jnp.float32)
@@ -118,6 +123,45 @@ class Store:
             return jnp.ones(self.np_local, dtype=bool)
         # the reference keeps on rand <= fraction (store.c:977)
         return self.rand <= fraction
+
+
+def x64_ids_enabled() -> bool:
+    """True when jnp.int64 is really 64-bit (jax_enable_x64 on, via
+    config or the jax.experimental.enable_x64 context)."""
+    from jax import dtypes as _dtypes
+    return _dtypes.canonicalize_dtype(np.int64) == np.dtype(np.int64)
+
+
+def ensure_id_capacity(n: int) -> None:
+    """Refuse to build device-side ids that would silently wrap.
+
+    Under default JAX config jnp.int64 truncates to int32, so id
+    values >= 2^32 (beyond uint32) require jax_enable_x64 -- the
+    reference is i8 end-to-end (store.h ID column). n is the exclusive
+    upper bound of the id values (lattice site count, or
+    nsplit * q_size for split species)."""
+    if n <= 2 ** 32:
+        return
+    if not x64_ids_enabled():
+        raise RuntimeError(
+            f"particle ids reach {n - 1} >= 2^32 but jax_enable_x64 is "
+            "off: jnp.int64 would silently truncate to int32 and ids/"
+            "FOF labels/segment keys would wrap. Enable 64-bit ids "
+            "first: jax.config.update('jax_enable_x64', True) before "
+            "any tracing (the fastpm-tpu CLI does this automatically "
+            "when nc^3 needs it), or run under "
+            "jax.experimental.enable_x64().")
+
+
+def id_dtype(n: int):
+    """Device dtype for particle ids with values in [0, n): uint32
+    through 2^32 sites (covers every mesh to 1625^3 without x64),
+    jnp.int64 beyond -- which requires jax_enable_x64 (checked, never
+    silent)."""
+    if n <= 2 ** 32:
+        return jnp.uint32
+    ensure_id_capacity(n)
+    return jnp.int64
 
 
 def _pencil_procmesh(ntask: int):
@@ -199,7 +243,7 @@ def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand")
     # whenever scale is a dyadic rational (every power-of-two grid),
     # and the f32 fma path matches the old numpy values elsewhere to
     # 1 ulp.
-    dtype_id = jnp.uint32 if n < 2 ** 32 else jnp.int64
+    dtype_id = id_dtype(n)
     s01 = Nc[1] * Nc[2]
     if blocks is not None:
         px, py = int(blocks[0]), int(blocks[1])
@@ -209,7 +253,11 @@ def lattice_store(pm: PM, Nc=None, shift=0.0, columns=("v", "acc", "id", "rand")
 
     @jax.jit
     def make_lattice():
-        i = jnp.arange(n, dtype=jnp.int64 if n >= 2 ** 31 else jnp.int32)
+        # uint32 covers [2^31, 2^32) without x64 (int32 would wrap
+        # there); id_dtype() has already vetted the int64 case
+        it = jnp.int32 if n < 2 ** 31 else (
+            jnp.uint32 if n <= 2 ** 32 else jnp.int64)
+        i = jnp.arange(n, dtype=it)
         if blocks is None:
             i0 = i // s01
             r = i - i0 * s01

@@ -132,3 +132,62 @@ def test_unsupported_size_falls_back():
         assert k.shape == (134, 8, 5)
     finally:
         del os.environ["FASTPM_TPU_FFT"]
+
+
+def test_fft_variant_matrix():
+    """rfftn/irfftn stay numpy-exact across the round-4 variant axes:
+    the CT split policy (sqrt | wide) and the direct hermitian-axis
+    contraction (FASTPM_TPU_FFT_DIRECT)."""
+    from fastpm_tpu.ops import fftmm
+    rng = np.random.RandomState(0)
+    x = rng.standard_normal((8, 12, 16)).astype(np.float32)
+    ref_f = np.fft.rfftn(x)
+    kk = np.fft.rfftn(rng.standard_normal((8, 12, 16))).astype(
+        np.complex64)
+    ref_i = np.fft.irfftn(kk, s=x.shape, axes=(0, 1, 2))
+    try:
+        for fac in ("sqrt", "wide"):
+            for direct in ("0", "1"):
+                os.environ["FASTPM_TPU_FFT_FAC"] = fac
+                os.environ["FASTPM_TPU_FFT_DIRECT"] = direct
+                fftmm._dft_tables.cache_clear()
+                got_f = np.asarray(fftmm.rfftn_mm(jnp.asarray(x)))
+                got_i = np.asarray(fftmm.irfftn_mm(jnp.asarray(kk),
+                                                   x.shape))
+                assert np.max(np.abs(got_f - ref_f)) < 1e-4 * np.max(
+                    np.abs(ref_f))
+                assert np.max(np.abs(got_i - ref_i)) < 1e-5 * np.max(
+                    np.abs(ref_i))
+    finally:
+        os.environ.pop("FASTPM_TPU_FFT_FAC", None)
+        os.environ.pop("FASTPM_TPU_FFT_DIRECT", None)
+        fftmm._dft_tables.cache_clear()
+
+
+def test_c2r_grad3_matches_per_component():
+    """mesh.c2r_grad3 (the fused 3-gradient inverse) matches the
+    per-component apply_grad + c2r pipeline on BOTH engines and BOTH
+    diff orders -- including order 0, whose anti-hermitian Nyquist
+    planes the packed-pair iFFT must NOT touch (kernels 3_2, EASTWOOD,
+    NAIVE were silently corrupted by the pair before round 4)."""
+    from fastpm_tpu import transfers
+    rng = np.random.RandomState(1)
+    x = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    dk = jnp.asarray(np.fft.rfftn(x).astype(np.complex64))
+    try:
+        for engine in ("xla", "mm"):
+            if engine == "mm":
+                os.environ["FASTPM_TPU_FFT"] = "mm"
+            else:
+                os.environ.pop("FASTPM_TPU_FFT", None)
+            pm = PM(16, 16.0)
+            for go in (0, 1):
+                ref = [np.asarray(pm.c2r(
+                    transfers.apply_grad(pm, dk, d, go)))
+                    for d in range(3)]
+                got = [np.asarray(g) for g in pm.c2r_grad3(dk, go)]
+                for g, r in zip(got, ref):
+                    assert np.max(np.abs(g - r)) < 2e-5 * np.max(
+                        np.abs(r)), (engine, go)
+    finally:
+        os.environ.pop("FASTPM_TPU_FFT", None)
