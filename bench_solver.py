@@ -46,6 +46,11 @@ def main():
     dk, _var = ic.linear_field(s.lptpm, cosmo, pk, seed=100,
                                aout=1.0, remove_cosmic_variance=True)
     prof.enable_jax_sync(True)
+    # effects_barrier does NOT flush pending work on the tunneled
+    # platform (the round-3 run recorded a fictitious 0.7 ms "warm
+    # force"); make the clock sync a REAL host fetch of the evolving
+    # cdm position so every clocked region waits for its device work
+    prof._sync = lambda: np.asarray(s.species["cdm"].x[0, 0])
     # record per-call clock samples (the first force call compiles)
     samples = {}
     orig_leave = prof.Clock.leave
