@@ -75,7 +75,10 @@ def run_one(nc: int, b: int, nsteps: int, mmfft: bool = False,
 def main():
     nc = int(os.environ.get("BENCH_NC", "256"))
     b = int(os.environ.get("BENCH_B", "2"))       # pm_nc_factor
-    nsteps = int(os.environ.get("BENCH_STEPS", "5"))
+    # 10 chained steps: the per-step rate at 3-5 steps still carries
+    # ~10 ms/step of tunnel dispatch amortization (chip-measured
+    # 30.9M at 3 steps vs 31.4M at 10; longer chains change < 1%)
+    nsteps = int(os.environ.get("BENCH_STEPS", "10"))
     baseline = 1024 ** 3 * 40 / (60.0 * 16)  # north-star per-chip rate
 
     if os.environ.get("BENCH_MATRIX"):

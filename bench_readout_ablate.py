@@ -42,15 +42,16 @@ def main():
     for mode in modes:
         ab = None if mode == "none" else mode
         f = make_readout3_from8_fn(pm, K=K, C=C, subr=subr, ablate=ab)
-        jf = jax.jit(lambda p, a, b_, c, f=f: f(p, a, b_, c))
+        # prep rides the closure so its static int "n" stays static
+        jf = jax.jit(lambda a, b_, c, f=f: f(prep, a, b_, c))
         t0 = time.perf_counter()
-        out = jf(prep, *fields)
+        out = jf(*fields)
         _ = float(jnp.sum(out))
         compile_s = time.perf_counter() - t0
         ts = []
         for _i in range(reps):
             t0 = time.perf_counter()
-            out = jf(prep, *fields)
+            out = jf(*fields)
             _ = float(jnp.sum(out))
             ts.append(time.perf_counter() - t0)
         print(json.dumps({

@@ -414,6 +414,25 @@ def _use_pallas_homed(shape) -> bool:
     return plat not in ("cpu", "gpu")
 
 
+def pallas_policy(shape, pallas=None, interpret=False):
+    """Resolve (use_pallas, interpret) for a homed force body.
+    FASTPM_TPU_PALLAS=on|off|interpret overrides the auto policy --
+    'interpret' runs the real kernel programs through the Pallas
+    interpreter on CPU (how the multichip dryrun exercises the TPU
+    kernel path without a chip)."""
+    import os
+    env = os.environ.get("FASTPM_TPU_PALLAS", "").lower()
+    if env == "off":
+        return False, False
+    if env == "on":
+        return True, interpret
+    if env == "interpret":
+        return True, True
+    if pallas is not None:
+        return bool(pallas), interpret
+    return _use_pallas_homed(shape), interpret
+
+
 def _force_local_homed_multi(spm, xs, masses, kernel_type: str, H: int,
                              softening_type: str = "none",
                              compute_potential: bool = False,
@@ -435,8 +454,8 @@ def _force_local_homed_multi(spm, xs, masses, kernel_type: str, H: int,
     n0, n1, n2 = pm.Nmesh
     nx_l = nloc + 2 * H
     shape_local = (nx_l, n1, n2)
-    use_pallas = pallas if pallas is not None \
-        else _use_pallas_homed(shape_local)
+    use_pallas, pallas_interpret = pallas_policy(
+        shape_local, pallas, pallas_interpret)
     if use_pallas:
         prepare, paint_from, readout3_from = _homed_kernels(
             shape_local, spm.axis, interpret=pallas_interpret)
@@ -647,8 +666,8 @@ def _force_local_homed_pencil_multi(ppm, xs, masses, kernel_type: str,
     r0y = jax.lax.axis_index(ax1) * nly
     nx_l, ny_l = nlx + 2 * Hx, nly + 2 * Hy
     shape_local = (nx_l, ny_l, n2)
-    use_pallas = pallas if pallas is not None \
-        else _use_pallas_homed(shape_local)
+    use_pallas, pallas_interpret = pallas_policy(
+        shape_local, pallas, pallas_interpret)
     if use_pallas:
         prepare, paint_from, readout3_from = _homed_kernels_pencil(
             shape_local, (ax0, ax1), interpret=pallas_interpret)

@@ -494,8 +494,10 @@ class Solver:
                 plat = jax.devices()[0].platform.lower()
             except Exception:
                 plat = "cpu"
+            env_pallas = os.environ.get("FASTPM_TPU_PALLAS", "").lower()
             may_use_pallas = (H is not None
-                              and plat not in ("cpu", "gpu"))
+                              and (plat not in ("cpu", "gpu")
+                                   or env_pallas in ("on", "interpret")))
             fn = jax.jit(jax.shard_map(
                 local, mesh=self.mesh,
                 in_specs=((pspec,) * n, (pspec,) * nmass),
