@@ -42,16 +42,21 @@ def main():
     for mode in modes:
         ab = None if mode == "none" else mode
         f = make_readout3_from8_fn(pm, K=K, C=C, subr=subr, ablate=ab)
-        # prep rides the closure so its static int "n" stays static
-        jf = jax.jit(lambda a, b_, c, f=f: f(prep, a, b_, c))
+        # arrays ride as traced args; only the int "n" is static (a
+        # closure capture of the arrays ships them as constants inside
+        # the remote-compile request -> HTTP 413 on the tunnel)
+        n_static = int(prep["n"])
+        parr = {k: v for k, v in prep.items() if k != "n"}
+        jf = jax.jit(lambda p, a, b_, c, f=f:
+                     f({**p, "n": n_static}, a, b_, c))
         t0 = time.perf_counter()
-        out = jf(*fields)
+        out = jf(parr, *fields)
         _ = float(jnp.sum(out))
         compile_s = time.perf_counter() - t0
         ts = []
         for _i in range(reps):
             t0 = time.perf_counter()
-            out = jf(*fields)
+            out = jf(parr, *fields)
             _ = float(jnp.sum(out))
             ts.append(time.perf_counter() - t0)
         print(json.dumps({

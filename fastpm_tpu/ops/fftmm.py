@@ -205,13 +205,16 @@ def _c2r_last_direct(gr, gi, N: int):
 
 
 def _axis_mode() -> str:
-    """FASTPM_TPU_FFT_AXIS: 'sub' (default; contract non-last axes in
-    place via einsum subscripts -- no moveaxis materialization) or
-    'move' (legacy: moveaxis to last, CT there, moveaxis back). The
-    einsum stages measured dispatch/layout-bound (VERDICT r3 weak #1);
-    'sub' deletes 4 full-field transposes per non-last axis."""
+    """FASTPM_TPU_FFT_AXIS: 'move' (default: moveaxis to last, CT
+    there, moveaxis back) or 'sub' (contract non-last axes in place
+    via einsum subscripts). MEASURED NEGATIVE on chip: sub 30.85M vs
+    move 31.46M p-steps/s full-step -- XLA lays out the explicit
+    transposes better than the subscripted 4D contractions (the
+    'layout-bound' einsum cost is inside dot_general, not the
+    moveaxis). Kept as a variant for re-measurement on future
+    compilers."""
     import os
-    return os.environ.get("FASTPM_TPU_FFT_AXIS", "sub")
+    return os.environ.get("FASTPM_TPU_FFT_AXIS", "move")
 
 
 def _ct_axis_sub(xr, xi, axis: int, sign: int):
