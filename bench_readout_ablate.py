@@ -25,7 +25,7 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "10"))
     K = int(os.environ.get("BENCH_K", "512"))
     C = int(os.environ.get("BENCH_C", "8192"))
-    subr = int(os.environ.get("BENCH_SUBR", "16"))
+    subr = int(os.environ.get("BENCH_SUBR", "0")) or None
     modes = os.environ.get("BENCH_ABLATE",
                            "none,nodot,nomask,noround").split(",")
     box = 1.0 * nc

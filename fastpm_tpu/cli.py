@@ -424,32 +424,52 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
     filebase = p.lc_write_usmesh
     density = (p.nc / p.boxsize) ** 3
 
-    def lightcone_fof(rec, af, kind="fof"):
+    def lightcone_fof(rec_d, nrec, af, kind="fof"):
         """usmesh FOF with tail carry-over (run_usmesh_fof,
         src/fastpm.c:1334-1400, _halos_ready:1211-1260).  kind="rfof"
         runs the relaxed finder instead (deviation: each finder keeps
         its own tail; the reference shares one tail store between the
-        two, which only matters when both are enabled at once)."""
+        two, which only matters when both are enabled at once).
+
+        The batch and the carried tail stay DEVICE arrays end-to-end
+        (the reference keeps all slice work distributed,
+        src/fastpm.c:982-1135): only the compacted halo catalog, the
+        boundary-risky radius rows (host-f64 patch of the tail cut),
+        and a few scalars cross to host -- no O(N_slice) x/v fetch."""
         import jax.numpy as jnp
         from .fof import find_halos, rfof_find_halos
         from .store import Store
 
+        cols = ("x", "v", "id", "aemit")
+        if rec_d is not None and nrec > 0:
+            new = {k: (rec_d[k][:nrec].reshape(-1) if k == "id"
+                       else rec_d[k][:nrec]) for k in cols}
+        else:
+            new = {"x": jnp.zeros((0, 3), jnp.float32),
+                   "v": jnp.zeros((0, 3), jnp.float32),
+                   "id": jnp.zeros((0,), jnp.uint32),
+                   "aemit": jnp.zeros((0,), jnp.float32)}
         tail = state["tail_" + kind]
-        comb = dict(rec)
-        nnew = len(rec["aemit"])
-        if tail is not None:
-            comb = {k: np.concatenate([rec[k], tail[k]]) for k in rec}
-        st = Store(x=jnp.asarray(comb["x"]),
-                   v=jnp.asarray(comb["v"]),
-                   id=jnp.asarray(comb["id"].reshape(-1)),
-                   aemit=jnp.asarray(comb["aemit"]))
+        have_tail = tail is not None and int(tail["aemit"].shape[0])
+        if have_tail and int(new["aemit"].shape[0]):
+            comb = {k: jnp.concatenate([new[k], tail[k]]) for k in cols}
+        elif have_tail:
+            comb = {k: tail[k] for k in cols}
+        else:
+            comb = new
+        if int(comb["aemit"].shape[0]) == 0:
+            return
+        st = Store(x=comb["x"], v=comb["v"], id=comb["id"],
+                   aemit=comb["aemit"])
         if kind == "rfof":
             # "Use the average redshift -- this is bad if the slices
             # are large!" (src/fastpm.c:1319).  The reference reads
             # meta.a_x of the usmesh store; we use the mean aemit of
             # the combined batch, which is that average.
-            a_avg = float(np.mean(comb["aemit"])) if len(comb["aemit"]) \
-                else af
+            # np.mean over a host copy of the one aemit column,
+            # bit-identical to the pre-device-tail behavior (4 B/row,
+            # rfof-only; aemit is host-fetched per slice anyway)
+            a_avg = float(np.mean(np.asarray(comb["aemit"])))
             sep = p.boxsize / p.nc
             cat, ihalo = rfof_find_halos(
                 st, p.boxsize, 1.0 / a_avg - 1.0, solver.cosmology,
@@ -467,16 +487,38 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
         r_h = lc.distance_of(cat.x)
         established = r_h > rmin + 0.5 * padding
 
-        r_p = lc.distance_of(np.asarray(comb["x"], dtype=np.float64))
-        near_tail = r_p <= rmin + padding
-        in_est = np.zeros(len(r_p), dtype=bool)
-        inh = ihalo >= 0
-        in_est[inh] = established[np.clip(ihalo[inh], 0, None)]
+        # device radius with host-f64 patching of boundary-risky rows:
+        # the f32 |x| can flip a particle across the tail threshold
+        # relative to the old host-f64 cut, so rows within an error
+        # margin are refetched (few) and decided exactly
+        thresh = rmin + padding
+        if lc.fov <= 0:
+            r_p = comb["x"][:, 2]
+        else:
+            r_p = jnp.sqrt(jnp.sum(comb["x"] * comb["x"], axis=-1))
+        near_tail = r_p <= jnp.float32(thresh)
+        eps = jnp.float32(max(4e-7 * abs(thresh), 1e-4))
+        risky = jnp.abs(r_p - jnp.float32(thresh)) < eps
+        nrisky = int(jnp.sum(risky.astype(jnp.int32)))
+        if nrisky:
+            ridx = jnp.nonzero(risky, size=nrisky)[0]
+            xr = np.asarray(comb["x"][ridx], dtype=np.float64)
+            near_h = lc.distance_of(xr) <= thresh
+            near_tail = near_tail.at[ridx].set(jnp.asarray(near_h))
+        ih = jnp.asarray(ihalo)
+        inh = ih >= 0
+        if len(established):
+            in_est = jnp.where(
+                inh, jnp.asarray(established)[jnp.clip(ih, 0, None)],
+                False)
+        else:
+            in_est = jnp.zeros_like(inh)
         keep_for_tail = near_tail & ~in_est
-        state["tail_" + kind] = {k: v[keep_for_tail]
-                                 for k, v in comb.items()}
+        ntail = int(jnp.sum(keep_for_tail.astype(jnp.int32)))
+        tidx = jnp.nonzero(keep_for_tail, size=ntail)[0]
+        state["tail_" + kind] = {k: v[tidx] for k, v in comb.items()}
         log.info("%d particles will be reused in next batch for "
-                 "usmesh FOF", int(keep_for_tail.sum()))
+                 "usmesh FOF", ntail)
 
         rows = np.flatnonzero(established)
         order = rows[np.argsort(cat.aemit[rows], kind="stable")] \
@@ -583,23 +625,23 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
                        id=np.zeros(0, np.int64),
                        rand=np.zeros(0, np.float32))
         else:
-            # host copies of the SMALL columns driving subsampling +
-            # the FOF/healpix handlers (x/v fetched only when one of
-            # those is enabled, below)
+            # host copies of the SMALL columns driving the subsample
+            # math (bit-identical f64 fractions); x/v stay on device --
+            # the FOF tail and healpix painting are device-resident
             rec = {k: np.asarray(v)[:n] for k, v in rec_d.items()
-                   if k != "n" and (
-                       k in ("aemit", "rand", "id")
-                       or p.write_fof or p.write_rfof
-                       or int(p.lc_usmesh_healpix_nside) > 0)}
+                   if k in ("aemit", "rand", "id")}
         # HEALPix shell maps from the PRE-subsample crossings
         # (src/fastpm.c:1009-1012; io.c:1105-1227): NEST pixels, Mass +
-        # radial momentum per (slice, pixel)
+        # radial momentum per (slice, pixel). Painted ON DEVICE with
+        # exact-host patching of boundary-risky rows -- no O(N_slice)
+        # x/v fetch (the reference keeps maps distributed, io.c:1073)
         nside = int(p.lc_usmesh_healpix_nside)
-        if nside > 0 and len(rec["aemit"]):
-            from .healpix import paint_hpmap_nest, nside2npix
+        if nside > 0 and rec_d is not None and n > 0:
+            from .healpix import paint_hpmap_nest_device, nside2npix
             M0 = solver.species["cdm"].M0
-            ids, mass_map, rmom_map, amid = paint_hpmap_nest(
-                rec["x"], rec["aemit"], rec["v"], M0, nside, nslices)
+            ids, mass_map, rmom_map, amid = paint_hpmap_nest_device(
+                rec_d["x"], rec_d["aemit"], rec_d["v"], n, M0,
+                nside, nslices)
             blocks = (("ID", ids.astype(np.int64)),
                       ("Aemit", amid.astype(np.float32)),
                       ("Mass", mass_map.astype(np.float32)),
@@ -633,9 +675,9 @@ def prepare_lc(solver: Solver, p: Params, log: Log):
         for kind, want in (("fof", p.write_fof), ("rfof", p.write_rfof)):
             tail = state["tail_" + kind]
             flush = (event.whence == ev.TIMESTEP_END and tail is not None
-                     and len(tail["aemit"]))
-            if want and (len(rec["aemit"]) or flush):
-                lightcone_fof(rec, event.af, kind)
+                     and int(tail["aemit"].shape[0]))
+            if want and (n > 0 or flush):
+                lightcone_fof(rec_d, n, event.af, kind)
 
         # subsample (ell-limited or uniform; src/fastpm.c:1025-1046).
         # The keep mask is host float64 (bit-identical to the

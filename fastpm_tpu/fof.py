@@ -343,20 +343,28 @@ def rfof_find_halos(p: Store, boxsize: float, z: float, cosmology,
     multiplies the lua parameters by the mean separation
     (src/fastpm.c:1295-1304). p must be in snapshot units (km/s velocity).
     Returns (catalog, ihalo)."""
+    import jax.numpy as jnp
+
     Ez = cosmology.E(1.0 / (z + 1))
     r0 = B1 - B2 * np.log(1 + z)
 
+    # the per-particle state (active set, halo assignment) stays on
+    # DEVICE across the 6 rounds: only the compacted candidate catalog
+    # and the active count cross to host each round, so lightcone-slice
+    # RFOF never fetches O(N) columns (the reference keeps the whole
+    # loop distributed, rfof.c:90-186)
     n = p.np_local
-    active = np.ones(n, dtype=bool)
-    ihalo = np.full(n, -1, dtype=np.int64)
+    active = jnp.ones(n, dtype=bool)
+    ihalo = jnp.full(n, -1, dtype=jnp.int32)
     parts = []
     nsaved = 0
 
     for i in range(1, 7):
         ll = _rfof_linking_length(i, z, l1, l6, A1, A2, linkinglength)
-        idx = np.flatnonzero(active)
-        if len(idx) < nmin:
+        nact = int(jnp.sum(active.astype(jnp.int32)))
+        if nact < nmin:
             break
+        idx = jnp.nonzero(active, size=nact)[0]
         sub = Store(x=p.x[idx],
                     v=p.v[idx] if p.v is not None else None,
                     id=p.id[idx] if p.id is not None else None,
@@ -365,8 +373,9 @@ def rfof_find_halos(p: Store, boxsize: float, z: float, cosmology,
                     a_x=p.a_x, a_v=p.a_v, M0=p.M0)
         cat, icand = find_halos(sub, ll, boxsize, nmin=nmin,
                                 periodic=periodic)
+        icand = jnp.asarray(icand).astype(jnp.int32)
 
-        # acceptance (rfof.c:137-151)
+        # acceptance (rfof.c:137-151) -- host math on the small catalog
         if cat.nhalo:
             vdisp = np.sqrt(cat.vdisp[:, 0] + cat.vdisp[:, 1]
                             + cat.vdisp[:, 2])
@@ -376,19 +385,20 @@ def rfof_find_halos(p: Store, boxsize: float, z: float, cosmology,
         else:
             save = np.zeros(0, dtype=bool)
 
-        # particles not in any candidate halo leave the active set
-        # (rfof.c:152-159)
-        not_in_halo = icand < 0
-        active[idx[not_in_halo]] = False
-
-        # saved halos: record ihalo, deactivate members (rfof.c:160-173)
+        # saved halos: record ihalo, deactivate members; particles not
+        # in any candidate halo leave the active set (rfof.c:152-173)
         save_rows = np.flatnonzero(save)
-        row_map = np.full(cat.nhalo, -1, dtype=np.int64)
+        row_map = np.full(max(cat.nhalo, 1), -1, dtype=np.int32)
         row_map[save_rows] = nsaved + np.arange(len(save_rows))
-        in_saved = np.zeros(len(icand), dtype=bool) if cat.nhalo == 0 \
-            else (icand >= 0) & (row_map[np.clip(icand, 0, None)] >= 0)
-        ihalo[idx[in_saved]] = row_map[icand[in_saved]]
-        active[idx[in_saved]] = False
+        mapped = jnp.where(icand >= 0,
+                           jnp.asarray(row_map)[jnp.clip(icand, 0, None)],
+                           jnp.int32(-1))
+        in_saved = mapped >= 0
+        not_in_halo = icand < 0
+        ihalo = ihalo.at[idx].set(jnp.where(in_saved, mapped,
+                                            ihalo[idx]))
+        active = active.at[idx].set(
+            jnp.where(not_in_halo | in_saved, False, active[idx]))
 
         if len(save_rows):
             parts.append((cat, save_rows))

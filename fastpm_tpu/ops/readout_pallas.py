@@ -935,10 +935,15 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
                         b_hi, b_lo = block, None
                     if ablate == "nodot":
                         # perf ablation: skip the MXU gather but keep
-                        # all mask/sum VPU work (res replaced by a
-                        # broadcast of one canvas element)
-                        res = block[0:1, 0:1].astype(jnp.float32) * \
-                            jnp.ones((384, 3 * K), jnp.float32)
+                        # all mask/sum VPU work. res = a sublane
+                        # broadcast of one canvas row tiled to 3K
+                        # lanes ((1,1)->2D broadcasts are
+                        # unimplemented in Mosaic; (1,N)->(M,N) works)
+                        reps = -(-3 * K // 384)
+                        row = jnp.concatenate(
+                            [block[0:1].astype(jnp.float32)] * reps,
+                            axis=1)[:, :3 * K]
+                        res = jnp.broadcast_to(row, (384, 3 * K))
                     else:
                         res = gather(b_hi, b_lo, A3)      # (384, 3K)
                     for comp in range(3):
