@@ -78,7 +78,11 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
         # (mesh.c2r_grad3: direct hermitian z-stage + shared axis-0
         # inverse on the mm engine; packed-pair iFFT otherwise)
         pot_k = transfers.apply_pot(pm, delta_k, potorder)
-        fields = list(pm.c2r_grad3(pot_k, gradorder))
+        # zext/wrap: the mm engine's synthesis matrices emit the
+        # wrapped 0-planes so readout's pad_canvas skips its
+        # concatenates (all of them in direct-grad3 mode)
+        fields = list(pm.c2r_grad3(pot_k, gradorder, zext=fused,
+                                   wrap=fused))
         if fused:
             acc = readout3_from(prepared, *fields)
         else:

@@ -112,7 +112,11 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
     pot_k = kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
                                           "potential")
     gradorder = kernels.kernel_orders(kernel_type)[1]
-    acc_fields = list(pm.c2r_grad3(pot_k, gradorder))
+    # zext/wrap: when the fused readout consumes the fields, the mm
+    # engine emits the wrapped 0-planes so pad_canvas skips its
+    # concatenates
+    acc_fields = list(pm.c2r_grad3(pot_k, gradorder, zext=fused,
+                                   wrap=fused))
 
     pot_field = None
     if compute_potential:
@@ -227,7 +231,8 @@ def compute_force_carry(pm: PM, painter: Painter, store: Store,
     pot_k = kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
                                           "potential")
     f0, f1, f2 = pm.c2r_grad3(pot_k,
-                              kernels.kernel_orders(kernel_type)[1])
+                              kernels.kernel_orders(kernel_type)[1],
+                              zext=True, wrap=True)
     acc = readout3_from(prepared, f0, f1, f2)
 
     updates = dict(x=xs, v=vs, acc=acc)

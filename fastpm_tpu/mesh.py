@@ -301,7 +301,8 @@ class PM:
         return (jnp.real(out).astype(self.dtype),
                 jnp.imag(out).astype(self.dtype))
 
-    def c2r_grad3(self, fk, gradorder: int):
+    def c2r_grad3(self, fk, gradorder: int, zext: bool = False,
+                  wrap: bool = False):
         """The force step's three gradient returns in one call:
         (c2r(i k_d * fk) for d in x, y, z), with the diff table order
         per kernel (0 = k, 1 = k_finite super-Lanczos) and apply_diff's
@@ -311,10 +312,18 @@ class PM:
         (ops/fftmm.grad3_c2r_mm): direct hermitian z-stage, shared
         axis-0 inverse, diff tables fused into the einsum reads --
         replacing [3 transfer passes + packed-pair iFFT + c2r].
-        Otherwise: the transfer + c2r_pair + c2r pipeline."""
+        Otherwise: the transfer + c2r_pair + c2r pipeline.
+
+        zext (mm engine only): return (nx, ny, nz+1) fields whose last
+        plane is the wrapped z=0 plane -- the CIC readout's pad_canvas
+        then skips its z-face concatenate. wrap (direct mode only):
+        extend ALL axes, i.e. the readout's full padded layout comes
+        straight out of the synthesis matmuls. Callers must tolerate
+        every shape (the XLA-FFT path ignores both flags)."""
         from . import transfers
         if self._use_mm_fft:
-            from .ops.fftmm import grad3_c2r_mm
+            from .ops.fftmm import (grad3_c2r_mm, grad3_c2r_direct,
+                                    _grad3_mode)
             name = ["k", "k_finite"][gradorder]
             if gradorder == 0:
                 # k_finite is zero on every axis-Nyquist/DC plane, so
@@ -324,10 +333,16 @@ class PM:
                               for m in self.nyquist_masks_1d)
                 fk = fk * (1.0 - m0[:, None, None] * m1[None, :, None]
                            * m2[None, None, :])
-            gx, gy, gz = grad3_c2r_mm(
-                fk * self.Norm, self.Nmesh,
-                self.table(name, 0), self.table(name, 1),
-                self.table(name, 2))
+            if _grad3_mode() == "direct":
+                gx, gy, gz = grad3_c2r_direct(
+                    fk * self.Norm, self.Nmesh,
+                    self.table(name, 0), self.table(name, 1),
+                    self.table(name, 2), zext=zext, wrap=wrap)
+            else:
+                gx, gy, gz = grad3_c2r_mm(
+                    fk * self.Norm, self.Nmesh,
+                    self.table(name, 0), self.table(name, 1),
+                    self.table(name, 2), zext=zext)
             return (gx.astype(self.dtype), gy.astype(self.dtype),
                     gz.astype(self.dtype))
         fks = [transfers.apply_grad(self, fk, d, gradorder)

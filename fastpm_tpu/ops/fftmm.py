@@ -173,11 +173,16 @@ def _r2c_direct_tables(N: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _c2r_direct_tables(N: int):
-    """(Nh, N) weighted inverse matrices: hermitian half -> real signal
-    (the conjugate tail's contribution rides the weight-2 rows)."""
+def _c2r_direct_tables(N: int, nout: int | None = None):
+    """(Nh, nout) weighted inverse matrices: hermitian half -> real
+    signal (the conjugate tail's contribution rides the weight-2 rows).
+    nout > N appends wrapped output columns (column n == column n % N
+    by the (k*n) % N periodicity) -- the CIC readout's periodic wrap
+    face comes out of the same contraction for free."""
+    if nout is None:
+        nout = N
     k = np.arange(N // 2 + 1, dtype=np.int64)[:, None]
-    n = np.arange(N, dtype=np.int64)[None, :]
+    n = np.arange(nout, dtype=np.int64)[None, :]
     ang = 2.0 * np.pi * ((k * n) % N) / N
     w = np.where((k == 0) | (k == N // 2), 1.0, 2.0)
     return ((w * np.cos(ang)).astype(np.float32),
@@ -194,10 +199,10 @@ def _r2c_last_direct(x):
     return zr, zi
 
 
-def _c2r_last_direct(gr, gi, N: int):
+def _c2r_last_direct(gr, gi, N: int, nout: int | None = None):
     """Inverse DFT of the last (hermitian-half) axis, real output,
     UNSCALED (caller applies 1/N factors)."""
-    Ci, Si = _c2r_direct_tables(N)
+    Ci, Si = _c2r_direct_tables(N, nout)
     p = _prec()
     return (jnp.einsum("...k,kn->...n", gr, jnp.asarray(Ci), precision=p)
             + jnp.einsum("...k,kn->...n", gi, jnp.asarray(Si),
@@ -328,7 +333,7 @@ def ifftn_mm(x):
     return jax.lax.complex(xr * scale, xi * scale)
 
 
-def grad3_c2r_mm(pk, s, tx, ty, tz):
+def grad3_c2r_mm(pk, s, tx, ty, tz, zext: bool = False):
     """The three gradient returns of the force step in ONE fused
     inverse: grad_d = irfftn(i * t_d * pk) for d = x, y, z, where t_d
     is the 1D diff table along axis d (k or k_finite; transfer.c:116,
@@ -347,8 +352,14 @@ def grad3_c2r_mm(pk, s, tx, ty, tz):
 
     pk: (nx, ny, nz//2+1) complex64; s = (nx, ny, nz); t* 1D float
     tables of length nx, ny, nz//2+1. Returns (gx, gy, gz) real f32,
-    scaled like jnp.fft.irfftn (1/N)."""
+    scaled like jnp.fft.irfftn (1/N).
+
+    zext: emit nz+1 output columns on the hermitian axis -- the extra
+    column is the wrapped plane z=0 (free in the direct synthesis
+    matrix), which the CIC readout's pad_canvas otherwise rebuilds
+    with a full-mesh concatenate."""
     nx, ny, nz = s
+    nout = nz + 1 if zext else None   # grad3's z-stage is always direct
     pr, pi = jnp.real(pk), jnp.imag(pk)
     txc = jnp.asarray(tx, jnp.float32).reshape(nx, 1, 1)
     tyc = jnp.asarray(ty, jnp.float32).reshape(1, ny, 1)
@@ -366,9 +377,109 @@ def grad3_c2r_mm(pk, s, tx, ty, tz):
     Az_r, Az_i = _ct_axis(U_r, U_i, 1, +1)
 
     # hermitian z-stage, direct half->real (i*tz fused for grad_z)
-    gx = _c2r_last_direct(Ax_r, Ax_i, nz) * scale
-    gy = _c2r_last_direct(Ay_r, Ay_i, nz) * scale
-    gz = _c2r_last_direct(-tzc * Az_i, tzc * Az_r, nz) * scale
+    gx = _c2r_last_direct(Ax_r, Ax_i, nz, nout) * scale
+    gy = _c2r_last_direct(Ay_r, Ay_i, nz, nout) * scale
+    gz = _c2r_last_direct(-tzc * Az_i, tzc * Az_r, nz, nout) * scale
+    return gx, gy, gz
+
+
+def _grad3_mode() -> str:
+    """FASTPM_TPU_GRAD3: 'direct' (default) runs the fused 3-gradient
+    inverse as dense per-axis synthesis matmuls (grad3_c2r_direct);
+    'ct' keeps the Cooley-Tukey stage pipeline (grad3_c2r_mm)."""
+    import os
+    return os.environ.get("FASTPM_TPU_GRAD3", "direct")
+
+
+def _idft_direct_tables(N: int, nout: int, t=None):
+    """(N, nout) cos/sin inverse-DFT synthesis matrices, optionally
+    with an i*t[k] diff-table fold (t indexed by the frequency row):
+    B'[k, n] = i*t[k] * exp(+2pi i k n / N). nout > N appends wrapped
+    output columns (periodic in (k*n) % N). numpy f32."""
+    k = np.arange(N, dtype=np.int64)[:, None]
+    n = np.arange(nout, dtype=np.int64)[None, :]
+    ang = 2.0 * np.pi * ((k * n) % N) / N
+    Br, Bi = np.cos(ang), np.sin(ang)
+    if t is not None:
+        tc = np.asarray(t, np.float64)[:, None]
+        Br, Bi = -tc * Bi, tc * Br
+    return Br.astype(np.float32), Bi.astype(np.float32)
+
+
+def _c2r_grad_tables(N: int, nout: int, t=None):
+    """(N//2+1, nout) hermitian-half -> real synthesis matrices (out =
+    gr @ C + gi @ S), optionally with the i*t[k] fold: for g' = i t g,
+    out = gr @ (t*S) + gi @ (-t*C)."""
+    k = np.arange(N // 2 + 1, dtype=np.int64)[:, None]
+    n = np.arange(nout, dtype=np.int64)[None, :]
+    ang = 2.0 * np.pi * ((k * n) % N) / N
+    w = np.where((k == 0) | (k == N // 2), 1.0, 2.0)
+    C = w * np.cos(ang)
+    S = -w * np.sin(ang)
+    if t is not None:
+        tc = np.asarray(t, np.float64)[:, None]
+        C, S = tc * S, -tc * C
+    return C.astype(np.float32), S.astype(np.float32)
+
+
+def grad3_c2r_direct(pk, s, tx, ty, tz, zext: bool = False,
+                     wrap: bool = False):
+    """grad3_c2r_mm with EVERY axis as a dense synthesis matmul.
+
+    The adopted z-direct stage proved the pattern on chip (c2r 86.7 ->
+    58.5 ms despite ~5x the CT split's FLOPs): at PM sizes the CT
+    stages are dispatch/layout-bound, while a full-depth (N x N+1)
+    matrix contraction is one natural-layout MXU dot. This pipeline is
+    26 dot_generals and NOTHING else -- no twiddles, no hermitian
+    extension, no transposes (each einsum's output order is
+    dot_general's natural (lhs-free, rhs-free), so the axis rotation
+    x,y,z -> y,z,x -> z,x,y -> x,y,z closes for free), and the i*t_d
+    diff tables fold into the matrices.
+
+    wrap=True returns (nx+1, ny+1, nz+1) fields whose last plane along
+    EVERY axis is the wrapped 0-plane (free wrapped output columns in
+    the synthesis matrices) -- exactly the CIC readout's pad_canvas
+    layout, deleting its concatenate/update-slice passes. zext=True
+    extends z only (parity with grad3_c2r_mm)."""
+    nx, ny, nz = s
+    xout = nx + 1 if wrap else nx
+    yout = ny + 1 if wrap else ny
+    zout = nz + 1 if (wrap or zext) else nz
+    p = _prec()
+    scale = 1.0 / (nx * ny * nz)
+
+    def dot(a, m, sub):
+        return jnp.einsum(sub, a, jnp.asarray(m), precision=p)
+
+    def cstage(ar, ai, mr, mi, sub):
+        """Complex contraction (4 real dots, natural output order)."""
+        return (dot(ar, mr, sub) - dot(ai, mi, sub),
+                dot(ar, mi, sub) + dot(ai, mr, sub))
+
+    pr, pi = jnp.real(pk), jnp.imag(pk)
+
+    # X stage (contract axis 0; outputs land (y, z, x)); the 1/N scale
+    # rides the x matrices (constants, free)
+    Axr, Axi = _idft_direct_tables(nx, xout)
+    Axr, Axi = Axr * np.float32(scale), Axi * np.float32(scale)
+    Bxr, Bxi = _idft_direct_tables(nx, xout, tx)
+    Bxr, Bxi = Bxr * np.float32(scale), Bxi * np.float32(scale)
+    U_r, U_i = cstage(pr, pi, Axr, Axi, "xyz,xw->yzw")     # shared
+    Ux_r, Ux_i = cstage(pr, pi, Bxr, Bxi, "xyz,xw->yzw")   # i*tx fold
+
+    # Y stage (contract axis 0 of (y, z, x); outputs land (z, x, y))
+    Ayr, Ayi = _idft_direct_tables(ny, yout)
+    Byr, Byi = _idft_direct_tables(ny, yout, ty)
+    Ax_r, Ax_i = cstage(Ux_r, Ux_i, Ayr, Ayi, "yzw,yu->zwu")
+    Ay_r, Ay_i = cstage(U_r, U_i, Byr, Byi, "yzw,yu->zwu")  # i*ty fold
+    Az_r, Az_i = cstage(U_r, U_i, Ayr, Ayi, "yzw,yu->zwu")
+
+    # Z stage (hermitian half -> real; outputs land (x, y, z))
+    Czr, Czi = _c2r_grad_tables(nz, zout)
+    Gzr, Gzi = _c2r_grad_tables(nz, zout, tz)               # i*tz fold
+    gx = dot(Ax_r, Czr, "zwu,zn->wun") + dot(Ax_i, Czi, "zwu,zn->wun")
+    gy = dot(Ay_r, Czr, "zwu,zn->wun") + dot(Ay_i, Czi, "zwu,zn->wun")
+    gz = dot(Az_r, Gzr, "zwu,zn->wun") + dot(Az_i, Gzi, "zwu,zn->wun")
     return gx, gy, gz
 
 

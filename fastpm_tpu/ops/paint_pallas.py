@@ -315,6 +315,46 @@ def auto_window_C(nyp: int, nzp: int, eight: bool = True) -> int:
     return CLh * 128
 
 
+def _window_ranges(cell_s, W: int, C: int, offsets):
+    """Per-(corner, window) particle ranges from the sorted cells, in
+    BOTH layouts: legacy (W, 8, 2) for the multi-offset kernels and
+    lane-major (8, 2, W) for the from8 kernels' SMEM operand. One
+    batched searchsorted replaces 8 separate bisection loops, and the
+    lane-major layout turns the HBM->SMEM staging copy from 8790
+    1-valid-lane (1,128) tiles (~4.5 MB moved, chip-measured 64 ms for
+    the (W,1,2) readout operand) into ~140 dense tiles."""
+    edges = jnp.arange(W + 1, dtype=jnp.int32) * C
+    q = edges[None, :] - jnp.asarray(offsets, jnp.int32)[:, None]
+    bounds = jnp.searchsorted(cell_s, q).astype(jnp.int32)  # (8, W+1)
+    ranges = jnp.stack([bounds[:, :-1], bounds[:, 1:]],
+                       axis=-1).transpose(1, 0, 2)          # (W, 8, 2)
+    ranges_lm = jnp.stack([bounds[:, :-1], bounds[:, 1:]],
+                          axis=1)                           # (8, 2, W)
+    return ranges, _pad_lm(ranges_lm)
+
+
+def _pad_lm(ranges_lm):
+    """Pad the lane (window) dim to a multiple of 128: the SMEM
+    BlockSpec is (1, 2, 128) with an in-kernel w%128 lane read (TPU
+    blocks need last-two dims divisible by (8, 128) or full). Padded
+    lanes are never addressed (grid = W programs)."""
+    w = ranges_lm.shape[-1]
+    wpad = -(-w // 128) * 128
+    if wpad == w:
+        return ranges_lm
+    return jnp.pad(ranges_lm, ((0, 0), (0, 0), (0, wpad - w)))
+
+
+def ranges_lane_major(prepared):
+    """The (8, 2, Wpad) lane-major range table of a prepared bundle,
+    rebuilt from the legacy (W, 8, 2) layout when absent (bundles from
+    ops/stale.py and older callers)."""
+    lm = prepared.get("ranges_lm")
+    if lm is None:
+        lm = _pad_lm(jnp.transpose(prepared["ranges"], (1, 2, 0)))
+    return lm
+
+
 def make_prepare_fn(pm: PM, C: int | None = None, pad_to: int = 1024):
     """Shared sorted-bundle builder for the paint and readout kernels:
     ONE sort by padded cell (carrying fx, fy, fz and the original index)
@@ -350,13 +390,9 @@ def make_prepare_fn(pm: PM, C: int | None = None, pad_to: int = 1024):
             [w8_s.T, jnp.zeros((8, extra), jnp.float32)],
             axis=1)[:, None, :]
 
-        edges = jnp.arange(W + 1, dtype=jnp.int32) * C
-        bounds = jnp.stack(
-            [jnp.searchsorted(cell_s, edges - off).astype(jnp.int32)
-             for off in offsets], axis=1)
-        ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
-        return dict(ranges=ranges, cell_2d=cell_2d, w8T=w8T, orig=orig,
-                    n=n)
+        ranges, ranges_lm = _window_ranges(cell_s, W, C, offsets)
+        return dict(ranges=ranges, ranges_lm=ranges_lm, cell_2d=cell_2d,
+                    w8T=w8T, orig=orig, n=n)
 
     return prepare
 
@@ -451,13 +487,9 @@ def make_prepare_carry_fn(pm: PM, C: int | None = None,
             [w8_s.T, jnp.zeros((8, extra), jnp.float32)],
             axis=1)[:, None, :]
 
-        edges = jnp.arange(W + 1, dtype=jnp.int32) * C
-        bounds = jnp.stack(
-            [jnp.searchsorted(cell_s, edges - off).astype(jnp.int32)
-             for off in offsets], axis=1)
-        ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
-        prepared = dict(ranges=ranges, cell_2d=cell_2d, w8T=w8T,
-                        orig=None, n=n)
+        ranges, ranges_lm = _window_ranges(cell_s, W, C, offsets)
+        prepared = dict(ranges=ranges, ranges_lm=ranges_lm,
+                        cell_2d=cell_2d, w8T=w8T, orig=None, n=n)
         return prepared, xs, vs, extras_s
 
     return prepare
@@ -804,7 +836,7 @@ def make_paint_from4_fn(pm: PM, K: int = 512, C: int | None = None,
     return paint_from
 
 
-def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
+def _paint_kernel8(ranges_ref,      # SMEM (1, 2, 128) i32 lane w%128
                    cell_hbm,        # (1, Npad) i32 sorted padded cells
                    w8T_hbm,         # (8, 1, Npad) f32 corner weights
                    outA_ref,        # VMEM (CLh, 128) dx=0 stream (piped)
@@ -835,8 +867,9 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 1, 2) i32: (s, e) base
     def _take_carry():
         acc_scratch[:, 0:HR] = acc_scratch[:, 0:HR] + carry_scratch[...]
 
-    s = ranges_ref[0, 0, 0]
-    e = ranges_ref[0, 0, 1]
+    wl = jax.lax.rem(w, 128)
+    s = ranges_ref[0, 0, wl]
+    e = ranges_ref[0, 1, wl]
     j0 = s // K
     j1 = jax.lax.div(e + K - 1, K)
     nrounds = jnp.maximum(j1 - j0, 0)
@@ -1016,7 +1049,7 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int | None = None,
         kernel,
         grid=(W,),
         in_specs=[
-            pl.BlockSpec((1, 1, 2), lambda w: (w, 0, 0),
+            pl.BlockSpec((1, 2, 128), lambda w: (0, 0, w // 128),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -1048,7 +1081,7 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int | None = None,
     xshift = nyp * nzp
 
     def paint_from(prepared, mass=1.0):
-        ranges1 = prepared["ranges"][:, 0:1, :]
+        ranges1 = ranges_lane_major(prepared)[0:1]      # (1, 2, W)
         mainA, mainB, tailA, tailB = paint_call(
             ranges1, prepared["cell_2d"], prepared["w8T"])
         flatA = jnp.concatenate([mainA, tailA]).reshape(-1)

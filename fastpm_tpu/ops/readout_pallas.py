@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..mesh import PM
 from .paint_pallas import (_corner_offsets_padded, auto_window_C,
-                           window_halo_rows)
+                           ranges_lane_major, window_halo_rows)
 
 __all__ = ["make_readout3_fn", "make_readout3_from_fn",
            "make_readout3_from4_fn", "make_readout3_from8_fn",
@@ -725,7 +725,7 @@ def make_readout3_from4_fn(pm: PM, K: int = 512, C: int | None = None,
     return readout3_from
 
 
-def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
+def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
                      cell_hbm,       # (1, Npad) i32 sorted padded cells
                      w8T_hbm,        # (8, 1, Npad) f32 corner weights
                      canvases_hbm,   # ANY (3, W*CLh + RX + HR, 128)
@@ -798,8 +798,9 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 1, 2) i32: (s, e)
             cp.start()
             cp.wait()
 
-    s = ranges_ref[0, 0, 0]
-    e = ranges_ref[0, 0, 1]
+    wl = jax.lax.rem(w, 128)
+    s = ranges_ref[0, 0, wl]
+    e = ranges_ref[0, 1, wl]
     j0 = s // K
     j1 = jax.lax.div(e + K - 1, K)
     nrounds = jnp.maximum(j1 - j0, 0)
@@ -1075,7 +1076,7 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int | None = None,
             kernel,
             grid=(W,),
             in_specs=[
-                pl.BlockSpec((1, 1, 2), lambda w: (w, 0, 0),
+                pl.BlockSpec((1, 2, 128), lambda w: (0, 0, w // 128),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -1102,15 +1103,21 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int | None = None,
         )
 
     def pad_canvas(canvas):
-        p = jnp.zeros((nxp, nyp, nzp), dtype=jnp.float32)
-        p = p.at[:nx, :ny, :nz].set(canvas)
-        p = p.at[nx, :ny, :nz].set(canvas[0])
-        p = p.at[:nx, ny, :nz].set(canvas[:, 0])
-        p = p.at[:nx, :ny, nz].set(canvas[:, :, 0])
-        p = p.at[nx, ny, :nz].set(canvas[0, 0])
-        p = p.at[nx, :ny, nz].set(canvas[0, :, 0])
-        p = p.at[:nx, ny, nz].set(canvas[:, 0, 0])
-        p = p.at[nx, ny, nz].set(canvas[0, 0, 0])
+        """(nx, ny, nz) or z-extended (nx, ny, nzp) canvas -> the flat
+        (npad_blocks, 128) wrap-padded window layout. Pure concatenates
+        (no scatter/update-slice): the chained wrap faces fuse into the
+        flatten pass, where the .at[].set form compiled to per-face
+        dynamic-update-slices + while loops (~10 ms/canvas on chip).
+        The z face is free when the caller's inverse FFT already
+        extended it (fftmm.grad3_c2r_mm zext: the c2r synthesis matrix
+        grows one wrapped output column)."""
+        if canvas.shape[2] == nz:
+            canvas = jnp.concatenate([canvas, canvas[:, :, :1]], axis=2)
+        p = canvas
+        if p.shape[1] == ny:
+            p = jnp.concatenate([p, p[:, :1, :]], axis=1)
+        if p.shape[0] == nx:
+            p = jnp.concatenate([p, p[:1]], axis=0)
         flat = p.reshape(-1)
         flat = jnp.concatenate(
             [flat, jnp.zeros((npad_blocks * 128 - mpad,), jnp.float32)])
@@ -1121,7 +1128,7 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int | None = None,
         n_padded = prepared["cell_2d"].shape[1]
         if n_padded % K:
             raise ValueError("prepared padding not a multiple of K")
-        ranges1 = prepared["ranges"][:, 0:1, :]
+        ranges1 = ranges_lane_major(prepared)[0:1]      # (1, 2, W)
         canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
                               pad_canvas(cz)])
         val_init = jnp.zeros((3, 1, n_padded), jnp.float32)

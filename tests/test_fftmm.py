@@ -191,3 +191,40 @@ def test_c2r_grad3_matches_per_component():
                         np.abs(r)), (engine, go)
     finally:
         os.environ.pop("FASTPM_TPU_FFT", None)
+
+
+def test_c2r_grad3_direct_modes_and_wrap():
+    """grad3_c2r_direct == grad3_c2r_mm (ct) on both diff orders, and
+    its wrap=True output carries the periodic 0-planes on every axis
+    (the readout pad_canvas layout straight from the synthesis
+    matmuls)."""
+    from fastpm_tpu.ops import fftmm
+    rng = np.random.RandomState(3)
+    x = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    dk = jnp.asarray(np.fft.rfftn(x).astype(np.complex64))
+    os.environ["FASTPM_TPU_FFT"] = "mm"
+    try:
+        pm = PM(16, 16.0)
+        for go in (0, 1):
+            name = ["k", "k_finite"][go]
+            args = (dk, tuple(pm.Nmesh), pm.table(name, 0),
+                    pm.table(name, 1), pm.table(name, 2))
+            ct = [np.asarray(g) for g in fftmm.grad3_c2r_mm(*args)]
+            dd = [np.asarray(g) for g in fftmm.grad3_c2r_direct(*args)]
+            for c, d in zip(ct, dd):
+                assert np.max(np.abs(c - d)) < 2e-5 * (
+                    np.max(np.abs(c)) + 1e-8), go
+            dw = [np.asarray(g)
+                  for g in fftmm.grad3_c2r_direct(*args, wrap=True)]
+            for d, w in zip(dd, dw):
+                assert w.shape == (17, 17, 17)
+                np.testing.assert_allclose(w[:16, :16, :16], d,
+                                           rtol=0, atol=1e-6)
+                np.testing.assert_allclose(w[16], w[0], rtol=0,
+                                           atol=1e-6)
+                np.testing.assert_allclose(w[:, 16], w[:, 0], rtol=0,
+                                           atol=1e-6)
+                np.testing.assert_allclose(w[:, :, 16], w[:, :, 0],
+                                           rtol=0, atol=1e-6)
+    finally:
+        os.environ.pop("FASTPM_TPU_FFT", None)
