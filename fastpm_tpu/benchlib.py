@@ -51,10 +51,12 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
                                        make_paint_from8_fn)
         from .ops.readout_pallas import make_readout3_from8_fn
         pad_to = max(K, 1024)
-        prepare = make_prepare_fn(pm, C=C, pad_to=pad_to)
+        # paint8 consumers read offset row 0 only -> base-only ranges
+        prepare = make_prepare_fn(pm, C=C, pad_to=pad_to,
+                                  base_only=paint8)
         prepare_carry = make_prepare_carry_fn(
             pm, C=C, pad_to=pad_to, sort_block=sort_block,
-            payload_gather=payload_gather)
+            payload_gather=payload_gather, base_only=paint8)
         if paint8:
             paint_from = make_paint_from8_fn(pm, K=K, C=C, subr=subr)
         else:

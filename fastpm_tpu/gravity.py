@@ -91,7 +91,12 @@ def compute_force(pm: PM, painter: Painter, stores: Sequence[Store],
     if fused:
         from .ops.paint_pallas import make_prepare_fn, make_paint_from8_fn
         p0 = stores[0]
-        prepare = _fused_cache(pm, "prepare", make_prepare_fn)
+        # base_only: this bundle only ever feeds the from8 kernels,
+        # which consume offset row 0 -- skip the 7 extra searchsorted
+        # rows (~20 ms/step at 256^3)
+        prepare = _fused_cache(
+            pm, "prepare",
+            lambda pm: make_prepare_fn(pm, base_only=True))
         # one-pass deposit (vs from4: one particle visit, half the
         # cell/weight DMA; bench_variants r3)
         paint_from = _fused_cache(pm, "paint_from8", make_paint_from8_fn)
@@ -200,7 +205,11 @@ def compute_force_carry(pm: PM, painter: Painter, store: Store,
     from .ops.paint_pallas import (make_prepare_carry_fn,
                                    make_paint_from8_fn)
     from .ops.readout_pallas import make_readout3_from8_fn
-    prepare = _fused_cache(pm, "prepare_carry", make_prepare_carry_fn)
+    # base_only: from8 kernels + the stale window map read offset row 0
+    # only -- the 7 extra searchsorted rows are dead weight here
+    prepare = _fused_cache(
+        pm, "prepare_carry",
+        lambda pm: make_prepare_carry_fn(pm, base_only=True))
     paint_from = _fused_cache(pm, "paint_from8", make_paint_from8_fn)
     readout3_from = _fused_cache(pm, "readout3_from8",
                                  make_readout3_from8_fn)

@@ -317,19 +317,22 @@ def auto_window_C(nyp: int, nzp: int, eight: bool = True) -> int:
 
 def _window_ranges(cell_s, W: int, C: int, offsets):
     """Per-(corner, window) particle ranges from the sorted cells, in
-    BOTH layouts: legacy (W, 8, 2) for the multi-offset kernels and
-    lane-major (8, 2, W) for the from8 kernels' SMEM operand. One
-    batched searchsorted replaces 8 separate bisection loops, and the
-    lane-major layout turns the HBM->SMEM staging copy from 8790
+    BOTH layouts: legacy (W, n_off, 2) for the multi-offset kernels
+    and lane-major (n_off, 2, W) for the from8 kernels' SMEM operand.
+    One batched searchsorted replaces per-offset bisection loops, and
+    the lane-major layout turns the HBM->SMEM staging copy from 8790
     1-valid-lane (1,128) tiles (~4.5 MB moved, chip-measured 64 ms for
-    the (W,1,2) readout operand) into ~140 dense tiles."""
+    the (W,1,2) readout operand) into ~140 dense tiles. The from8
+    kernels consume offset row 0 only; callers that know it pass
+    offsets=(0,) and skip 7/8 of the bisection gathers (~20 ms/step at
+    the bench shape)."""
     edges = jnp.arange(W + 1, dtype=jnp.int32) * C
     q = edges[None, :] - jnp.asarray(offsets, jnp.int32)[:, None]
-    bounds = jnp.searchsorted(cell_s, q).astype(jnp.int32)  # (8, W+1)
+    bounds = jnp.searchsorted(cell_s, q).astype(jnp.int32)
     ranges = jnp.stack([bounds[:, :-1], bounds[:, 1:]],
-                       axis=-1).transpose(1, 0, 2)          # (W, 8, 2)
+                       axis=-1).transpose(1, 0, 2)       # (W, n_off, 2)
     ranges_lm = jnp.stack([bounds[:, :-1], bounds[:, 1:]],
-                          axis=1)                           # (8, 2, W)
+                          axis=1)                        # (n_off, 2, W)
     return ranges, _pad_lm(ranges_lm)
 
 
@@ -355,18 +358,26 @@ def ranges_lane_major(prepared):
     return lm
 
 
-def make_prepare_fn(pm: PM, C: int | None = None, pad_to: int = 1024):
+def make_prepare_fn(pm: PM, C: int | None = None, pad_to: int = 1024,
+                    base_only: bool = False):
     """Shared sorted-bundle builder for the paint and readout kernels:
     ONE sort by padded cell (carrying fx, fy, fz and the original index)
     and ONE per-(window, corner) range table serve both, halving the
-    per-force-step indexing cost."""
+    per-force-step indexing cost.
+
+    base_only: build the range tables for the base corner (offset 0)
+    only -- ranges (W, 1, 2), ranges_lm (1, 2, Wpad). The from8
+    one-pass kernels and the stale window map consume offset row 0
+    exclusively, so the 7 extra searchsorted rows (7*(W+1) bisections
+    over n) are pure waste on those paths. Bundles built this way must
+    NOT feed the multi-offset (from/from4) kernels."""
     nx, ny, nz = pm.Nmesh
     nyp, nzp = ny + 1, nz + 1
     if C is None:
         C = auto_window_C(nyp, nzp)
     mpad = (nx + 1) * nyp * nzp
     W = (mpad + C - 1) // C
-    offsets = _corner_offsets_padded(nyp, nzp)
+    offsets = (0,) if base_only else _corner_offsets_padded(nyp, nzp)
     # numpy, NOT jnp: these builders may be constructed inside a jit
     # trace (gravity._fused_cache); a jnp constant born in one trace
     # and cached leaks into the next (UnexpectedTracerError)
@@ -400,7 +411,8 @@ def make_prepare_fn(pm: PM, C: int | None = None, pad_to: int = 1024):
 def make_prepare_carry_fn(pm: PM, C: int | None = None,
                           pad_to: int = 1024,
                           sort_block: int | None = None,
-                          payload_gather: bool = False):
+                          payload_gather: bool = False,
+                          base_only: bool = False):
     """Order-free prepared-bundle builder: carries the PHASE-SPACE rows
     (x, v[, extra u32 columns]) through the cell sort instead of an
     un-sort index. The caller keeps particles in cell-sorted order
@@ -422,14 +434,18 @@ def make_prepare_carry_fn(pm: PM, C: int | None = None,
     payload_gather: sort only (cell, index) through the multi-pass
     comparator network and move the 6(+) payload columns with one
     take() each afterwards -- trades 6 columns x O(log^2 n) comparator
-    passes for 6 O(n) gathers (bench variant; see BENCH_NOTES)."""
+    passes for 6 O(n) gathers (bench variant; see BENCH_NOTES).
+
+    base_only: offset-0-only range tables (see make_prepare_fn); valid
+    whenever the bundle feeds the from8 kernels + stale window map
+    only, which is exactly the production order-free path."""
     nx, ny, nz = pm.Nmesh
     nyp, nzp = ny + 1, nz + 1
     if C is None:
         C = auto_window_C(nyp, nzp)
     mpad = (nx + 1) * nyp * nzp
     W = (mpad + C - 1) // C
-    offsets = _corner_offsets_padded(nyp, nzp)
+    offsets = (0,) if base_only else _corner_offsets_padded(nyp, nzp)
     # numpy, NOT jnp: these builders may be constructed inside a jit
     # trace (gravity._fused_cache); a jnp constant born in one trace
     # and cached leaks into the next (UnexpectedTracerError)

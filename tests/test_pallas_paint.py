@@ -176,6 +176,49 @@ def test_stale_step_trajectory_matches_fresh():
     np.testing.assert_allclose(vs_s, vs_r, atol=5e-5)
 
 
+def test_prepare_base_only_matches_full():
+    """base_only=True range tables (offset row 0 only) must be the
+    row-0 slice of the full 8-offset tables, and the from8 paint +
+    readout kernels (which consume only row 0) must produce identical
+    results from either bundle."""
+    from fastpm_tpu.ops.paint_pallas import (make_prepare_fn,
+                                             make_prepare_carry_fn,
+                                             make_paint_from8_fn)
+    from fastpm_tpu.ops.readout_pallas import make_readout3_from8_fn
+
+    pm = PM(16, 64.0)
+    rng = np.random.default_rng(47)
+    n = 5120
+    pos = jnp.asarray(rng.uniform(0, 64, (n, 3)).astype(np.float32))
+    vel = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    full = jax.jit(make_prepare_fn(pm, C=1024))(pos)
+    base = jax.jit(make_prepare_fn(pm, C=1024, base_only=True))(pos)
+    assert base["ranges"].shape[1] == 1
+    np.testing.assert_array_equal(np.asarray(base["ranges"][:, 0]),
+                                  np.asarray(full["ranges"][:, 0]))
+    np.testing.assert_array_equal(np.asarray(base["ranges_lm"][0]),
+                                  np.asarray(full["ranges_lm"][0]))
+
+    paint = make_paint_from8_fn(pm, K=256, C=1024, interpret=True)
+    np.testing.assert_array_equal(np.asarray(paint(base)),
+                                  np.asarray(paint(full)))
+    read = make_readout3_from8_fn(pm, K=256, C=1024, interpret=True)
+    cs = [jnp.asarray(rng.standard_normal((16, 16, 16))
+                      .astype(np.float32)) for _ in range(3)]
+    np.testing.assert_array_equal(np.asarray(read(base, *cs)),
+                                  np.asarray(read(full, *cs)))
+
+    # carry variant: sorted rows identical, tables row-0-equal
+    fa = jax.jit(make_prepare_carry_fn(pm, C=1024))(pos, vel)
+    ba = jax.jit(make_prepare_carry_fn(pm, C=1024,
+                                       base_only=True))(pos, vel)
+    np.testing.assert_array_equal(np.asarray(ba[0]["ranges"][:, 0]),
+                                  np.asarray(fa[0]["ranges"][:, 0]))
+    np.testing.assert_array_equal(np.asarray(ba[1]), np.asarray(fa[1]))
+    np.testing.assert_array_equal(np.asarray(ba[2]), np.asarray(fa[2]))
+
+
 def test_prepare_carry_payload_gather_identical():
     """payload_gather=True (2-operand key sort + per-column take) must
     produce a bit-identical bundle and sorted rows to the 7-operand
