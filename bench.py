@@ -95,18 +95,22 @@ def main():
                 "vs_baseline": round(rate / baseline, 4)}))
         return
 
-    rate = run_one(nc, b, nsteps)
-    fft = "xla"
     # the matmul-FFT path (ops/fftmm.py) usually beats XLA's TPU FFT;
-    # measure both and report the better step (BENCH_FFT=xla|mm pins)
+    # measure both and report the better step (BENCH_FFT=xla|mm pins,
+    # and a pin skips the other variant's compile+run entirely)
     pin = os.environ.get("BENCH_FFT")
-    if pin != "xla":
-        try:
-            rate_mm = run_one(nc, b, nsteps, mmfft=True)
-        except Exception:
-            rate_mm = 0.0
-        if pin == "mm" or rate_mm > rate:
-            rate, fft = rate_mm, "mm"
+    if pin == "mm":
+        rate, fft = run_one(nc, b, nsteps, mmfft=True), "mm"
+    else:
+        rate = run_one(nc, b, nsteps)
+        fft = "xla"
+        if pin != "xla":
+            try:
+                rate_mm = run_one(nc, b, nsteps, mmfft=True)
+            except Exception:
+                rate_mm = 0.0
+            if rate_mm > rate:
+                rate, fft = rate_mm, "mm"
     variant = "per-step-sort"
     # stale-order stepping (ops/stale.py) amortizes the prepare sort;
     # opt-in (BENCH_STALE=N): chip-measured 2.05 s/step at 256^3 B2

@@ -65,12 +65,14 @@ def main():
         print(json.dumps({"phase": name, "ms": round(dt * 1e3, 3)}))
 
     if fused:
+        # profile the PRODUCTION kernels: from8 one-pass, auto window,
+        # K=512, base-only range tables (same as gravity/benchlib)
         from fastpm_tpu.ops.paint_pallas import (make_prepare_fn,
-                                                 make_paint_from4_fn)
-        from fastpm_tpu.ops.readout_pallas import make_readout3_from4_fn
-        prepare = jax.jit(make_prepare_fn(pm, C=8192))
-        paint_from = jax.jit(make_paint_from4_fn(pm, K=1024, C=8192))
-        _ro3 = make_readout3_from4_fn(pm, K=1024, C=8192)
+                                                 make_paint_from8_fn)
+        from fastpm_tpu.ops.readout_pallas import make_readout3_from8_fn
+        prepare = jax.jit(make_prepare_fn(pm, base_only=True))
+        paint_from = jax.jit(make_paint_from8_fn(pm))
+        _ro3 = make_readout3_from8_fn(pm)
         # close over the static row count: a jitted dict arg would
         # trace "n" and the kernel slices by it
         n_static = int(np.prod(x.shape[:1]))

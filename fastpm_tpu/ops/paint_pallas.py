@@ -928,13 +928,17 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 2, 128) i32 lane w%128
                 rel/hi/lo/crossing/A are shared by the two streams --
                 only the weight rows differ (rows 4*dx + 2*pi + dz).
 
-                Dot-merged: the three one-hot deposits (pi=0, pi=1,
-                lane-127 fix) concatenate along the contraction into
-                one (R_A, 3K) operand, and the two dx streams' weight
-                matrices concatenate along output lanes into (256, 3K),
-                so ONE hi/lo dot pair replaces the 12 small dots of the
-                unmerged round (same MACs, 6x fewer MXU dispatches;
-                the small dots measured ~38% of peak, BENCH_NOTES)."""
+                Dot-merged: the two one-hot deposits (pi=0, pi=1)
+                concatenate along the contraction into one (R_A, 2K)
+                operand, and the two dx streams' weight matrices
+                concatenate along output lanes into (256, 2K), so ONE
+                hi/lo dot pair replaces the small dots of the unmerged
+                round. The lane-127 crossing fix rides a SEPARATE
+                skinny dot: its deposits land only in lane 0 of rows
+                hifix, so a (R_A, K) x (2, K) dot -> (R_A, 2) column
+                add replaces a full (R_A, K)-section of the merged
+                contraction (24 -> 20 MXU tiles per hi/lo pass) and
+                deletes the (128, K) lane-0 B masks."""
                 his, crossings = [], []
                 for pi, d in enumerate((0, nzp)):
                     rel = jnp.where(valid, rel0 + d, -1)
@@ -944,11 +948,14 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 2, 128) i32 lane w%128
                 hifix = jnp.where(
                     crossings[0], his[0] + 1,
                     jnp.where(crossings[1], his[1] + 1, -1000000))
-                hi_cat = jnp.concatenate([his[0], his[1], hifix],
-                                         axis=1)          # (1, 3K)
-                sub_row3 = jax.lax.broadcasted_iota(
-                    jnp.int32, (R_A, 3 * K), 0)
-                A3 = (sub_row3 == hi_cat).astype(jnp.bfloat16)
+                hi_cat = jnp.concatenate([his[0], his[1]],
+                                         axis=1)          # (1, 2K)
+                sub_row2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (R_A, 2 * K), 0)
+                A2 = (sub_row2 == hi_cat).astype(jnp.bfloat16)
+                sub_rowf = jax.lax.broadcasted_iota(
+                    jnp.int32, (R_A, K), 0)
+                Af = (sub_rowf == hifix).astype(jnp.bfloat16)
                 los = [jnp.where(valid, rel0 + d, -1) & 127
                        for d in (0, nzp)]
                 Me = [l == lo_row for l in los]
@@ -956,7 +963,7 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 2, 128) i32 lane w%128
 
                 row0 = base8 if isinstance(base8, int) \
                     else pl.multiple_of(base8, 8)
-                B_dx = []
+                B_dx, Bf_dx = [], []
                 for dx in range(2):
                     w_cross = None
                     Bs = []
@@ -974,27 +981,43 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 2, 128) i32 lane w%128
                                                  4 * dx + 2 * pi + 1],
                                        0.0)
                         w_cross = wc if w_cross is None else w_cross + wc
-                    Bs.append(jnp.where(lo_row == 0, w_cross, 0.0))
-                    B_dx.append(jnp.concatenate(Bs, axis=1))  # (128,3K)
-                B_cat = jnp.concatenate(B_dx, axis=0)         # (256,3K)
+                    B_dx.append(jnp.concatenate(Bs, axis=1))  # (128,2K)
+                    Bf_dx.append(w_cross)                     # (1, K)
+                B_cat = jnp.concatenate(B_dx, axis=0)         # (256,2K)
+                Bf_cat = jnp.concatenate(Bf_dx, axis=0)       # (2, K)
                 # bf16 hi/lo split: one-hot A exact in bf16, two
                 # single-pass dots instead of a 6-pass HIGHEST dot
                 B_hi = B_cat.astype(jnp.bfloat16)
                 B_lo = (B_cat - B_hi.astype(jnp.float32)
                         ).astype(jnp.bfloat16)
+                Bf_hi = Bf_cat.astype(jnp.bfloat16)
+                Bf_lo = (Bf_cat - Bf_hi.astype(jnp.float32)
+                         ).astype(jnp.bfloat16)
                 res = jax.lax.dot_general(
-                    A3, B_hi,
+                    A2, B_hi,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) + jax.lax.dot_general(
-                    A3, B_lo,
+                    A2, B_lo,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                          # (R_A, 256)
+                resf = jax.lax.dot_general(
+                    Af, Bf_hi,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    Af, Bf_lo,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                          # (R_A, 2)
                 for dx in range(2):
                     acc_scratch[dx, pl.ds(row0, R_A)] = (
                         acc_scratch[dx, pl.ds(row0, R_A)]
                         + res[:, 128 * dx:128 * (dx + 1)])
+                    acc_scratch[dx, pl.ds(row0, R_A), 0:1] = (
+                        acc_scratch[dx, pl.ds(row0, R_A), 0:1]
+                        + resf[:, dx:dx + 1])
 
             if SUBR is not None and SUBR < CLh + HR:
                 # dynamic row window (see _readout_kernel8): deposit

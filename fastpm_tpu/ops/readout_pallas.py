@@ -877,10 +877,15 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
 
                 Dot-merged: per block, ONE gather pair contracts a
                 comp-concatenated canvas (R_A, 384) against a
-                q0|q1|fix-concatenated one-hot (R_A, 3K) -- 36 small
-                dots/round become 4. Same MACs, but the MXU pays the
-                fill/dispatch cost 9x less often (the small dots
-                measured at ~38% of peak, BENCH_NOTES roofline)."""
+                q0|q1-concatenated one-hot (R_A, 2K) -- the 24 small
+                dots/round become 4. The lane-127 crossing fix rides a
+                SEPARATE skinny dot: the old 3K layout spent a full
+                (384, K) dot section on fix values of which only
+                sublane 0 per comp was read (1/3 of the gather MACs for
+                3/384 of its output); gathering canvas[hifix, lane0]
+                directly from the (R_A, 3) lane-0 columns costs a
+                (3, K) dot instead -- 36 -> 28 MXU tiles per hi/lo
+                pass."""
                 his, los, crossings = [], [], []
                 for b in range(2):
                     for d in (b * RXL, b * RXL + nzp):
@@ -896,8 +901,10 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
                          for b in range(2)]
                 Me = [l == lo_row for l in los]
                 Mo = [l + 1 == lo_row for l in los]
-                sub_row3 = jax.lax.broadcasted_iota(
-                    jnp.int32, (R_A, 3 * K), 0)
+                sub_row2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (R_A, 2 * K), 0)
+                sub_rowf = jax.lax.broadcasted_iota(
+                    jnp.int32, (R_A, K), 0)
 
                 def gather(b_hi, b_lo, A):
                     if gather_mode == "split":
@@ -922,54 +929,76 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
                     else pl.multiple_of(base8, 8)
                 for b in range(2):
                     hi_cat = jnp.concatenate(
-                        [his[2 * b], his[2 * b + 1], hifix[b]], axis=1)
-                    A3 = (sub_row3 == hi_cat).astype(mdt)
+                        [his[2 * b], his[2 * b + 1]], axis=1)
+                    A2 = (sub_row2 == hi_cat).astype(mdt)
+                    Af = (sub_rowf == hifix[b]).astype(mdt)
                     block = jnp.concatenate(
                         [canvas_scratch[cslot, b, comp,
                                         pl.ds(row0, R_A)]
                          for comp in range(3)], axis=1)   # (R_A, 384)
+                    # lane-0 columns of the 3 comps: the fix gather's
+                    # skinny canvas operand
+                    cols = jnp.concatenate(
+                        [canvas_scratch[cslot, b, comp,
+                                        pl.ds(row0, R_A), 0:1]
+                         for comp in range(3)], axis=1)   # (R_A, 3)
                     if gather_mode == "split":
                         b_hi = block.astype(jnp.bfloat16)
                         b_lo = (block - b_hi.astype(jnp.float32)
                                 ).astype(jnp.bfloat16)
+                        c_hi = cols.astype(jnp.bfloat16)
+                        c_lo = (cols - c_hi.astype(jnp.float32)
+                                ).astype(jnp.bfloat16)
                     else:
                         b_hi, b_lo = block, None
+                        c_hi, c_lo = cols, None
                     if ablate == "nodot":
                         # perf ablation: skip the MXU gather but keep
                         # all mask/sum VPU work. res = a sublane
-                        # broadcast of one canvas row tiled to 3K
+                        # broadcast of one canvas row tiled to 2K
                         # lanes ((1,1)->2D broadcasts are
                         # unimplemented in Mosaic; (1,N)->(M,N) works)
-                        reps = -(-3 * K // 384)
+                        reps = -(-2 * K // 384)
                         row = jnp.concatenate(
                             [block[0:1].astype(jnp.float32)] * reps,
-                            axis=1)[:, :3 * K]
-                        res = jnp.broadcast_to(row, (384, 3 * K))
+                            axis=1)[:, :2 * K]
+                        res = jnp.broadcast_to(row, (384, 2 * K))
+                        fixres = jnp.broadcast_to(
+                            row[:, :K], (8, K))
                     else:
-                        res = gather(b_hi, b_lo, A3)      # (384, 3K)
+                        res = gather(b_hi, b_lo, A2)      # (384, 2K)
+                        fixres = gather(c_hi, c_lo, Af)   # (3, K)
+                    # weighted lane one-hot WM[l,p] = w_even[p][l==lo]
+                    # + w_odd[p][l==lo+1], built ONCE per q and shared
+                    # by the 3 comps: the lane-select collapses to one
+                    # multiply+sum per (comp, q) instead of two
+                    # where+sum pairs + two scalar multiplies -- the
+                    # mask/sum VPU volume (which rivals the dot cost
+                    # per the nodot ablation) halves
+                    WMs, fixts = [], []
+                    for pi in range(2):
+                        q = 2 * b + pi
+                        WMs.append(
+                            jnp.where(Me[q], w_scratch[slot, 2 * q],
+                                      0.0)
+                            + jnp.where(Mo[q],
+                                        w_scratch[slot, 2 * q + 1],
+                                        0.0))                # (128, K)
+                        fixts.append(jnp.where(
+                            crossings[q],
+                            w_scratch[slot, 2 * q + 1], 0.0))  # (1, K)
+                    fixw = fixts[0] + fixts[1]
                     for comp in range(3):
-                        fixrow = res[128 * comp:128 * comp + 1,
-                                     2 * K:3 * K]
-                        acc = None
+                        acc = fixres[comp:comp + 1, :] * fixw
                         for pi in range(2):
-                            q = 2 * b + pi
                             tmp = res[128 * comp:128 * (comp + 1),
                                       K * pi:K * (pi + 1)]
                             if ablate == "nomask":
-                                v_even = tmp[0:1, :]
-                                v_odd = tmp[1:2, :]
+                                acc = acc + tmp[0:1, :]
                             else:
-                                v_even = jnp.sum(
-                                    jnp.where(Me[q], tmp, 0.0),
+                                acc = acc + jnp.sum(
+                                    WMs[pi] * tmp,
                                     axis=0, keepdims=True)
-                                v_odd = jnp.sum(
-                                    jnp.where(Mo[q], tmp, 0.0),
-                                    axis=0, keepdims=True)
-                            v_odd = v_odd + jnp.where(crossings[q],
-                                                      fixrow, 0.0)
-                            v = (v_even * w_scratch[slot, 2 * q]
-                                 + v_odd * w_scratch[slot, 2 * q + 1])
-                            acc = v if acc is None else acc + v
                         val_scratch[slot, comp] = \
                             val_scratch[slot, comp] + acc
 
