@@ -36,7 +36,7 @@ __all__ = ["paint_sorted", "make_paint_fn", "make_prepare_fn",
            "make_prepare_carry_fn", "make_paint_from_fn",
            "make_paint_from4_fn", "make_paint_from8_fn",
            "make_prepare_homed_fn",
-           "make_paint_from4_homed_fn"]
+           "make_paint_from4_homed_fn", "make_paint_from8_homed_fn"]
 
 
 def _corner_offsets_padded(nyp, nzp):
@@ -567,20 +567,26 @@ def make_paint_from_fn(pm: PM, K: int = 512, C: int | None = None,
 
 
 def make_prepare_homed_fn(shape, C: int | None = None,
-                          pad_to: int = 1024):
+                          pad_to: int = 1024,
+                          base_only: bool = False):
     """Prepared-bundle builder for the HOMED local slab (open x axis,
     periodic y/z): input is the precomputed (relx, iy, iz, frac) of
     parallel.psolver._cic_rel, so the cell math is bit-identical to the
     XLA homed paint. shape = (nx_local, Ny, Nz); the padded canvas is
-    (nx_local + 1, Ny + 1, Nz + 1) and the x face is NOT folded."""
+    (nx_local + 1, Ny + 1, Nz + 1) and the x face is NOT folded.
+
+    base_only: offset-0-only range table (see make_prepare_fn) --
+    valid when the bundle feeds the from8 homed kernels only."""
     nx, ny, nz = shape
     nyp, nzp = ny + 1, nz + 1
     if C is None:
-        # eight=False: the homed trio shares this window choice
+        # eight=False: the from4 homed trio shares this window choice
+        # (the from8 trio passes the eight=True C explicitly)
         C = auto_window_C(nyp, nzp, eight=False)
     mpad = (nx + 1) * nyp * nzp
     W = (mpad + C - 1) // C
-    offsets = _corner_offsets_padded(nyp, nzp)
+    offsets = ((0,) if base_only
+               else _corner_offsets_padded(nyp, nzp))
     min_pad = pad_to - 256
 
     def prepare(relx, iy, iz, frac, mass=None):
@@ -844,6 +850,103 @@ def make_paint_from4_fn(pm: PM, K: int = 512, C: int | None = None,
         canvas = canvas.at[0, :, 0].add(padded[nx, :ny, nz])
         canvas = canvas.at[:, 0, 0].add(padded[:nx, ny, nz])
         canvas = canvas.at[0, 0, 0].add(padded[nx, ny, nz])
+        if not (jnp.ndim(mass) == 0 and isinstance(mass, float)
+                and mass == 1.0):
+            canvas = canvas * mass
+        return canvas
+
+    return paint_from
+
+
+def make_paint_from8_homed_fn(shape, K: int = 512,
+                              C: int | None = None,
+                              interpret=False, vma=None,
+                              open_y: bool = False):
+    """Homed-slab paint with the ONE-pass 8-corner kernel
+    (_paint_kernel8): the from8 analog of make_paint_from4_homed_fn.
+    Returns the (nx_local + 1, Ny, Nz) extended canvas (open x; with
+    open_y also the +1 y plane) with only the periodic faces folded.
+    Consumes bundles from make_prepare_homed_fn(shape, C=<same C>);
+    only offset row 0 of the range table is used (base_only bundles
+    are valid)."""
+    nx, ny, nz = shape
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    if C is None:
+        C = auto_window_C(nyp, nzp, eight=True)
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024")
+    if K % 128:
+        raise ValueError("K must be a multiple of 128")
+    CLh = C // 128
+    HR = window_halo_rows(nyp, nzp, eight=False)
+    if HR > CLh:
+        raise ValueError("halo rows exceed the window (HR <= CLh "
+                         "required by the paint carry)")
+    kernel = functools.partial(_paint_kernel8, K=K, C=C, CLh=CLh,
+                               HR=HR, nyp=nyp, nzp=nzp, SUBR=None)
+
+    def sds(shape_):
+        if vma is None:
+            return jax.ShapeDtypeStruct(shape_, jnp.float32)
+        return jax.ShapeDtypeStruct(shape_, jnp.float32,
+                                    vma=frozenset(vma))
+
+    paint_call = pl.pallas_call(
+        kernel,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((1, 2, 128), lambda w: (0, 0, w // 128),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((CLh, 128), lambda w: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CLh, 128), lambda w: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HR, 128), lambda w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HR, 128), lambda w: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CLh + HR, 128), jnp.float32),
+            pltpu.VMEM((2, HR, 128), jnp.float32),
+            pltpu.VMEM((2, 1, K), jnp.int32),
+            pltpu.VMEM((2, 8, 1, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        out_shape=(sds((W * CLh, 128)), sds((W * CLh, 128)),
+                   sds((HR, 128)), sds((HR, 128))),
+        interpret=interpret,
+    )
+
+    xshift = nyp * nzp
+
+    def paint_from(prepared, mass=1.0):
+        ranges1 = ranges_lane_major(prepared)[0:1]      # (1, 2, W)
+        w8T = prepared.get("w8T_m", prepared["w8T"])
+        mainA, mainB, tailA, tailB = paint_call(
+            ranges1, prepared["cell_2d"], w8T)
+        flatA = jnp.concatenate([mainA, tailA]).reshape(-1)
+        flatB = jnp.concatenate([mainB, tailB]).reshape(-1)
+        # stream B's deposits live at cell + nyp*nzp (the dx=1 plane)
+        padded = (flatA[:mpad]
+                  + jnp.concatenate(
+                      [jnp.zeros((xshift,), jnp.float32),
+                       flatB[:mpad - xshift]]))
+        padded = padded.reshape(nxp, nyp, nzp)
+        if open_y:
+            canvas = padded[:, :, :nz]      # keep all x AND y planes
+            canvas = canvas.at[:, :, 0].add(padded[:, :, nz])
+        else:
+            canvas = padded[:, :ny, :nz]    # keep all x planes
+            canvas = canvas.at[:, 0, :].add(padded[:, ny, :nz])
+            canvas = canvas.at[:, :, 0].add(padded[:, :ny, nz])
+            canvas = canvas.at[:, 0, 0].add(padded[:, ny, nz])
         if not (jnp.ndim(mass) == 0 and isinstance(mass, float)
                 and mass == 1.0):
             canvas = canvas * mass

@@ -41,7 +41,8 @@ from .paint_pallas import (_corner_offsets_padded, auto_window_C,
 
 __all__ = ["make_readout3_fn", "make_readout3_from_fn",
            "make_readout3_from4_fn", "make_readout3_from8_fn",
-           "make_readout3_from4_homed_fn"]
+           "make_readout3_from4_homed_fn",
+           "make_readout3_from8_homed_fn"]
 
 
 def _readout_kernel(ranges_ref,      # SMEM (1, 8, 2) i32: [o] -> (s, e)
@@ -725,6 +726,104 @@ def make_readout3_from4_fn(pm: PM, K: int = 512, C: int | None = None,
     return readout3_from
 
 
+def make_readout3_from8_homed_fn(shape, K: int = 512,
+                                 C: int | None = None,
+                                 interpret=False, gather_mode="split",
+                                 vma=None, open_y: bool = False):
+    """Homed-slab 3-component readout with the ONE-pass 8-corner
+    kernel: the from8 analog of make_readout3_from4_homed_fn. Input
+    fields are the EXTENDED local slabs (nx_local + 1, Ny, Nz) -- or
+    with open_y the 2D extended pencils (nlx+2Hx+1, nly+2Hy+1, Nz) --
+    so only the periodic faces pad. Consumes bundles from
+    make_prepare_homed_fn(shape, C=<same C>); only offset row 0 of
+    the range table is used."""
+    nx, ny, nz = shape
+    nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
+    if C is None:
+        C = auto_window_C(nyp, nzp, eight=True)
+    mpad = nxp * nyp * nzp
+    W = (mpad + C - 1) // C
+    if C % 1024:
+        raise ValueError("C must be a multiple of 1024")
+    if K % 128:
+        raise ValueError("K must be a multiple of 128")
+    CLh, HR, RX, RXL = readout8_geometry_shape(nyp, nzp, C)
+    npad_blocks = W * CLh + RX + HR
+    kernel = functools.partial(_readout_kernel8, K=K, C=C, CLh=CLh,
+                               HR=HR, RX=RX, RXL=RXL, nyp=nyp, nzp=nzp,
+                               gather_mode=gather_mode, SUBR=None)
+
+    def build_call(n_padded):
+        return pl.pallas_call(
+            kernel,
+            grid=(W,),
+            in_specs=[
+                pl.BlockSpec((1, 2, 128), lambda w: (0, 0, w // 128),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, 3, CLh + HR, 128), jnp.float32),
+                pltpu.VMEM((2, 1, K), jnp.int32),
+                pltpu.VMEM((2, 8, 1, K), jnp.float32),
+                pltpu.VMEM((2, 3, 1, K), jnp.float32),
+                pltpu.VMEM((3, 1, K), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+            out_shape=(jax.ShapeDtypeStruct((3, 1, n_padded),
+                                            jnp.float32)
+                       if vma is None else
+                       jax.ShapeDtypeStruct((3, 1, n_padded),
+                                            jnp.float32,
+                                            vma=frozenset(vma))),
+            input_output_aliases={4: 0},
+            interpret=interpret,
+        )
+
+    def pad_canvas(field_ext):
+        """Extended field -> the flat (npad_blocks, 128) wrap-padded
+        window layout; only the periodic faces fold (the open-axis
+        halo planes are already in the field)."""
+        p = field_ext
+        if open_y:
+            p = jnp.concatenate([p, p[:, :, :1]], axis=2)
+        else:
+            p = jnp.concatenate([p, p[:, :1, :]], axis=1)
+            p = jnp.concatenate([p, p[:, :, :1]], axis=2)
+        flat = p.reshape(-1)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((npad_blocks * 128 - mpad,), jnp.float32)])
+        return flat.reshape(npad_blocks, 128)
+
+    def readout3_from(prepared, cx, cy, cz):
+        n = prepared["n"]
+        n_padded = prepared["cell_2d"].shape[1]
+        if n_padded % K:
+            raise ValueError("prepared padding not a multiple of K")
+        ranges1 = ranges_lane_major(prepared)[0:1]      # (1, 2, W)
+        canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
+                              pad_canvas(cz)])
+        val_init = jnp.zeros((3, 1, n_padded), jnp.float32)
+        vals = build_call(n_padded)(
+            ranges1, prepared["cell_2d"], prepared["w8T"],
+            canvases, val_init)[:, 0, :n]
+        if prepared.get("orig") is None:
+            return jnp.stack([vals[0], vals[1], vals[2]], axis=-1)
+        return jnp.stack(jax.lax.sort(
+            (prepared["orig"], vals[0], vals[1], vals[2]),
+            num_keys=1)[1:], axis=-1)
+
+    return readout3_from
+
+
 def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
                      cell_hbm,       # (1, Npad) i32 sorted padded cells
                      w8T_hbm,        # (8, 1, Npad) f32 corner weights
@@ -1058,13 +1157,9 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
         flush_carry()
 
 
-def readout8_geometry(pm: PM, C: int = 8192):
-    """Canvas-window geometry of the 8-corner readout kernel:
-    (CLh, HR, RX, RXL). Single source of truth -- the stale stepper's
-    safe-span check (ops/stale.py) imports this so it can never
-    desynchronize from the kernel."""
-    _nx, ny, nz = pm.Nmesh
-    nyp, nzp = ny + 1, nz + 1
+def readout8_geometry_shape(nyp: int, nzp: int, C: int = 8192):
+    """Canvas-window geometry of the 8-corner readout kernel from the
+    padded plane shape: (CLh, HR, RX, RXL)."""
     CLh = C // 128
     RX = (nyp * nzp) // 128
     RX = (RX // 8) * 8            # DMA row starts must stay 8-aligned
@@ -1072,6 +1167,15 @@ def readout8_geometry(pm: PM, C: int = 8192):
     # halo rows: max rel = C - 1 + RXL + nzp + 1
     HR = window_halo_rows(nyp, nzp, eight=True)
     return CLh, HR, RX, RXL
+
+
+def readout8_geometry(pm: PM, C: int = 8192):
+    """Canvas-window geometry of the 8-corner readout kernel:
+    (CLh, HR, RX, RXL). Single source of truth -- the stale stepper's
+    safe-span check (ops/stale.py) imports this so it can never
+    desynchronize from the kernel."""
+    _nx, ny, nz = pm.Nmesh
+    return readout8_geometry_shape(ny + 1, nz + 1, C)
 
 
 def make_readout3_from8_fn(pm: PM, K: int = 512, C: int | None = None,

@@ -42,6 +42,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -361,21 +363,42 @@ def _force_local_homed(spm: SlabPM, x, kernel_type: str, H: int,
 _HOMED_KERNEL_CACHE = {}
 
 
+def _homed_trio(shape, vma, interpret, open_y):
+    """Build the (prepare, paint, readout3) trio for a homed extended
+    shape. Default: the ONE-pass 8-corner kernels with a shared
+    eight=True window and base-only range tables (same kernels as the
+    single-chip fused path). FASTPM_TPU_HOMED_KERNEL=from4 restores
+    the 2-pass kernels (re-measurement escape hatch)."""
+    from ..ops.paint_pallas import (make_prepare_homed_fn,
+                                    make_paint_from4_homed_fn,
+                                    make_paint_from8_homed_fn,
+                                    auto_window_C)
+    from ..ops.readout_pallas import (make_readout3_from4_homed_fn,
+                                      make_readout3_from8_homed_fn)
+    if os.environ.get("FASTPM_TPU_HOMED_KERNEL", "from8") == "from4":
+        return (make_prepare_homed_fn(shape),
+                make_paint_from4_homed_fn(shape, interpret=interpret,
+                                          vma=vma, open_y=open_y),
+                make_readout3_from4_homed_fn(shape, interpret=interpret,
+                                             vma=vma, open_y=open_y))
+    nyp, nzp = shape[1] + 1, shape[2] + 1
+    C = auto_window_C(nyp, nzp, eight=True)
+    return (make_prepare_homed_fn(shape, C=C, base_only=True),
+            make_paint_from8_homed_fn(shape, C=C, interpret=interpret,
+                                      vma=vma, open_y=open_y),
+            make_readout3_from8_homed_fn(shape, C=C,
+                                         interpret=interpret,
+                                         vma=vma, open_y=open_y))
+
+
 def _homed_kernels(shape, axis, interpret=False):
     """Cached Pallas kernel builders for a homed local mesh shape.
     axis is the shard_map mesh axis (the pallas outputs' vma)."""
-    key = (tuple(shape), axis, bool(interpret))
+    key = (tuple(shape), axis, bool(interpret),
+           os.environ.get("FASTPM_TPU_HOMED_KERNEL", "from8"))
     fns = _HOMED_KERNEL_CACHE.get(key)
     if fns is None:
-        from ..ops.paint_pallas import (make_prepare_homed_fn,
-                                        make_paint_from4_homed_fn)
-        from ..ops.readout_pallas import make_readout3_from4_homed_fn
-        vma = {axis}
-        fns = (make_prepare_homed_fn(shape),
-               make_paint_from4_homed_fn(shape, interpret=interpret,
-                                         vma=vma),
-               make_readout3_from4_homed_fn(shape, interpret=interpret,
-                                            vma=vma))
+        fns = _homed_trio(shape, {axis}, interpret, open_y=False)
         _HOMED_KERNEL_CACHE[key] = fns
     return fns
 
@@ -384,18 +407,11 @@ def _homed_kernels_pencil(shape, axes, interpret=False):
     """Cached Pallas kernel builders for the PENCIL-homed extended
     shape (nlx + 2Hx, nly + 2Hy, Nz): x AND y are open halo axes
     (open_y=True), vma spans both mesh axes."""
-    key = (tuple(shape), tuple(axes), bool(interpret), "pencil")
+    key = (tuple(shape), tuple(axes), bool(interpret), "pencil",
+           os.environ.get("FASTPM_TPU_HOMED_KERNEL", "from8"))
     fns = _HOMED_KERNEL_CACHE.get(key)
     if fns is None:
-        from ..ops.paint_pallas import (make_prepare_homed_fn,
-                                        make_paint_from4_homed_fn)
-        from ..ops.readout_pallas import make_readout3_from4_homed_fn
-        vma = set(axes)
-        fns = (make_prepare_homed_fn(shape),
-               make_paint_from4_homed_fn(shape, interpret=interpret,
-                                         vma=vma, open_y=True),
-               make_readout3_from4_homed_fn(shape, interpret=interpret,
-                                            vma=vma, open_y=True))
+        fns = _homed_trio(shape, set(axes), interpret, open_y=True)
         _HOMED_KERNEL_CACHE[key] = fns
     return fns
 

@@ -541,3 +541,58 @@ def test_slab_homed_pallas_mass_weighted():
     assert int(bad_x) == 0 and int(bad_p) == 0
     np.testing.assert_allclose(np.asarray(acc_p), np.asarray(acc_x),
                                atol=1e-5)
+
+
+def test_homed_from8_kernels_match_from4():
+    """The from8 homed kernel trio (one-pass 8-corner, base-only
+    ranges, eight=True window) must reproduce the from4 trio's
+    extended canvas and readout values bit-closely on the same
+    bundle inputs, for both the slab (open x) and pencil (open x+y)
+    extended shapes."""
+    from fastpm_tpu.ops.paint_pallas import (
+        make_prepare_homed_fn, make_paint_from4_homed_fn,
+        make_paint_from8_homed_fn)
+    from fastpm_tpu.ops.readout_pallas import (
+        make_readout3_from4_homed_fn, make_readout3_from8_homed_fn)
+
+    rng = np.random.RandomState(77)
+    for open_y, shape in ((False, (6, 16, 16)), (True, (8, 10, 16))):
+        nx, ny, nz = shape
+        n = 3000
+        relx = jnp.asarray(rng.randint(0, nx, n).astype(np.int32))
+        iy = jnp.asarray(rng.randint(0, ny, n).astype(np.int32))
+        iz = jnp.asarray(rng.randint(0, nz, n).astype(np.int32))
+        frac = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+        mass = jnp.asarray((0.5 + rng.rand(n)).astype(np.float32))
+
+        p4 = jax.jit(make_prepare_homed_fn(shape, C=1024))(
+            relx, iy, iz, frac, mass)
+        p8 = jax.jit(make_prepare_homed_fn(shape, C=1024,
+                                           base_only=True))(
+            relx, iy, iz, frac, mass)
+        paint4 = make_paint_from4_homed_fn(shape, K=256, C=1024,
+                                           interpret=True,
+                                           open_y=open_y)
+        paint8 = make_paint_from8_homed_fn(shape, K=256, C=1024,
+                                           interpret=True,
+                                           open_y=open_y)
+        c4 = np.asarray(paint4(p4))
+        c8 = np.asarray(paint8(p8))
+        assert c4.shape == c8.shape
+        np.testing.assert_allclose(c8, c4, atol=1e-5,
+                                   err_msg=f"paint open_y={open_y}")
+
+        ro4 = make_readout3_from4_homed_fn(shape, K=256, C=1024,
+                                           interpret=True,
+                                           open_y=open_y)
+        ro8 = make_readout3_from8_homed_fn(shape, K=256, C=1024,
+                                           interpret=True,
+                                           open_y=open_y)
+        fshape = ((nx + 1, ny + 1, nz) if open_y
+                  else (nx + 1, ny, nz))
+        fs = [jnp.asarray(rng.standard_normal(fshape)
+                          .astype(np.float32)) for _ in range(3)]
+        v4 = np.asarray(ro4(p4, *fs))
+        v8 = np.asarray(ro8(p8, *fs))
+        np.testing.assert_allclose(v8, v4, atol=1e-5,
+                                   err_msg=f"readout open_y={open_y}")
