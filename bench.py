@@ -60,7 +60,8 @@ def run_one(nc: int, b: int, nsteps: int, mmfft: bool = False,
             raise RuntimeError(f"stale mover overflow: {int(nb)}")
         return nc ** 3 * nsteps / dt
 
-    step = make_step_fn(pm, donate=False)
+    subr = int(os.environ.get("BENCH_SUBR", "0")) or None
+    step = make_step_fn(pm, donate=False, subr=subr)
     x1, v1, acc = step(x, v, coeffs)
     _ = float(jnp.sum(x1))
 
