@@ -163,8 +163,8 @@ def make_paint_fn(pm: PM, K: int = 256, C: int = 1024, interpret=False):
         in_specs=[
             pl.BlockSpec((1, 8, 2), lambda w, o: (w, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((CLh, 128), lambda w, o: (w, 0),
                                memory_space=pltpu.VMEM),
@@ -532,8 +532,8 @@ def make_paint_from_fn(pm: PM, K: int = 512, C: int | None = None,
         in_specs=[
             pl.BlockSpec((1, 8, 2), lambda w, o: (w, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((CLh, 128), lambda w, o: (w, 0),
                                memory_space=pltpu.VMEM),
@@ -815,8 +815,8 @@ def make_paint_from4_fn(pm: PM, K: int = 512, C: int | None = None,
         in_specs=[
             pl.BlockSpec((1, 2, 2), lambda w: (w, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((CLh, 128), lambda w: (w, 0),
@@ -899,8 +899,8 @@ def make_paint_from8_homed_fn(shape, K: int = 512,
         in_specs=[
             pl.BlockSpec((1, 2, 128), lambda w: (0, 0, w // 128),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((CLh, 128), lambda w: (w, 0),
@@ -1193,8 +1193,8 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int | None = None,
         in_specs=[
             pl.BlockSpec((1, 2, 128), lambda w: (0, 0, w // 128),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((CLh, 128), lambda w: (w, 0),
@@ -1292,8 +1292,8 @@ def make_paint_from4_homed_fn(shape, K: int = 512, C: int | None = None,
         in_specs=[
             pl.BlockSpec((1, 2, 2), lambda w: (w, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((CLh, 128), lambda w: (w, 0),

@@ -189,13 +189,13 @@ def make_readout3_fn(pm: PM, K: int = 512, C: int = 4096,
             in_specs=[
                 pl.BlockSpec((1, 8, 2), lambda w: (w, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((3, CLh, 128), lambda w: (0, w, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 1, K), jnp.int32),
                 pltpu.VMEM((2, 1, K), jnp.float32),
@@ -312,13 +312,13 @@ def make_readout3_from_fn(pm: PM, K: int = 1024, C: int | None = None,
             in_specs=[
                 pl.BlockSpec((1, 8, 2), lambda w: (w, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((3, CLh, 128), lambda w: (0, w, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 1, K), jnp.int32),
                 pltpu.VMEM((2, 1, K), jnp.float32),
@@ -662,12 +662,12 @@ def make_readout3_from4_fn(pm: PM, K: int = 512, C: int | None = None,
             in_specs=[
                 pl.BlockSpec((1, 2, 2), lambda w: (w, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 3, CLh + HR, 128), jnp.float32),
                 pltpu.VMEM((2, 1, K), jnp.int32),
@@ -760,12 +760,12 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
             in_specs=[
                 pl.BlockSpec((1, 2, 128), lambda w: (0, 0, w // 128),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 2, 3, CLh + HR, 128), jnp.float32),
                 pltpu.VMEM((2, 1, K), jnp.int32),
@@ -1211,12 +1211,12 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int | None = None,
             in_specs=[
                 pl.BlockSpec((1, 2, 128), lambda w: (0, 0, w // 128),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 2, 3, CLh + HR, 128), jnp.float32),
                 pltpu.VMEM((2, 1, K), jnp.int32),
@@ -1315,12 +1315,12 @@ def make_readout3_from4_homed_fn(shape, K: int = 512,
             in_specs=[
                 pl.BlockSpec((1, 2, 2), lambda w: (w, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 3, CLh + HR, 128), jnp.float32),
                 pltpu.VMEM((2, 1, K), jnp.int32),

@@ -177,8 +177,8 @@ def make_merge_pairs_fn(n, B, P, interpret=None):
         outs = pl.pallas_call(
             kernel,
             grid=(npairs,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + P),
-            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.ANY)]
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + P),
+            out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)]
                             * (1 + P)),
             scratch_shapes=[
                 pltpu.VMEM((R, 128), jnp.int32),
