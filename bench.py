@@ -61,7 +61,8 @@ def run_one(nc: int, b: int, nsteps: int, mmfft: bool = False,
         return nc ** 3 * nsteps / dt
 
     subr = int(os.environ.get("BENCH_SUBR", "0")) or None
-    step = make_step_fn(pm, donate=False, subr=subr)
+    K = int(os.environ.get("BENCH_K", "512"))
+    step = make_step_fn(pm, donate=False, subr=subr, K=K)
     x1, v1, acc = step(x, v, coeffs)
     _ = float(jnp.sum(x1))
 
