@@ -87,9 +87,10 @@ def main():
         # scaling curve over (nc, B); one json line per config.
         # 256^3 B3 (768^3 mesh) runs via the adaptive c2r_pair
         # fallback (pair_ok False -> two plain c2r, O(half) peak mem)
+        mm = os.environ.get("BENCH_FFT", "mm") == "mm"
         for nc_i, b_i in ((128, 2), (256, 1), (256, 2), (192, 3),
                           (256, 3), (320, 2)):
-            rate = run_one(nc_i, b_i, nsteps)
+            rate = run_one(nc_i, b_i, nsteps, mmfft=mm)
             print(json.dumps({
                 "metric": f"pm_step_{nc_i}^3_B{b_i}",
                 "value": round(rate, 1),
