@@ -111,6 +111,90 @@ class SlabPM:
                                s=(pm.Nmesh[1], pm.Nmesh[2]))
         return x.astype(pm.dtype)
 
+    def c2r_grad3_local(self, pot_k, gradorder: int):
+        """The force step's three gradient inverses in ONE fused
+        distributed program (the sharded analog of mesh.c2r_grad3 /
+        ops/fftmm.grad3_c2r_direct): grad_d = c2r_local(i t_d pot_k).
+
+        Wins over 3x [apply_grad + c2r_local]:
+          * grad_y and grad_z SHARE the x-stage inverse AND its
+            all_to_all transpose -- 2 local x-stages + 2 transposes
+            instead of 3 (33% less ICI traffic for the inverse);
+          * the i*t_d diff tables fold into the synthesis matrices
+            (no separate transfer passes, no nyquist-mask multiplies
+            for order 1);
+          * every stage is a dense dot_general in its natural output
+            order -- the 3-stage axis rotation (x,yl,zh) -> (yl,zh,x)
+            -> [transpose] -> (n1,zh,xl) -> (zh,xl,n1) -> (xl,n1,nz)
+            closes with zero transposes, the all_to_all slotting
+            between stages positionally;
+          * the hermitian z-stage is the direct half->real synthesis
+            (the chip-measured winner over CT + hermitian extension).
+
+        Falls back to the unfused pipeline off the mm engine. Input:
+        y-sharded k (Nx, Ny/P, Nzh); output: three x-slab (Nx/P, Ny,
+        Nz) real fields."""
+        pm = self.pm
+        if not pm._use_mm_fft:
+            fks = [self.apply_grad(pot_k, d, gradorder)
+                   for d in range(3)]
+            return tuple(self.c2r_local(f) for f in fks)
+        from ..ops import fftmm
+        n0, n1, n2 = (int(v) for v in pm.Nmesh)
+        name = ["k", "k_finite"][gradorder]
+        if gradorder == 0:
+            # k_finite zeroes its Nyquist/DC planes by construction;
+            # plain i*k needs the explicit self-conjugate-mode zeroing
+            # (same gating as mesh.c2r_grad3)
+            pot_k = pot_k * (~self.nyquist_mask_local()).astype(pm.dtype)
+        p = fftmm._prec()
+        # Norm/N folds the r2c normalization and the inverse's 1/N
+        # into the x-stage tables (Norm == N for every PM, but keep
+        # the exact ratio for parity with c2r_local)
+        s = np.float32(float(pm.Norm) / (n0 * n1 * n2))
+        Bxr, Bxi = fftmm._idft_direct_tables(n0, n0)
+        Gxr, Gxi = fftmm._idft_direct_tables(n0, n0,
+                                             t=pm.table(name, 0))
+        Bxr, Bxi, Gxr, Gxi = (m * s for m in (Bxr, Bxi, Gxr, Gxi))
+        Byr, Byi = fftmm._idft_direct_tables(n1, n1)
+        Gyr, Gyi = fftmm._idft_direct_tables(n1, n1,
+                                             t=pm.table(name, 1))
+        Czr, Czi = fftmm._c2r_grad_tables(n2, n2)
+        Gzr, Gzi = fftmm._c2r_grad_tables(n2, n2, t=pm.table(name, 2))
+
+        def dot(a, m):
+            # contract the FIRST axis against (K, nout): natural
+            # dot_general order (free axes then nout)
+            return jnp.einsum("kab,kn->abn", a, jnp.asarray(m),
+                              precision=p)
+
+        def cstage(ar, ai, mr, mi):
+            return (dot(ar, mr) - dot(ai, mi),
+                    dot(ar, mi) + dot(ai, mr))
+
+        kr = jnp.real(pot_k).astype(jnp.float32)
+        ki = jnp.imag(pot_k).astype(jnp.float32)
+        # x-stages on the local x axis: shared U (grad_y/grad_z) and
+        # the tx-folded Ux (grad_x); outputs (Ny/P, Nzh, Nx)
+        U_r, U_i = cstage(kr, ki, Bxr, Bxi)
+        Ux_r, Ux_i = cstage(kr, ki, Gxr, Gxi)
+        # ONE stacked all_to_all moves both transposes: split x (last
+        # axis), concatenate onto y (axis 1 of the stack)
+        stk = jnp.stack([U_r, U_i, Ux_r, Ux_i])
+        stk = jax.lax.all_to_all(stk, self.axis, split_axis=3,
+                                 concat_axis=1, tiled=True)
+        U_r, U_i, Ux_r, Ux_i = (stk[j] for j in range(4))
+        # y-stages on the (now local) full y axis: (Nzh, Nx/P, Ny)
+        Ax_r, Ax_i = cstage(Ux_r, Ux_i, Byr, Byi)
+        Ay_r, Ay_i = cstage(U_r, U_i, Gyr, Gyi)
+        Az_r, Az_i = cstage(U_r, U_i, Byr, Byi)
+        # direct hermitian z synthesis: (Nx/P, Ny, Nz)
+        gx = dot(Ax_r, Czr) + dot(Ax_i, Czi)
+        gy = dot(Ay_r, Czr) + dot(Ay_i, Czi)
+        gz = dot(Az_r, Gzr) + dot(Az_i, Gzi)
+        return (gx.astype(pm.dtype), gy.astype(pm.dtype),
+                gz.astype(pm.dtype))
+
     # ---- shard-local k tables ----
 
     def ktable_local(self, name: str, d: int):

@@ -521,11 +521,27 @@ def _force_local_homed_multi(spm, xs, masses, kernel_type: str, H: int,
     if compute_tidal:
         fields += [("tidal", m) for m in range(6)]
 
-    fields_ext = []
-    for name, memb in fields:
-        fk = _apply_kernel_local(spm, delta_k, kernel_type, name, memb)
-        local = spm.c2r_local(fk)
-        fields_ext.append(_halo_gather(local, spm.axis, nloc, H, nproc))
+    if (not compute_potential and not compute_tidal
+            and hasattr(spm, "c2r_grad3_local")):
+        # fused distributed 3-gradient inverse: shared x-stage +
+        # shared all_to_all for grad_y/grad_z, diff tables folded
+        # into the synthesis matrices (2 transposes instead of 3)
+        potorder, gradorder, _d, deconv = kernel_orders(kernel_type)
+        out = delta_k
+        for _ in range(deconv):
+            out = spm.apply_decic(out)
+        pot_k = spm.apply_pot(out, potorder)
+        locs = spm.c2r_grad3_local(pot_k, gradorder)
+        fields_ext = [_halo_gather(g, spm.axis, nloc, H, nproc)
+                      for g in locs]
+    else:
+        fields_ext = []
+        for name, memb in fields:
+            fk = _apply_kernel_local(spm, delta_k, kernel_type, name,
+                                     memb)
+            local = spm.c2r_local(fk)
+            fields_ext.append(_halo_gather(local, spm.axis, nloc, H,
+                                           nproc))
 
     outs = []
     for x, prepared in zip(xs, prepared_list):

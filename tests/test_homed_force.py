@@ -596,3 +596,46 @@ def test_homed_from8_kernels_match_from4():
         v8 = np.asarray(ro8(p8, *fs))
         np.testing.assert_allclose(v8, v4, atol=1e-5,
                                    err_msg=f"readout open_y={open_y}")
+
+
+def test_homed_fused_grad3_mm(mesh8, monkeypatch):
+    """c2r_grad3_local (shared-x-stage fused distributed inverse on
+    the mm engine) must reproduce the unfused [apply_grad +
+    c2r_local] pipeline, and the homed force using it must still
+    match the global force."""
+    monkeypatch.setenv("FASTPM_TPU_FFT", "mm")
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)
+    assert pm._use_mm_fft
+    spm = SlabPM(pm, mesh8, axis="x")
+    rng = np.random.RandomState(17)
+    field = jnp.asarray(rng.standard_normal((nc, nc, nc))
+                        .astype(np.float32))
+
+    def local_both(slab):
+        dk = spm.r2c_local(slab)
+        fused = spm.c2r_grad3_local(dk, 1)
+        unf = tuple(spm.c2r_local(spm.apply_grad(dk, d, 1))
+                    for d in range(3))
+        return fused, unf
+
+    spec = P("x")
+    fn = jax.jit(jax.shard_map(local_both, mesh=mesh8,
+                               in_specs=spec,
+                               out_specs=((spec,) * 3, (spec,) * 3)))
+    fused, unf = fn(field)
+    for d in range(3):
+        np.testing.assert_allclose(np.asarray(fused[d]),
+                                   np.asarray(unf[d]),
+                                   atol=2e-5, err_msg=f"grad {d}")
+
+    # end-to-end: homed force on the mm engine vs the global force
+    x = jittered_lattice(nc, box, jitter_cells=0.9, seed=3)
+    painter = Painter(pm, "cic", 2)
+    (ref_store,), _ = compute_force(pm, painter, [Store(x=x, M0=1.0)],
+                                    "1_4")
+    acc, bad = homed_force(pm, mesh8, x, H=2)
+    assert int(bad) == 0
+    np.testing.assert_allclose(np.asarray(acc),
+                               np.asarray(ref_store.acc), atol=2e-5)
