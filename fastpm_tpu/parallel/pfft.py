@@ -29,6 +29,29 @@ from ..mesh import PM
 __all__ = ["SlabPM", "PencilPM", "make_engine"]
 
 
+def _grad3_tables(pm, gradorder: int):
+    """Shared synthesis matrices for the fused distributed 3-gradient
+    inverse (slab AND pencil): per-axis inverse-DFT tables with the
+    i*t_d diff fold, the r2c 1/Norm + inverse 1/N normalization folded
+    once into the x-stage, and the hermitian z half->real pair.
+
+    Returns (Bx, Gx, By, Gy, Cz, Gz) where each entry is an (r, i)
+    numpy table pair."""
+    from ..ops import fftmm
+    n0, n1, n2 = (int(v) for v in pm.Nmesh)
+    name = ["k", "k_finite"][gradorder]
+    s = np.float32(float(pm.Norm) / (n0 * n1 * n2))
+    Bx = fftmm._idft_direct_tables(n0, n0)
+    Gx = fftmm._idft_direct_tables(n0, n0, t=pm.table(name, 0))
+    Bx = tuple(m * s for m in Bx)
+    Gx = tuple(m * s for m in Gx)
+    By = fftmm._idft_direct_tables(n1, n1)
+    Gy = fftmm._idft_direct_tables(n1, n1, t=pm.table(name, 1))
+    Cz = fftmm._c2r_grad_tables(n2, n2)
+    Gz = fftmm._c2r_grad_tables(n2, n2, t=pm.table(name, 2))
+    return Bx, Gx, By, Gy, Cz, Gz
+
+
 def make_engine(pm, mesh):
     """Pick the decomposition by the mesh shape: 1D -> slab (FFTW-MPI
     analog), 2D -> pencil (PFFT analog, pmpfft.c:108-134)."""
@@ -140,27 +163,14 @@ class SlabPM:
                    for d in range(3)]
             return tuple(self.c2r_local(f) for f in fks)
         from ..ops import fftmm
-        n0, n1, n2 = (int(v) for v in pm.Nmesh)
-        name = ["k", "k_finite"][gradorder]
         if gradorder == 0:
             # k_finite zeroes its Nyquist/DC planes by construction;
             # plain i*k needs the explicit self-conjugate-mode zeroing
             # (same gating as mesh.c2r_grad3)
             pot_k = pot_k * (~self.nyquist_mask_local()).astype(pm.dtype)
         p = fftmm._prec()
-        # Norm/N folds the r2c normalization and the inverse's 1/N
-        # into the x-stage tables (Norm == N for every PM, but keep
-        # the exact ratio for parity with c2r_local)
-        s = np.float32(float(pm.Norm) / (n0 * n1 * n2))
-        Bxr, Bxi = fftmm._idft_direct_tables(n0, n0)
-        Gxr, Gxi = fftmm._idft_direct_tables(n0, n0,
-                                             t=pm.table(name, 0))
-        Bxr, Bxi, Gxr, Gxi = (m * s for m in (Bxr, Bxi, Gxr, Gxi))
-        Byr, Byi = fftmm._idft_direct_tables(n1, n1)
-        Gyr, Gyi = fftmm._idft_direct_tables(n1, n1,
-                                             t=pm.table(name, 1))
-        Czr, Czi = fftmm._c2r_grad_tables(n2, n2)
-        Gzr, Gzi = fftmm._c2r_grad_tables(n2, n2, t=pm.table(name, 2))
+        ((Bxr, Bxi), (Gxr, Gxi), (Byr, Byi), (Gyr, Gyi),
+         (Czr, Czi), (Gzr, Gzi)) = _grad3_tables(pm, gradorder)
 
         def dot(a, m):
             # contract the FIRST axis against (K, nout): natural
@@ -405,6 +415,69 @@ class PencilPM:
         else:
             x = jnp.fft.irfft(k, axis=2, n=pm.Nmesh[2])
         return x.astype(pm.dtype)
+
+    def c2r_grad3_local(self, pot_k, gradorder: int):
+        """Pencil counterpart of SlabPM.c2r_grad3_local: the three
+        gradient inverses as ONE fused two-hop program.
+
+        grad_y/grad_z share the x-stage inverse, both transposes are
+        stacked all_to_alls (the 'x' hop moves 2 complex fields
+        instead of 3; the 'y' hop moves 3, fused into one dispatch),
+        the i*t_d diff tables fold into the synthesis matrices, and
+        the z-stage is the direct hermitian half->real contraction on
+        the already-cropped kz planes. Input: transposed k shard
+        (Nx, Ny/Px, Nzp/Py); output: three real pencils
+        (Nx/Px, Ny/Py, Nz)."""
+        pm = self.pm
+        if not pm._use_mm_fft:
+            fks = [self.apply_grad(pot_k, d, gradorder)
+                   for d in range(3)]
+            return tuple(self.c2r_local(f) for f in fks)
+        from ..ops import fftmm
+        if gradorder == 0:
+            pot_k = pot_k * (~self.nyquist_mask_local()).astype(pm.dtype)
+        p = fftmm._prec()
+        ((Bxr, Bxi), (Gxr, Gxi), (Byr, Byi), (Gyr, Gyi),
+         (Czr, Czi), (Gzr, Gzi)) = _grad3_tables(pm, gradorder)
+
+        def dot(a, m):
+            # contract the FIRST axis; free axes keep order, output
+            # column appended last (dot_general-natural, zero
+            # transposes across the 3-stage axis rotation)
+            return jnp.einsum("kab,kn->abn", a, jnp.asarray(m),
+                              precision=p)
+
+        def cstage(ar, ai, mr, mi):
+            return (dot(ar, mr) - dot(ai, mi),
+                    dot(ar, mi) + dot(ai, mr))
+
+        kr = jnp.real(pot_k).astype(jnp.float32)
+        ki = jnp.imag(pot_k).astype(jnp.float32)
+        # x-stages on the full local x axis: (Ny/Px, Nzp/Py, Nx)
+        U_r, U_i = cstage(kr, ki, Bxr, Bxi)
+        Ux_r, Ux_i = cstage(kr, ki, Gxr, Gxi)
+        # hop 1: ONE stacked all_to_all over 'x' (split x, gather y)
+        stk = jnp.stack([U_r, U_i, Ux_r, Ux_i])
+        stk = jax.lax.all_to_all(stk, self.ax0, split_axis=3,
+                                 concat_axis=1, tiled=True)
+        U_r, U_i, Ux_r, Ux_i = (stk[j] for j in range(4))
+        # y-stages on the full y axis: (Nzp/Py, Nx/Px, Ny)
+        Ax_r, Ax_i = cstage(Ux_r, Ux_i, Byr, Byi)
+        Ay_r, Ay_i = cstage(U_r, U_i, Gyr, Gyi)
+        Az_r, Az_i = cstage(U_r, U_i, Byr, Byi)
+        # hop 2: ONE stacked all_to_all over 'y' (split y, gather z)
+        stk = jnp.stack([Ax_r, Ax_i, Ay_r, Ay_i, Az_r, Az_i])
+        stk = jax.lax.all_to_all(stk, self.ax1, split_axis=3,
+                                 concat_axis=1, tiled=True)
+        # crop the kz pad before the z synthesis: (Nzh, Nx/Px, Ny/Py)
+        stk = stk[:, :self.nzh]
+        Ax_r, Ax_i, Ay_r, Ay_i, Az_r, Az_i = (stk[j] for j in range(6))
+        # direct hermitian z synthesis: (Nx/Px, Ny/Py, Nz)
+        gx = dot(Ax_r, Czr) + dot(Ax_i, Czi)
+        gy = dot(Ay_r, Czr) + dot(Ay_i, Czi)
+        gz = dot(Az_r, Gzr) + dot(Az_i, Gzi)
+        return (gx.astype(pm.dtype), gy.astype(pm.dtype),
+                gz.astype(pm.dtype))
 
     # ---- shard-local k tables ----
 

@@ -748,13 +748,30 @@ def _force_local_homed_pencil_multi(ppm, xs, masses, kernel_type: str,
     if compute_tidal:
         fields += [("tidal", m) for m in range(6)]
 
-    fields_ext = []
-    for name, memb in fields:
-        fk = _apply_kernel_local(ppm, delta_k, kernel_type, name, memb)
-        local = ppm.c2r_local(fk)
-        f = _halo_gather(local, ax1, nly, Hy, py, dim=1)
-        f = _halo_gather(f, ax0, nlx, Hx, px, dim=0)
-        fields_ext.append(f)
+    if (not compute_potential and not compute_tidal
+            and hasattr(ppm, "c2r_grad3_local")):
+        # fused two-hop 3-gradient inverse: shared x-stage + stacked
+        # all_to_alls, diff tables folded into the synthesis matrices
+        potorder, gradorder, _d, deconv = kernel_orders(kernel_type)
+        out = delta_k
+        for _ in range(deconv):
+            out = ppm.apply_decic(out)
+        pot_k = ppm.apply_pot(out, potorder)
+        locs = ppm.c2r_grad3_local(pot_k, gradorder)
+        fields_ext = []
+        for g in locs:
+            f = _halo_gather(g, ax1, nly, Hy, py, dim=1)
+            f = _halo_gather(f, ax0, nlx, Hx, px, dim=0)
+            fields_ext.append(f)
+    else:
+        fields_ext = []
+        for name, memb in fields:
+            fk = _apply_kernel_local(ppm, delta_k, kernel_type, name,
+                                     memb)
+            local = ppm.c2r_local(fk)
+            f = _halo_gather(local, ax1, nly, Hy, py, dim=1)
+            f = _halo_gather(f, ax0, nlx, Hx, px, dim=0)
+            fields_ext.append(f)
 
     outs = []
     for x, prepared in zip(xs, prepared_list):

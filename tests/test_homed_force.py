@@ -639,3 +639,49 @@ def test_homed_fused_grad3_mm(mesh8, monkeypatch):
     assert int(bad) == 0
     np.testing.assert_allclose(np.asarray(acc),
                                np.asarray(ref_store.acc), atol=2e-5)
+
+
+def test_pencil_fused_grad3_mm(mesh42, monkeypatch):
+    """PencilPM.c2r_grad3_local (two stacked-all_to_all hops, shared
+    x-stage) must reproduce the unfused [apply_grad + c2r_local]
+    pipeline on the mm engine, and the pencil-homed force using it
+    must still match the global force."""
+    from fastpm_tpu.parallel.pfft import PencilPM
+
+    monkeypatch.setenv("FASTPM_TPU_FFT", "mm")
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)
+    assert pm._use_mm_fft
+    ppm = PencilPM(pm, mesh42, axes=("x", "y"))
+    rng = np.random.RandomState(29)
+    field = jnp.asarray(rng.standard_normal((nc, nc, nc))
+                        .astype(np.float32))
+
+    def local_both(pencil):
+        dk = ppm.r2c_local(pencil)
+        fused = ppm.c2r_grad3_local(dk, 1)
+        unf = tuple(ppm.c2r_local(ppm.apply_grad(dk, d, 1))
+                    for d in range(3))
+        return fused, unf
+
+    spec = P("x", "y")
+    fn = jax.jit(jax.shard_map(local_both, mesh=mesh42,
+                               in_specs=spec,
+                               out_specs=((spec,) * 3, (spec,) * 3)))
+    fused, unf = fn(field)
+    for d in range(3):
+        np.testing.assert_allclose(np.asarray(fused[d]),
+                                   np.asarray(unf[d]),
+                                   atol=2e-5, err_msg=f"grad {d}")
+
+    # end-to-end: pencil-homed force on the mm engine vs global force
+    x0 = jittered_lattice(nc, box, jitter_cells=0.9, seed=5)
+    x, _ids = pencil_blocked(x0, nc, 4, 2)
+    painter = Painter(pm, "cic", 2)
+    (ref_store,), _ = compute_force(pm, painter, [Store(x=x, M0=1.0)],
+                                    "1_4")
+    acc, bad = pencil_homed_force(pm, mesh42, x, Hx=2, Hy=2)
+    assert int(bad) == 0
+    np.testing.assert_allclose(np.asarray(acc),
+                               np.asarray(ref_store.acc), atol=2e-5)
