@@ -240,8 +240,9 @@ class PM:
     def r2c(self, x):
         """Real -> complex with 1/Norm so the round trip is unitary."""
         if self._use_mm_fft:
-            from .ops.fftmm import rfftn_mm
-            return (rfftn_mm(x) / self.Norm).astype(self.cdtype)
+            from .ops.fftmm import rfftn_mm, rfftn_direct2, _fwd_mode
+            fwd = rfftn_direct2 if _fwd_mode() == "direct2" else rfftn_mm
+            return (fwd(x) / self.Norm).astype(self.cdtype)
         return (jnp.fft.rfftn(x) / self.Norm).astype(self.cdtype)
 
     def c2r(self, k):
@@ -333,8 +334,12 @@ class PM:
                               for m in self.nyquist_masks_1d)
                 fk = fk * (1.0 - m0[:, None, None] * m1[None, :, None]
                            * m2[None, None, :])
-            if _grad3_mode() == "direct":
-                gx, gy, gz = grad3_c2r_direct(
+            mode = _grad3_mode()
+            if mode in ("direct", "direct2"):
+                from .ops.fftmm import grad3_c2r_direct2
+                fn = (grad3_c2r_direct2 if mode == "direct2"
+                      else grad3_c2r_direct)
+                gx, gy, gz = fn(
                     fk * self.Norm, self.Nmesh,
                     self.table(name, 0), self.table(name, 1),
                     self.table(name, 2), zext=zext, wrap=wrap)

@@ -386,7 +386,9 @@ def grad3_c2r_mm(pk, s, tx, ty, tz, zext: bool = False):
 def _grad3_mode() -> str:
     """FASTPM_TPU_GRAD3: 'direct' (default) runs the fused 3-gradient
     inverse as dense per-axis synthesis matmuls (grad3_c2r_direct);
-    'ct' keeps the Cooley-Tukey stage pipeline (grad3_c2r_mm)."""
+    'direct2' merges the real/imag parts into the contraction (ONE
+    GEMM per complex stage, ~1/3 the operand traffic; measurement
+    pending); 'ct' keeps the Cooley-Tukey stage pipeline."""
     import os
     return os.environ.get("FASTPM_TPU_GRAD3", "direct")
 
@@ -481,6 +483,105 @@ def grad3_c2r_direct(pk, s, tx, ty, tz, zext: bool = False,
     gy = dot(Ay_r, Czr, "zwu,zn->wun") + dot(Ay_i, Czi, "zwu,zn->wun")
     gz = dot(Az_r, Gzr, "zwu,zn->wun") + dot(Az_i, Gzi, "zwu,zn->wun")
     return gx, gy, gz
+
+
+def _blk2(Mr, Mi):
+    """(2, K, 2, N) merged-component block table for ONE-GEMM complex
+    contractions: out[s, n] = sum_{r,k} A[r, k] * T[r, k, s, n] with
+    r, s = 0 real / 1 imag reproduces (Ar + iAi) @ (Mr + iMi):
+    T[0,:,0]=Mr, T[1,:,0]=-Mi, T[0,:,1]=Mi, T[1,:,1]=Mr."""
+    return np.stack([np.stack([Mr, Mi], axis=1),
+                     np.stack([-Mi, Mr], axis=1)], axis=0)
+
+
+def grad3_c2r_direct2(pk, s, tx, ty, tz, zext: bool = False,
+                      wrap: bool = False):
+    """grad3_c2r_direct with the real/imag components MERGED into the
+    contraction: each complex stage is ONE dot_general over (component,
+    axis) against a constant 2x2 block table (_blk2) instead of 4 real
+    dots. Same FLOPs and identical math (the blocks are the same
+    matrices), but the stage input is read once instead of four times
+    and no separate subtract/add passes materialize -- the 26-dot
+    pipeline becomes 6 GEMMs. Shared sub-pipelines ride wider tables:
+    the X stage emits [U, Ux] (4 components) from one GEMM, the U-side
+    Y stage emits [Ay(i*ty), Az] likewise."""
+    nx, ny, nz = s
+    xout = nx + 1 if wrap else nx
+    yout = ny + 1 if wrap else ny
+    zout = nz + 1 if (wrap or zext) else nz
+    p = _prec()
+    scale = np.float32(1.0 / (nx * ny * nz))
+
+    def ein(sub, a, t):
+        return jnp.einsum(sub, a, jnp.asarray(t, jnp.float32),
+                          precision=p)
+
+    # X stage: one GEMM -> (y, z, [U_r, U_i, Ux_r, Ux_i], w); 1/N scale
+    # rides the constant tables
+    Axr, Axi = _idft_direct_tables(nx, xout)
+    Bxr, Bxi = _idft_direct_tables(nx, xout, tx)
+    TX = np.concatenate([_blk2(Axr, Axi), _blk2(Bxr, Bxi)],
+                        axis=2) * scale
+    A = jnp.stack([jnp.real(pk), jnp.imag(pk)])
+    O1 = ein("rxyz,rxsw->yzsw", A, TX)
+    U, Ux = O1[:, :, 0:2, :], O1[:, :, 2:4, :]
+
+    # Y stage: grad_x continues from Ux; [Ay (i*ty fold), Az] share one
+    # GEMM from U
+    Ayr, Ayi = _idft_direct_tables(ny, yout)
+    Byr, Byi = _idft_direct_tables(ny, yout, ty)
+    Ax = ein("yzsw,sycu->zwcu", Ux, _blk2(Ayr, Ayi))
+    O2 = ein("yzsw,sycu->zwcu", U,
+             np.concatenate([_blk2(Byr, Byi), _blk2(Ayr, Ayi)], axis=2))
+    Ay, Az = O2[:, :, 0:2, :], O2[:, :, 2:4, :]
+
+    # Z stage: hermitian half -> real (component contracts with z)
+    Czr, Czi = _c2r_grad_tables(nz, zout)
+    Gzr, Gzi = _c2r_grad_tables(nz, zout, tz)
+    gx = ein("zwcu,czn->wun", Ax, np.stack([Czr, Czi]))
+    gy = ein("zwcu,czn->wun", Ay, np.stack([Czr, Czi]))
+    gz = ein("zwcu,czn->wun", Az, np.stack([Gzr, Gzi]))
+    return gx, gy, gz
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_full_tables(N: int, sign: int):
+    """(N, N) full complex DFT matrix as (real, imag) f32 numpy."""
+    n = np.arange(N, dtype=np.int64)[:, None]
+    k = np.arange(N, dtype=np.int64)[None, :]
+    ang = 2.0 * np.pi * ((n * k) % N) / N
+    return (np.cos(ang).astype(np.float32),
+            (sign * np.sin(ang)).astype(np.float32))
+
+
+def rfftn_direct2(x):
+    """Forward rfftn (unnormalized, = jnp.fft.rfftn) with EVERY axis as
+    a dense merged-component matmul: hermitian z-stage first (halves
+    all later planes), then full complex DFTs over y and x as one GEMM
+    each (see grad3_c2r_direct2). 3 GEMMs total."""
+    nx, ny, nz = x.shape
+    p = _prec()
+    Cf, Sf = _r2c_direct_tables(nz)
+    O1 = jnp.einsum("xyn,nsk->xysk", x,
+                    jnp.asarray(np.stack([Cf, Sf], axis=1)),
+                    precision=p)                    # (nx, ny, 2, nzh)
+    Fyr, Fyi = _dft_full_tables(ny, -1)
+    O2 = jnp.einsum("xysk,sycu->xkcu", O1,
+                    jnp.asarray(_blk2(Fyr, Fyi)),
+                    precision=p)                    # (nx, nzh, 2, ky)
+    Fxr, Fxi = _dft_full_tables(nx, -1)
+    O3 = jnp.einsum("xkcu,cxdw->dwuk", O2,
+                    jnp.asarray(_blk2(Fxr, Fxi)),
+                    precision=p)                    # (2, kx, ky, kz)
+    return jax.lax.complex(O3[0], O3[1])
+
+
+def _fwd_mode() -> str:
+    """FASTPM_TPU_R2C: 'mm' (default: direct hermitian z-stage + CT
+    splits over y/x) or 'direct2' (rfftn_direct2: every axis dense,
+    merged components; measurement pending)."""
+    import os
+    return os.environ.get("FASTPM_TPU_R2C", "mm")
 
 
 # ---- axis-wise variants (the sharded slab/pencil engines do local

@@ -228,3 +228,51 @@ def test_c2r_grad3_direct_modes_and_wrap():
                                            rtol=0, atol=1e-6)
     finally:
         os.environ.pop("FASTPM_TPU_FFT", None)
+
+
+def test_merged_component_variants_match():
+    """grad3_c2r_direct2 (one GEMM per complex stage via 2x2 block
+    tables) == grad3_c2r_direct on both diff orders and both extension
+    flags, and rfftn_direct2 == numpy rfftn. Non-cubic mesh so an axis
+    mixup cannot cancel."""
+    from fastpm_tpu.ops import fftmm
+    rng = np.random.RandomState(7)
+    s = (16, 8, 32)
+    x = rng.standard_normal(s).astype(np.float32)
+    ref = np.fft.rfftn(x)
+    got = np.asarray(fftmm.rfftn_direct2(jnp.asarray(x)))
+    assert np.max(np.abs(got - ref)) < 2e-5 * np.max(np.abs(ref))
+
+    dk = jnp.asarray(ref.astype(np.complex64))
+    tabs = [rng.standard_normal(n).astype(np.float32)
+            for n in (16, 8, 17)]
+    for zext, wrap in ((False, False), (True, False), (False, True)):
+        a = fftmm.grad3_c2r_direct(dk, s, *tabs, zext=zext, wrap=wrap)
+        b = fftmm.grad3_c2r_direct2(dk, s, *tabs, zext=zext, wrap=wrap)
+        for u, v in zip(a, b):
+            u, v = np.asarray(u), np.asarray(v)
+            assert u.shape == v.shape
+            assert np.max(np.abs(u - v)) < 1e-5 * (
+                np.max(np.abs(u)) + 1e-8), (zext, wrap)
+
+
+def test_mesh_dispatch_direct2_modes():
+    """PM.r2c / PM.c2r_grad3 honor FASTPM_TPU_R2C / FASTPM_TPU_GRAD3
+    = direct2 and agree with the default mm engine."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.standard_normal((16, 16, 16)).astype(np.float32))
+    os.environ["FASTPM_TPU_FFT"] = "mm"
+    try:
+        pm = PM(16, 16.0)
+        base_k = np.asarray(pm.r2c(x))
+        base_g = [np.asarray(g) for g in pm.c2r_grad3(pm.r2c(x), 1)]
+        os.environ["FASTPM_TPU_R2C"] = "direct2"
+        os.environ["FASTPM_TPU_GRAD3"] = "direct2"
+        got_k = np.asarray(pm.r2c(x))
+        got_g = [np.asarray(g) for g in pm.c2r_grad3(pm.r2c(x), 1)]
+        assert np.max(np.abs(got_k - base_k)) < 2e-5 * np.max(np.abs(base_k))
+        for u, v in zip(base_g, got_g):
+            assert np.max(np.abs(u - v)) < 2e-5 * (np.max(np.abs(u)) + 1e-8)
+    finally:
+        for k in ("FASTPM_TPU_FFT", "FASTPM_TPU_R2C", "FASTPM_TPU_GRAD3"):
+            os.environ.pop(k, None)
