@@ -43,7 +43,7 @@ def main():
     for name, maker, K, C in configs:
         try:
             f = jax.jit(maker(pm, K=K, C=C))
-            prepared = get_prepared(C, max(K, 1024))
+            prepared = get_prepared(C, max(K, 2048))
             out = f(prepared)
             tot = float(jnp.sum(out))
             if ref_sum is None:

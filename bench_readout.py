@@ -52,11 +52,11 @@ def main():
         try:
             ro = jax.jit(make_readout3_from4_fn(pm, K=K, C=C,
                                                 gather_mode=mode))
-            prepared = get_prepared(C, x, "full", pad_to=max(K, 1024))
+            prepared = get_prepared(C, x, "full", pad_to=max(K, 2048))
             out = ro(prepared, *fields)
             _ = float(jnp.sum(out))
             # accuracy on the subset
-            psub = get_prepared(C, xs, "sub", pad_to=max(K, 1024))
+            psub = get_prepared(C, xs, "sub", pad_to=max(K, 2048))
             osub = np.asarray(ro(psub, *fields))
             scale = np.abs(ref).max()
             err = np.abs(osub - ref).max() / scale

@@ -60,10 +60,10 @@ def main():
             f = make_readout3_from8_fn(pm, K=K, C=C)
             ro = jit_static_n(f, n_full)
             ro_sub = jit_static_n(f, n_sub)
-            prepared = get_prepared(C, x, "full", pad_to=max(K, 1024))
+            prepared = get_prepared(C, x, "full", pad_to=max(K, 2048))
             out = ro(prepared, *fields)
             _ = float(jnp.sum(out))
-            psub = get_prepared(C, xs, "sub", pad_to=max(K, 1024))
+            psub = get_prepared(C, xs, "sub", pad_to=max(K, 2048))
             osub = np.asarray(ro_sub(psub, *fields))
             scale = np.abs(ref).max()
             err = np.abs(osub - ref).max() / scale

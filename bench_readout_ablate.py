@@ -36,7 +36,7 @@ def main():
     fields = [jax.random.normal(k, pm.rshape, jnp.float32)
               for k in jax.random.split(key, 3)]
 
-    prep = jax.jit(make_prepare_fn(pm, C=C, pad_to=max(K, 1024)))(x)
+    prep = jax.jit(make_prepare_fn(pm, C=C, pad_to=max(K, 2048)))(x)
     prep["n"] = int(prep["n"])
 
     for mode in modes:

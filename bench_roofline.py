@@ -79,7 +79,7 @@ def main():
     ssum = jax.jit(lambda a: sum(jnp.sum(leaf.astype(jnp.float32))
                                  for leaf in jax.tree.leaves(a)))
 
-    pad_to = max(K, 1024)
+    pad_to = max(K, 2048)
     prepare_carry = jax.jit(make_prepare_carry_fn(pm, C=C, pad_to=pad_to))
     paint_from = jax.jit(make_paint_from8_fn(pm, K=K, C=C))
     _ro3 = make_readout3_from8_fn(pm, K=K, C=C)

@@ -51,11 +51,11 @@ def make_step_fn(pm: PM, kernel_type: str = "1_4",
                                        make_paint_from8_fn)
         from .ops.readout_pallas import make_readout3_from8_fn
         # n pads to a multiple of pad_to with at least pad_to-256
-        # spare rows; the paint kernel's DMA reads K+128 past n, so
-        # pad_to must keep pad_to-256 >= K+128 AND stay a multiple of
-        # K (the kernels chunk by K). 2K satisfies both for K >= 512;
-        # the 1024 floor preserves the measured default at K=512.
-        pad_to = max(2 * K, 1024)
+        # spare rows; the from8 kernels DMA whole KD super-chunks, so
+        # pad_to must be a multiple of KD (and of K for the from4
+        # escape hatch).
+        from .ops.paint_pallas import DEFAULT_KD
+        pad_to = max(2 * K, DEFAULT_KD)
         # paint8 consumers read offset row 0 only -> base-only ranges
         prepare = make_prepare_fn(pm, C=C, pad_to=pad_to,
                                   base_only=paint8)

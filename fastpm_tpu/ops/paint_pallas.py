@@ -36,7 +36,26 @@ __all__ = ["paint_sorted", "make_paint_fn", "make_prepare_fn",
            "make_prepare_carry_fn", "make_paint_from_fn",
            "make_paint_from4_fn", "make_paint_from8_fn",
            "make_prepare_homed_fn",
-           "make_paint_from4_homed_fn", "make_paint_from8_homed_fn"]
+           "make_paint_from4_homed_fn", "make_paint_from8_homed_fn",
+           "pack_cw9", "DEFAULT_KD"]
+
+# DMA super-chunk width of the from8 kernels: cell+weight chunks are
+# fetched (and readout values written back) in KD-lane blocks with
+# KD/K inner compute sub-rounds. The per-round fixed cost (DMA issue +
+# semaphore wait + loop scalar work) was the measured b ~ 3.9 us/round
+# sync term of BENCH_NOTES round 3 -- batching 4 K-chunks per DMA and
+# packing cell+w8 into ONE HBM operand cuts the DMA issues per round
+# ~8x. Prepared bundles must be lane-padded to a multiple of KD.
+DEFAULT_KD = 2048
+
+
+def pack_cw9(cell_2d, w8T):
+    """Pack the sorted cells and corner weights into the ONE (9, 1, N)
+    f32 HBM operand the from8 kernels stream: row 0 is the i32 cell ids
+    bitcast to f32 (DMA moves bytes; the kernel bitcasts back), rows
+    1..8 the corner weights. One DMA per chunk instead of two."""
+    cell_f = jax.lax.bitcast_convert_type(cell_2d, jnp.float32)
+    return jnp.concatenate([cell_f[None], w8T], axis=0)
 
 
 def _corner_offsets_padded(nyp, nzp):
@@ -358,7 +377,8 @@ def ranges_lane_major(prepared):
     return lm
 
 
-def make_prepare_fn(pm: PM, C: int | None = None, pad_to: int = 1024,
+def make_prepare_fn(pm: PM, C: int | None = None,
+                    pad_to: int = DEFAULT_KD,
                     base_only: bool = False):
     """Shared sorted-bundle builder for the paint and readout kernels:
     ONE sort by padded cell (carrying fx, fy, fz and the original index)
@@ -403,13 +423,13 @@ def make_prepare_fn(pm: PM, C: int | None = None, pad_to: int = 1024,
 
         ranges, ranges_lm = _window_ranges(cell_s, W, C, offsets)
         return dict(ranges=ranges, ranges_lm=ranges_lm, cell_2d=cell_2d,
-                    w8T=w8T, orig=orig, n=n)
+                    w8T=w8T, cw9=pack_cw9(cell_2d, w8T), orig=orig, n=n)
 
     return prepare
 
 
 def make_prepare_carry_fn(pm: PM, C: int | None = None,
-                          pad_to: int = 1024,
+                          pad_to: int = DEFAULT_KD,
                           sort_block: int | None = None,
                           payload_gather: bool = False,
                           base_only: bool = False):
@@ -505,7 +525,8 @@ def make_prepare_carry_fn(pm: PM, C: int | None = None,
 
         ranges, ranges_lm = _window_ranges(cell_s, W, C, offsets)
         prepared = dict(ranges=ranges, ranges_lm=ranges_lm,
-                        cell_2d=cell_2d, w8T=w8T, orig=None, n=n)
+                        cell_2d=cell_2d, w8T=w8T,
+                        cw9=pack_cw9(cell_2d, w8T), orig=None, n=n)
         return prepared, xs, vs, extras_s
 
     return prepare
@@ -567,8 +588,9 @@ def make_paint_from_fn(pm: PM, K: int = 512, C: int | None = None,
 
 
 def make_prepare_homed_fn(shape, C: int | None = None,
-                          pad_to: int = 1024,
-                          base_only: bool = False):
+                          pad_to: int = DEFAULT_KD,
+                          base_only: bool = False,
+                          presorted: bool = False):
     """Prepared-bundle builder for the HOMED local slab (open x axis,
     periodic y/z): input is the precomputed (relx, iy, iz, frac) of
     parallel.psolver._cic_rel, so the cell math is bit-identical to the
@@ -576,7 +598,14 @@ def make_prepare_homed_fn(shape, C: int | None = None,
     (nx_local + 1, Ny + 1, Nz + 1) and the x face is NOT folded.
 
     base_only: offset-0-only range table (see make_prepare_fn) --
-    valid when the bundle feeds the from8 homed kernels only."""
+    valid when the bundle feeds the from8 homed kernels only.
+
+    presorted: the rows are ALREADY in extended-cell sorted order (the
+    caller sorted the particle columns through the cell key -- the
+    order-free homed carry, psolver._force_local_homed_carry): skip
+    the sort and emit orig=None, so the readout returns values aligned
+    with the caller's sorted rows and the un-sort payload sort
+    disappears."""
     nx, ny, nz = shape
     nyp, nzp = ny + 1, nz + 1
     if C is None:
@@ -597,13 +626,20 @@ def make_prepare_homed_fn(shape, C: int | None = None,
         readout (gravity weights are per-field, not per-mass)."""
         n = relx.shape[0]
         cell = ((relx * nyp + iy) * nzp + iz)
-        iota = jnp.arange(n, dtype=jnp.int32)
-        if mass is None:
+        if presorted:
+            cell_s, fx, fy, fz = (cell, frac[:, 0], frac[:, 1],
+                                  frac[:, 2])
+            m_s = (None if mass is None
+                   else mass.astype(jnp.float32))
+            orig = None
+        elif mass is None:
+            iota = jnp.arange(n, dtype=jnp.int32)
             cell_s, fx, fy, fz, orig = jax.lax.sort(
                 (cell, frac[:, 0], frac[:, 1], frac[:, 2], iota),
                 num_keys=1)
             m_s = None
         else:
+            iota = jnp.arange(n, dtype=jnp.int32)
             cell_s, fx, fy, fz, m_s, orig = jax.lax.sort(
                 (cell, frac[:, 0], frac[:, 1], frac[:, 2],
                  mass.astype(jnp.float32), iota), num_keys=1)
@@ -629,11 +665,13 @@ def make_prepare_homed_fn(shape, C: int | None = None,
             [jnp.searchsorted(cell_s, edges - off).astype(jnp.int32)
              for off in offsets], axis=1)
         ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
-        out = dict(ranges=ranges, cell_2d=cell_2d, w8T=pack8(w8_s),
-                   orig=orig, n=n)
+        w8T = pack8(w8_s)
+        out = dict(ranges=ranges, cell_2d=cell_2d, w8T=w8T,
+                   cw9=pack_cw9(cell_2d, w8T), orig=orig, n=n)
         if m_s is not None:
             # key PRESENCE is the static flag (a bool leaf would trace)
             out["w8T_m"] = pack8(w8_s * m_s[:, None])
+            out["cw9_m"] = pack_cw9(cell_2d, out["w8T_m"])
         return out
 
     return prepare
@@ -859,6 +897,7 @@ def make_paint_from4_fn(pm: PM, K: int = 512, C: int | None = None,
 
 
 def make_paint_from8_homed_fn(shape, K: int = 512,
+                              KD: int = DEFAULT_KD,
                               C: int | None = None,
                               interpret=False, vma=None,
                               open_y: bool = False):
@@ -884,7 +923,9 @@ def make_paint_from8_homed_fn(shape, K: int = 512,
     if HR > CLh:
         raise ValueError("halo rows exceed the window (HR <= CLh "
                          "required by the paint carry)")
-    kernel = functools.partial(_paint_kernel8, K=K, C=C, CLh=CLh,
+    if KD % K or KD % 128:
+        raise ValueError("KD must be a multiple of K and 128")
+    kernel = functools.partial(_paint_kernel8, K=K, KD=KD, C=C, CLh=CLh,
                                HR=HR, nyp=nyp, nzp=nzp, SUBR=None)
 
     def sds(shape_):
@@ -900,7 +941,6 @@ def make_paint_from8_homed_fn(shape, K: int = 512,
             pl.BlockSpec((1, 2, 128), lambda w: (0, 0, w // 128),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((CLh, 128), lambda w: (w, 0),
@@ -915,9 +955,8 @@ def make_paint_from8_homed_fn(shape, K: int = 512,
         scratch_shapes=[
             pltpu.VMEM((2, CLh + HR, 128), jnp.float32),
             pltpu.VMEM((2, HR, 128), jnp.float32),
-            pltpu.VMEM((2, 1, K), jnp.int32),
-            pltpu.VMEM((2, 8, 1, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 9, 1, KD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=(sds((W * CLh, 128)), sds((W * CLh, 128)),
                    sds((HR, 128)), sds((HR, 128))),
@@ -928,9 +967,15 @@ def make_paint_from8_homed_fn(shape, K: int = 512,
 
     def paint_from(prepared, mass=1.0):
         ranges1 = ranges_lane_major(prepared)[0:1]      # (1, 2, W)
-        w8T = prepared.get("w8T_m", prepared["w8T"])
-        mainA, mainB, tailA, tailB = paint_call(
-            ranges1, prepared["cell_2d"], w8T)
+        if "w8T_m" in prepared:
+            cw9 = prepared.get("cw9_m")
+            if cw9 is None:
+                cw9 = pack_cw9(prepared["cell_2d"], prepared["w8T_m"])
+        else:
+            cw9 = prepared.get("cw9")
+            if cw9 is None:
+                cw9 = pack_cw9(prepared["cell_2d"], prepared["w8T"])
+        mainA, mainB, tailA, tailB = paint_call(ranges1, cw9)
         flatA = jnp.concatenate([mainA, tailA]).reshape(-1)
         flatB = jnp.concatenate([mainB, tailB]).reshape(-1)
         # stream B's deposits live at cell + nyp*nzp (the dx=1 plane)
@@ -956,18 +1001,16 @@ def make_paint_from8_homed_fn(shape, K: int = 512,
 
 
 def _paint_kernel8(ranges_ref,      # SMEM (1, 2, 128) i32 lane w%128
-                   cell_hbm,        # (1, Npad) i32 sorted padded cells
-                   w8T_hbm,         # (8, 1, Npad) f32 corner weights
+                   cw9_hbm,         # (9, 1, Npad) f32 packed cell+w8
                    outA_ref,        # VMEM (CLh, 128) dx=0 stream (piped)
                    outB_ref,        # VMEM (CLh, 128) dx=1 stream (piped)
                    tailA_ref,       # VMEM (HR, 128) final dx=0 halo tail
                    tailB_ref,       # VMEM (HR, 128) final dx=1 halo tail
                    acc_scratch,     # VMEM (2, CLh+HR, 128) f32 streams
                    carry_scratch,   # VMEM (2, HR, 128) f32 halo carries
-                   cell_scratch,    # VMEM (2, 1, K) i32
-                   w_scratch,       # VMEM (2, 8, 1, K) f32
-                   sems,            # DMA sems (2, 2): cell, w8
-                   *, K, C, CLh, HR, nyp, nzp, SUBR=None):
+                   cw_scratch,      # VMEM (2, 9, 1, KD) f32 packed
+                   sems,            # DMA sems (2,): packed chunk
+                   *, K, KD, C, CLh, HR, nyp, nzp, SUBR=None):
     """ONE-pass 8-corner deposit: each particle is visited once (the
     base-cell range of window w) and scatters into TWO accumulator
     streams -- stream 0 takes the dx=0 corner quadruple at rel =
@@ -975,11 +1018,18 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 2, 128) i32 lane w%128
     (semantically shifted by +nyp*nzp; the caller adds the streams
     with that flat offset in XLA). Halves the particle rounds and the
     cell/weight DMA of the 2-pass kernel (_paint_kernel4) at the cost
-    of a second output stream + one shifted add."""
+    of a second output stream + one shifted add.
+
+    Particle traffic streams as ONE packed (9, 1, KD) super-chunk DMA
+    (pack_cw9: row 0 = bitcast cells, rows 1..8 = corner weights) with
+    KD/K inner compute sub-rounds -- one DMA issue+wait per KD lanes
+    instead of two per K, attacking the measured per-round sync term
+    (BENCH_NOTES round 3: b ~ 3.9 us/round)."""
     w = pl.program_id(0)
     lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     base_window = w * C
+    SUB = KD // K
 
     acc_scratch[...] = jnp.zeros_like(acc_scratch)
     @pl.when(w > 0)
@@ -989,18 +1039,15 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 2, 128) i32 lane w%128
     wl = jax.lax.rem(w, 128)
     s = ranges_ref[0, 0, wl]
     e = ranges_ref[0, 1, wl]
-    j0 = s // K
-    j1 = jax.lax.div(e + K - 1, K)
+    j0 = s // KD
+    j1 = jax.lax.div(e + KD - 1, KD)
     nrounds = jnp.maximum(j1 - j0, 0)
 
     def make_in_copies(slot, r):
-        start = pl.multiple_of((j0 + r) * K, 128)
+        start = pl.multiple_of((j0 + r) * KD, 128)
         return [pltpu.make_async_copy(
-                    cell_hbm.at[:, pl.ds(start, K)],
-                    cell_scratch.at[slot], sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    w8T_hbm.at[:, :, pl.ds(start, K)],
-                    w_scratch.at[slot], sems.at[slot, 1])]
+                    cw9_hbm.at[:, :, pl.ds(start, KD)],
+                    cw_scratch.at[slot], sems.at[slot])]
 
     @pl.when(nrounds > 0)
     def _run():
@@ -1019,8 +1066,16 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 2, 128) i32 lane w%128
             for cp in make_in_copies(slot, r):
                 cp.wait()
 
-            start = (j0 + r) * K
-            cells = cell_scratch[slot]
+            sstart = (j0 + r) * KD
+            for sub in range(SUB):
+                _sub_round(slot, sstart + sub * K, sub)
+            return carry
+
+        def _sub_round(slot, start, sub):
+            ksl = pl.ds(sub * K, K)
+            cells = jax.lax.bitcast_convert_type(
+                cw_scratch[slot, 0, :, ksl], jnp.int32)
+            w_rows = [cw_scratch[slot, 1 + i, :, ksl] for i in range(8)]
             gidx = start + lane
             valid = (gidx >= s) & (gidx < e)
             rel0 = jnp.where(valid, cells - base_window, -2)
@@ -1073,15 +1128,13 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 2, 128) i32 lane w%128
                     for pi in range(2):
                         Bs.append(
                             jnp.where(Me[pi],
-                                      w_scratch[slot, 4 * dx + 2 * pi],
+                                      w_rows[4 * dx + 2 * pi],
                                       0.0)
                             + jnp.where(Mo[pi],
-                                        w_scratch[slot,
-                                                  4 * dx + 2 * pi + 1],
+                                        w_rows[4 * dx + 2 * pi + 1],
                                         0.0))
                         wc = jnp.where(crossings[pi],
-                                       w_scratch[slot,
-                                                 4 * dx + 2 * pi + 1],
+                                       w_rows[4 * dx + 2 * pi + 1],
                                        0.0)
                         w_cross = wc if w_cross is None else w_cross + wc
                     B_dx.append(jnp.concatenate(Bs, axis=1))  # (128,2K)
@@ -1122,28 +1175,29 @@ def _paint_kernel8(ranges_ref,      # SMEM (1, 2, 128) i32 lane w%128
                         acc_scratch[dx, pl.ds(row0, R_A), 0:1]
                         + resf[:, dx:dx + 1])
 
-            if SUBR is not None and SUBR < CLh + HR:
-                # dynamic row window (see _readout_kernel8): deposit
-                # dots shrink from (CLh+HR, K) to (SUBR, K); sparse
-                # chunks overflowing the window take the full path
-                row_lo = jnp.min(jnp.where(valid, rel0,
-                                           C + nzp)) >> 7
-                # +1 row: the lane-127 fix writes hi+1
-                row_hi = ((jnp.max(jnp.where(valid, rel0, 0))
-                           + nzp) >> 7) + 1
-                base8 = jnp.clip(row_lo & ~7, 0, CLh + HR - SUBR)
-                fits = row_hi - base8 < SUBR
+            @pl.when((start < e) & (start + K > s))
+            def _overlap():
+                if SUBR is not None and SUBR < CLh + HR:
+                    # dynamic row window (see _readout_kernel8): deposit
+                    # dots shrink from (CLh+HR, K) to (SUBR, K); sparse
+                    # chunks overflowing the window take the full path
+                    row_lo = jnp.min(jnp.where(valid, rel0,
+                                               C + nzp)) >> 7
+                    # +1 row: the lane-127 fix writes hi+1
+                    row_hi = ((jnp.max(jnp.where(valid, rel0, 0))
+                               + nzp) >> 7) + 1
+                    base8 = jnp.clip(row_lo & ~7, 0, CLh + HR - SUBR)
+                    fits = row_hi - base8 < SUBR
 
-                @pl.when(fits)
-                def _fast():
-                    do_round(SUBR, base8)
+                    @pl.when(fits)
+                    def _fast():
+                        do_round(SUBR, base8)
 
-                @pl.when(jnp.logical_not(fits))
-                def _slow():
+                    @pl.when(jnp.logical_not(fits))
+                    def _slow():
+                        do_round(CLh + HR, 0)
+                else:
                     do_round(CLh + HR, 0)
-            else:
-                do_round(CLh + HR, 0)
-            return carry
 
         jax.lax.fori_loop(0, nrounds, body, 0)
 
@@ -1163,11 +1217,13 @@ def paint8_geometry(pm: PM, C: int = 8192):
     return CLh, window_halo_rows(nyp, nzp, eight=False)
 
 
-def make_paint_from8_fn(pm: PM, K: int = 512, C: int | None = None,
+def make_paint_from8_fn(pm: PM, K: int = 512, KD: int = DEFAULT_KD,
+                        C: int | None = None,
                         interpret=False, subr: int | None = None):
     """paint_from with the ONE-pass 8-corner kernel (_paint_kernel8).
     Consumes the same prepared bundle as the 2-pass variant; only
-    offset row 0 of the range table is used."""
+    offset row 0 of the range table is used. Particle traffic streams
+    through the packed cw9 operand in KD-lane super-chunk DMAs."""
     nx, ny, nz = pm.Nmesh
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
     if C is None:
@@ -1178,13 +1234,15 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int | None = None,
         raise ValueError("C must be a multiple of 1024")
     if K % 128:
         raise ValueError("K must be a multiple of 128")
+    if KD % K or KD % 128:
+        raise ValueError("KD must be a multiple of K and 128")
     CLh, HR = paint8_geometry(pm, C)
     if HR > CLh:
         raise ValueError("halo rows exceed the window (HR <= CLh "
                          "required by the paint carry)")
     if subr is not None and subr % 8:
         raise ValueError("subr must be a multiple of 8")
-    kernel = functools.partial(_paint_kernel8, K=K, C=C, CLh=CLh,
+    kernel = functools.partial(_paint_kernel8, K=K, KD=KD, C=C, CLh=CLh,
                                HR=HR, nyp=nyp, nzp=nzp, SUBR=subr)
 
     paint_call = pl.pallas_call(
@@ -1193,7 +1251,6 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int | None = None,
         in_specs=[
             pl.BlockSpec((1, 2, 128), lambda w: (0, 0, w // 128),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
@@ -1209,9 +1266,8 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int | None = None,
         scratch_shapes=[
             pltpu.VMEM((2, CLh + HR, 128), jnp.float32),
             pltpu.VMEM((2, HR, 128), jnp.float32),
-            pltpu.VMEM((2, 1, K), jnp.int32),
-            pltpu.VMEM((2, 8, 1, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 9, 1, KD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=(jax.ShapeDtypeStruct((W * CLh, 128), jnp.float32),
                    jax.ShapeDtypeStruct((W * CLh, 128), jnp.float32),
@@ -1224,8 +1280,10 @@ def make_paint_from8_fn(pm: PM, K: int = 512, C: int | None = None,
 
     def paint_from(prepared, mass=1.0):
         ranges1 = ranges_lane_major(prepared)[0:1]      # (1, 2, W)
-        mainA, mainB, tailA, tailB = paint_call(
-            ranges1, prepared["cell_2d"], prepared["w8T"])
+        cw9 = prepared.get("cw9")
+        if cw9 is None:
+            cw9 = pack_cw9(prepared["cell_2d"], prepared["w8T"])
+        mainA, mainB, tailA, tailB = paint_call(ranges1, cw9)
         flatA = jnp.concatenate([mainA, tailA]).reshape(-1)
         flatB = jnp.concatenate([mainB, tailB]).reshape(-1)
         # stream B's deposits live at cell + nyp*nzp (the dx=1 plane)

@@ -727,6 +727,7 @@ def make_readout3_from4_fn(pm: PM, K: int = 512, C: int | None = None,
 
 
 def make_readout3_from8_homed_fn(shape, K: int = 512,
+                                 KD: int | None = None,
                                  C: int | None = None,
                                  interpret=False, gather_mode="split",
                                  vma=None, open_y: bool = False):
@@ -737,6 +738,9 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
     so only the periodic faces pad. Consumes bundles from
     make_prepare_homed_fn(shape, C=<same C>); only offset row 0 of
     the range table is used."""
+    from .paint_pallas import DEFAULT_KD
+    if KD is None:
+        KD = DEFAULT_KD
     nx, ny, nz = shape
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
     if C is None:
@@ -747,9 +751,12 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
         raise ValueError("C must be a multiple of 1024")
     if K % 128:
         raise ValueError("K must be a multiple of 128")
+    if KD % K or KD % 128:
+        raise ValueError("KD must be a multiple of K and 128")
     CLh, HR, RX, RXL = readout8_geometry_shape(nyp, nzp, C)
     npad_blocks = W * CLh + RX + HR
-    kernel = functools.partial(_readout_kernel8, K=K, C=C, CLh=CLh,
+    kernel = functools.partial(_readout_kernel8, K=K, KD=KD, C=C,
+                               CLh=CLh,
                                HR=HR, RX=RX, RXL=RXL, nyp=nyp, nzp=nzp,
                                gather_mode=gather_mode, SUBR=None)
 
@@ -763,18 +770,16 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 2, 3, CLh + HR, 128), jnp.float32),
-                pltpu.VMEM((2, 1, K), jnp.int32),
-                pltpu.VMEM((2, 8, 1, K), jnp.float32),
-                pltpu.VMEM((2, 3, 1, K), jnp.float32),
-                pltpu.VMEM((3, 1, K), jnp.float32),
+                pltpu.VMEM((2, 9, 1, KD), jnp.float32),
+                pltpu.VMEM((2, 3, 1, KD), jnp.float32),
+                pltpu.VMEM((3, 1, KD), jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA((2, 2)),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((1,)),
             ],
@@ -784,7 +789,7 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
                        jax.ShapeDtypeStruct((3, 1, n_padded),
                                             jnp.float32,
                                             vma=frozenset(vma))),
-            input_output_aliases={4: 0},
+            input_output_aliases={3: 0},
             interpret=interpret,
         )
 
@@ -806,15 +811,18 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
     def readout3_from(prepared, cx, cy, cz):
         n = prepared["n"]
         n_padded = prepared["cell_2d"].shape[1]
-        if n_padded % K:
-            raise ValueError("prepared padding not a multiple of K")
+        if n_padded % KD:
+            raise ValueError("prepared padding not a multiple of KD")
         ranges1 = ranges_lane_major(prepared)[0:1]      # (1, 2, W)
+        cw9 = prepared.get("cw9")
+        if cw9 is None:
+            from .paint_pallas import pack_cw9
+            cw9 = pack_cw9(prepared["cell_2d"], prepared["w8T"])
         canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
                               pad_canvas(cz)])
         val_init = jnp.zeros((3, 1, n_padded), jnp.float32)
         vals = build_call(n_padded)(
-            ranges1, prepared["cell_2d"], prepared["w8T"],
-            canvases, val_init)[:, 0, :n]
+            ranges1, cw9, canvases, val_init)[:, 0, :n]
         if prepared.get("orig") is None:
             return jnp.stack([vals[0], vals[1], vals[2]], axis=-1)
         return jnp.stack(jax.lax.sort(
@@ -825,22 +833,20 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
 
 
 def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
-                     cell_hbm,       # (1, Npad) i32 sorted padded cells
-                     w8T_hbm,        # (8, 1, Npad) f32 corner weights
+                     cw9_hbm,        # (9, 1, Npad) f32 packed cell+w8
                      canvases_hbm,   # ANY (3, W*CLh + RX + HR, 128)
                      val_io,         # ANY (3, 1, Npad) f32
                      out_ref,        # aliased with val_io
                      canvas_scratch,  # VMEM (2, 2, 3, CLh+HR, 128)
-                     cell_scratch,   # VMEM (2, 1, K) i32
-                     w_scratch,      # VMEM (2, 8, 1, K) f32
-                     val_scratch,    # VMEM (2, 3, 1, K) f32
-                     carry_scratch,  # VMEM (3, 1, K) f32
+                     cw_scratch,     # VMEM (2, 9, 1, KD) f32 packed
+                     val_scratch,    # VMEM (2, 3, 1, KD) f32
+                     carry_scratch,  # VMEM (3, 1, KD) f32
                      carry_id,      # SMEM (1,) i32 carried chunk (-1)
                      csem,          # DMA sems (2, 2) canvas slot x block
-                     sems,          # DMA sems (2, 2): cell, w8
+                     sems,          # DMA sems (2,): packed chunk
                      wsems,         # DMA sems (2,)
                      fsem,          # DMA sems (1,) carry flush
-                     *, K, C, CLh, HR, RX, RXL, nyp, nzp,
+                     *, K, KD, C, CLh, HR, RX, RXL, nyp, nzp,
                      gather_mode="split", SUBR=None, ablate=None):
     """ONE-pass 8-corner readout: window w holds TWO canvas blocks --
     block 0 at rows [w*CLh, w*CLh+CLh+HR) and block 1 one x-plane later
@@ -855,13 +861,20 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
     pairs at deltas b*RXL + (0, 1) and b*RXL + (nzp, nzp+1); the two
     pairs of one block sit nzp (odd) apart, so at most one of them
     crosses lane 127 for a given particle and one fix dot per block
-    suffices (same argument as the 2-pass kernel)."""
+    suffices (same argument as the 2-pass kernel).
+
+    Particle traffic streams as ONE packed (9, 1, KD) super-chunk DMA
+    (pack_cw9) with KD/K inner compute sub-rounds, and value
+    write-backs batch at KD granularity -- one in-DMA + one out-DMA
+    issue per KD lanes instead of three per K (the b ~ 3.9 us/round
+    sync term of BENCH_NOTES round 3)."""
     del val_io
     w = pl.program_id(0)
     nw = pl.num_programs(0)
     base_window = w * C
     lo_row = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    SUB = KD // K
 
     def canvas_copy(slot, wi, b):
         return pltpu.make_async_copy(
@@ -892,7 +905,7 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
         def _go():
             cp = pltpu.make_async_copy(
                 carry_scratch,
-                out_ref.at[:, :, pl.ds(cid * K, K)],
+                out_ref.at[:, :, pl.ds(cid * KD, KD)],
                 fsem.at[0])
             cp.start()
             cp.wait()
@@ -900,24 +913,21 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
     wl = jax.lax.rem(w, 128)
     s = ranges_ref[0, 0, wl]
     e = ranges_ref[0, 1, wl]
-    j0 = s // K
-    j1 = jax.lax.div(e + K - 1, K)
+    j0 = s // KD
+    j1 = jax.lax.div(e + KD - 1, KD)
     nrounds = jnp.maximum(j1 - j0, 0)
 
     def make_in_copies(slot, r):
-        start = pl.multiple_of((j0 + r) * K, 128)
+        start = pl.multiple_of((j0 + r) * KD, 128)
         return [pltpu.make_async_copy(
-                    cell_hbm.at[:, pl.ds(start, K)],
-                    cell_scratch.at[slot], sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    w8T_hbm.at[:, :, pl.ds(start, K)],
-                    w_scratch.at[slot], sems.at[slot, 1])]
+                    cw9_hbm.at[:, :, pl.ds(start, KD)],
+                    cw_scratch.at[slot], sems.at[slot])]
 
     def make_out_copies(slot, r):
-        start = pl.multiple_of((j0 + r) * K, 128)
+        start = pl.multiple_of((j0 + r) * KD, 128)
         return [pltpu.make_async_copy(
                     val_scratch.at[slot],
-                    out_ref.at[:, :, pl.ds(start, K)],
+                    out_ref.at[:, :, pl.ds(start, KD)],
                     wsems.at[slot])]
 
     @pl.when(nrounds > 0)
@@ -958,8 +968,26 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
             for cp in make_in_copies(slot, r):
                 cp.wait()
 
-            start = (j0 + r) * K
-            cells = cell_scratch[slot]             # (1, K)
+            sstart = (j0 + r) * KD
+            for sub in range(SUB):
+                _sub_round(slot, sstart + sub * K, sub)
+
+            @pl.when(r + 1 < nrounds)
+            def _writeback():
+                for cp in make_out_copies(slot, r):
+                    cp.start()
+
+            @pl.when(r + 1 == nrounds)
+            def _hold():
+                carry_scratch[...] = val_scratch[slot]
+                carry_id[0] = j0 + r
+            return carry
+
+        def _sub_round(slot, start, sub):
+            ksl = pl.ds(sub * K, K)
+            cells = jax.lax.bitcast_convert_type(
+                cw_scratch[slot, 0, :, ksl], jnp.int32)   # (1, K)
+            w_rows = [cw_scratch[slot, 1 + i, :, ksl] for i in range(8)]
             gidx = start + lane
             valid = (gidx >= s) & (gidx < e)
             rel0 = jnp.where(valid, cells - base_window, -2)
@@ -1078,14 +1106,14 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
                     for pi in range(2):
                         q = 2 * b + pi
                         WMs.append(
-                            jnp.where(Me[q], w_scratch[slot, 2 * q],
+                            jnp.where(Me[q], w_rows[2 * q],
                                       0.0)
                             + jnp.where(Mo[q],
-                                        w_scratch[slot, 2 * q + 1],
+                                        w_rows[2 * q + 1],
                                         0.0))                # (128, K)
                         fixts.append(jnp.where(
                             crossings[q],
-                            w_scratch[slot, 2 * q + 1], 0.0))  # (1, K)
+                            w_rows[2 * q + 1], 0.0))  # (1, K)
                     fixw = fixts[0] + fixts[1]
                     for comp in range(3):
                         acc = fixres[comp:comp + 1, :] * fixw
@@ -1098,51 +1126,45 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
                                 acc = acc + jnp.sum(
                                     WMs[pi] * tmp,
                                     axis=0, keepdims=True)
-                        val_scratch[slot, comp] = \
-                            val_scratch[slot, comp] + acc
+                        val_scratch[slot, comp, :, ksl] = \
+                            val_scratch[slot, comp, :, ksl] + acc
 
             if ablate == "noround":
                 # perf ablation: no compute at all -- the DMA pipeline
-                # + loop overhead floor (touch w_scratch so the DMAs
+                # + loop overhead floor (touch cw_scratch so the DMAs
                 # stay live)
-                val_scratch[slot, 0] = (val_scratch[slot, 0]
-                                        + w_scratch[slot, 0])
-            elif SUBR is not None and SUBR < CLh + HR:
-                # dynamic row window: a cell-sorted chunk touches only
-                # span(rel)/128 + halo-delta rows of the block; slicing
-                # the block and shrinking the one-hot cuts the dot and
-                # mask-build cost by (CLh+HR)/SUBR (~4.5x at the bench
-                # shape). Sparse chunks whose span exceeds SUBR rows
-                # take the full-width path.
-                row_lo = jnp.min(jnp.where(valid, rel0,
-                                           C + RXL + nzp)) >> 7
-                # +1 row: the lane-127 fix reads hi+1, which can sit
-                # one row above (relmax + max delta) >> 7
-                row_hi = ((jnp.max(jnp.where(valid, rel0, 0))
-                           + RXL + nzp) >> 7) + 1
-                base8 = jnp.clip(row_lo & ~7, 0, CLh + HR - SUBR)
-                fits = row_hi - base8 < SUBR
+                val_scratch[slot, 0, :, ksl] = (
+                    val_scratch[slot, 0, :, ksl]
+                    + cw_scratch[slot, 1, :, ksl])
+                return
 
-                @pl.when(fits)
-                def _fast():
-                    do_round(SUBR, base8)
+            @pl.when((start < e) & (start + K > s))
+            def _overlap():
+                if SUBR is not None and SUBR < CLh + HR:
+                    # dynamic row window: a cell-sorted chunk touches
+                    # only span(rel)/128 + halo-delta rows of the block;
+                    # slicing the block and shrinking the one-hot cuts
+                    # the dot and mask-build cost by (CLh+HR)/SUBR
+                    # (~4.5x at the bench shape). Sparse chunks whose
+                    # span exceeds SUBR rows take the full-width path.
+                    row_lo = jnp.min(jnp.where(valid, rel0,
+                                               C + RXL + nzp)) >> 7
+                    # +1 row: the lane-127 fix reads hi+1, which can
+                    # sit one row above (relmax + max delta) >> 7
+                    row_hi = ((jnp.max(jnp.where(valid, rel0, 0))
+                               + RXL + nzp) >> 7) + 1
+                    base8 = jnp.clip(row_lo & ~7, 0, CLh + HR - SUBR)
+                    fits = row_hi - base8 < SUBR
 
-                @pl.when(jnp.logical_not(fits))
-                def _slow():
+                    @pl.when(fits)
+                    def _fast():
+                        do_round(SUBR, base8)
+
+                    @pl.when(jnp.logical_not(fits))
+                    def _slow():
+                        do_round(CLh + HR, 0)
+                else:
                     do_round(CLh + HR, 0)
-            else:
-                do_round(CLh + HR, 0)
-
-            @pl.when(r + 1 < nrounds)
-            def _writeback():
-                for cp in make_out_copies(slot, r):
-                    cp.start()
-
-            @pl.when(r + 1 == nrounds)
-            def _hold():
-                carry_scratch[...] = val_scratch[slot]
-                carry_id[0] = j0 + r
-            return carry
 
         jax.lax.fori_loop(0, nrounds, body, 0)
 
@@ -1178,13 +1200,19 @@ def readout8_geometry(pm: PM, C: int = 8192):
     return readout8_geometry_shape(ny + 1, nz + 1, C)
 
 
-def make_readout3_from8_fn(pm: PM, K: int = 512, C: int | None = None,
+def make_readout3_from8_fn(pm: PM, K: int = 512, KD: int | None = None,
+                           C: int | None = None,
                            interpret=False, gather_mode="split",
                            subr: int | None = None, ablate=None):
     """readout3_from with the ONE-pass 8-corner kernel (see
     _readout_kernel8). Consumes the same prepared bundle as the 2-pass
     variant; only offset row 0 of the range table is used (window w
-    owns exactly the particles whose base cell lies in it)."""
+    owns exactly the particles whose base cell lies in it). Particle
+    traffic streams through the packed cw9 operand in KD-lane
+    super-chunk DMAs."""
+    from .paint_pallas import DEFAULT_KD
+    if KD is None:
+        KD = DEFAULT_KD
     nx, ny, nz = pm.Nmesh
     nxp, nyp, nzp = nx + 1, ny + 1, nz + 1
     if C is None:
@@ -1195,11 +1223,14 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int | None = None,
         raise ValueError("C must be a multiple of 1024")
     if K % 128:
         raise ValueError("K must be a multiple of 128")
+    if KD % K or KD % 128:
+        raise ValueError("KD must be a multiple of K and 128")
     if subr is not None and subr % 8:
         raise ValueError("subr must be a multiple of 8")
     CLh, HR, RX, RXL = readout8_geometry(pm, C)
     npad_blocks = W * CLh + RX + HR
-    kernel = functools.partial(_readout_kernel8, K=K, C=C, CLh=CLh,
+    kernel = functools.partial(_readout_kernel8, K=K, KD=KD, C=C,
+                               CLh=CLh,
                                HR=HR, RX=RX, RXL=RXL, nyp=nyp, nzp=nzp,
                                gather_mode=gather_mode, SUBR=subr,
                                ablate=ablate)
@@ -1214,24 +1245,22 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int | None = None,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 2, 3, CLh + HR, 128), jnp.float32),
-                pltpu.VMEM((2, 1, K), jnp.int32),
-                pltpu.VMEM((2, 8, 1, K), jnp.float32),
-                pltpu.VMEM((2, 3, 1, K), jnp.float32),
-                pltpu.VMEM((3, 1, K), jnp.float32),
+                pltpu.VMEM((2, 9, 1, KD), jnp.float32),
+                pltpu.VMEM((2, 3, 1, KD), jnp.float32),
+                pltpu.VMEM((3, 1, KD), jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA((2, 2)),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((1,)),
             ],
             out_shape=jax.ShapeDtypeStruct((3, 1, n_padded),
                                            jnp.float32),
-            input_output_aliases={4: 0},
+            input_output_aliases={3: 0},
             interpret=interpret,
         )
 
@@ -1259,15 +1288,18 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, C: int | None = None,
     def readout3_from(prepared, cx, cy, cz):
         n = prepared["n"]
         n_padded = prepared["cell_2d"].shape[1]
-        if n_padded % K:
-            raise ValueError("prepared padding not a multiple of K")
+        if n_padded % KD:
+            raise ValueError("prepared padding not a multiple of KD")
         ranges1 = ranges_lane_major(prepared)[0:1]      # (1, 2, W)
+        cw9 = prepared.get("cw9")
+        if cw9 is None:
+            from .paint_pallas import pack_cw9
+            cw9 = pack_cw9(prepared["cell_2d"], prepared["w8T"])
         canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
                               pad_canvas(cz)])
         val_init = jnp.zeros((3, 1, n_padded), jnp.float32)
         vals = build_call(n_padded)(
-            ranges1, prepared["cell_2d"], prepared["w8T"],
-            canvases, val_init)[:, 0, :n]
+            ranges1, cw9, canvases, val_init)[:, 0, :n]
         if prepared.get("orig") is None:
             return jnp.stack([vals[0], vals[1], vals[2]], axis=-1)
         return jnp.stack(jax.lax.sort(

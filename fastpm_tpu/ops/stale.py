@@ -58,7 +58,7 @@ def stale_safe_span(pm: PM, C: int) -> int:
 
 
 def make_stale_tools(pm: PM, K: int = 512, C: int | None = None,
-                     pad_to: int = 1024, maxm: int | None = None,
+                     pad_to: int | None = None, maxm: int | None = None,
                      interpret: bool = False,
                      paint_from=None, readout_from=None):
     """Build the stale-step toolkit. Returns a dict of functions:
@@ -88,6 +88,11 @@ def make_stale_tools(pm: PM, K: int = 512, C: int | None = None,
     # trace (gravity._fused_cache); a jnp constant born in one trace
     # and cached leaks into the next (UnexpectedTracerError)
     inv_cell = np.asarray(pm.InvCellSize, dtype=np.float32)
+    if pad_to is None:
+        # the from8 kernels DMA whole KD super-chunks: bundles must be
+        # lane-padded to a multiple of DEFAULT_KD
+        from .paint_pallas import DEFAULT_KD
+        pad_to = max(2 * K, DEFAULT_KD)
     min_pad = pad_to - 256
 
     fresh = make_prepare_carry_fn(pm, C=C, pad_to=pad_to)
@@ -147,6 +152,9 @@ def make_stale_tools(pm: PM, K: int = 512, C: int | None = None,
         mover_b = dict(mover_b)
         mover_b["w8T"] = mover_b["w8T"] * _sorted_valid(
             mover_b, lane_valid)[None, None, :]
+        # the packed operand must reflect the masked weights -- drop
+        # the stale prepared cw9 so the kernels repack from w8T
+        mover_b.pop("cw9", None)
         return main, mover_b, midx, nbad
 
     def _sorted_valid(bundle, lane_valid):
