@@ -23,12 +23,16 @@ def main():
     from fastpm_tpu.benchlib import example_particles
     from fastpm_tpu.parallel.pfft import SlabPM
     from fastpm_tpu.parallel.psolver import (_force_local_homed_multi,
+                                             _force_local_homed_carry,
                                              particle_spec, deltak_spec)
 
     nc = int(os.environ.get("BENCH_NC", "256"))
     b = int(os.environ.get("BENCH_B", "2"))
     nsteps = int(os.environ.get("BENCH_STEPS", "3"))
     H = int(os.environ.get("BENCH_H", "4"))
+    # order-free carry (the production multichip body) by default;
+    # BENCH_HOMED_CARRY=0 restores the order-preserving body
+    carry = bool(int(os.environ.get("BENCH_HOMED_CARRY", "1")))
     baseline = 1024 ** 3 * 40 / (60.0 * 16)
     box = 1.0 * nc
 
@@ -47,14 +51,23 @@ def main():
     x0 = jax.device_put(x0, NamedSharding(mesh, pspec))
     v0 = jax.device_put(v0, NamedSharding(mesh, pspec))
 
-    def local(xs, vs, coeffs):
-        outs, bad, _dk = _force_local_homed_multi(
-            spm, (xs,), (1.0,), "1_4", H)
-        acc = outs[0]["acc"]
-        v = vs + acc * coeffs[0]
-        x = xs + v * coeffs[1]
-        x = x - jnp.floor(x / L) * L
-        return x, v, bad
+    if carry:
+        def local(xs, vs, coeffs):
+            xs = xs - jnp.floor(xs / L) * L
+            x, v, _extras, acc, bad, _dk = _force_local_homed_carry(
+                spm, xs, vs, (), "1_4", H)
+            v = v + acc * coeffs[0]
+            x = x + v * coeffs[1]
+            return x, v, bad
+    else:
+        def local(xs, vs, coeffs):
+            outs, bad, _dk = _force_local_homed_multi(
+                spm, (xs,), (1.0,), "1_4", H)
+            acc = outs[0]["acc"]
+            v = vs + acc * coeffs[0]
+            x = xs + v * coeffs[1]
+            x = x - jnp.floor(x / L) * L
+            return x, v, bad
 
     step = jax.jit(jax.shard_map(
         local, mesh=mesh,
@@ -86,6 +99,7 @@ def main():
     rate = nc ** 3 * nsteps / dt
     print(json.dumps({
         "metric": f"homed_force_step_{nc}^3_B{b}_H{H}_1dev",
+        "variant": "carry" if carry else "per-step-sort",
         "value": round(rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / baseline, 4),

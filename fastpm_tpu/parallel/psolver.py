@@ -363,12 +363,16 @@ def _force_local_homed(spm: SlabPM, x, kernel_type: str, H: int,
 _HOMED_KERNEL_CACHE = {}
 
 
-def _homed_trio(shape, vma, interpret, open_y):
+def _homed_trio(shape, vma, interpret, open_y, presorted=False):
     """Build the (prepare, paint, readout3) trio for a homed extended
     shape. Default: the ONE-pass 8-corner kernels with a shared
     eight=True window and base-only range tables (same kernels as the
     single-chip fused path). FASTPM_TPU_HOMED_KERNEL=from4 restores
-    the 2-pass kernels (re-measurement escape hatch)."""
+    the 2-pass kernels (re-measurement escape hatch).
+
+    presorted: the prepare consumes rows ALREADY in extended-cell
+    sorted order (the order-free homed carry) and skips the sort +
+    un-sort index."""
     from ..ops.paint_pallas import (make_prepare_homed_fn,
                                     make_paint_from4_homed_fn,
                                     make_paint_from8_homed_fn,
@@ -376,14 +380,15 @@ def _homed_trio(shape, vma, interpret, open_y):
     from ..ops.readout_pallas import (make_readout3_from4_homed_fn,
                                       make_readout3_from8_homed_fn)
     if os.environ.get("FASTPM_TPU_HOMED_KERNEL", "from8") == "from4":
-        return (make_prepare_homed_fn(shape),
+        return (make_prepare_homed_fn(shape, presorted=presorted),
                 make_paint_from4_homed_fn(shape, interpret=interpret,
                                           vma=vma, open_y=open_y),
                 make_readout3_from4_homed_fn(shape, interpret=interpret,
                                              vma=vma, open_y=open_y))
     nyp, nzp = shape[1] + 1, shape[2] + 1
     C = auto_window_C(nyp, nzp, eight=True)
-    return (make_prepare_homed_fn(shape, C=C, base_only=True),
+    return (make_prepare_homed_fn(shape, C=C, base_only=True,
+                                  presorted=presorted),
             make_paint_from8_homed_fn(shape, C=C, interpret=interpret,
                                       vma=vma, open_y=open_y),
             make_readout3_from8_homed_fn(shape, C=C,
@@ -391,27 +396,31 @@ def _homed_trio(shape, vma, interpret, open_y):
                                          vma=vma, open_y=open_y))
 
 
-def _homed_kernels(shape, axis, interpret=False):
+def _homed_kernels(shape, axis, interpret=False, presorted=False):
     """Cached Pallas kernel builders for a homed local mesh shape.
     axis is the shard_map mesh axis (the pallas outputs' vma)."""
-    key = (tuple(shape), axis, bool(interpret),
+    key = (tuple(shape), axis, bool(interpret), bool(presorted),
            os.environ.get("FASTPM_TPU_HOMED_KERNEL", "from8"))
     fns = _HOMED_KERNEL_CACHE.get(key)
     if fns is None:
-        fns = _homed_trio(shape, {axis}, interpret, open_y=False)
+        fns = _homed_trio(shape, {axis}, interpret, open_y=False,
+                          presorted=presorted)
         _HOMED_KERNEL_CACHE[key] = fns
     return fns
 
 
-def _homed_kernels_pencil(shape, axes, interpret=False):
+def _homed_kernels_pencil(shape, axes, interpret=False,
+                          presorted=False):
     """Cached Pallas kernel builders for the PENCIL-homed extended
     shape (nlx + 2Hx, nly + 2Hy, Nz): x AND y are open halo axes
     (open_y=True), vma spans both mesh axes."""
     key = (tuple(shape), tuple(axes), bool(interpret), "pencil",
+           bool(presorted),
            os.environ.get("FASTPM_TPU_HOMED_KERNEL", "from8"))
     fns = _HOMED_KERNEL_CACHE.get(key)
     if fns is None:
-        fns = _homed_trio(shape, set(axes), interpret, open_y=True)
+        fns = _homed_trio(shape, set(axes), interpret, open_y=True,
+                          presorted=presorted)
         _HOMED_KERNEL_CACHE[key] = fns
     return fns
 
@@ -565,6 +574,160 @@ def _force_local_homed_multi(spm, xs, masses, kernel_type: str, H: int,
             d["tidal"] = vals[:, i:i + 6]
         outs.append(d)
     return outs, bad, delta_k
+
+
+def _grad3_fields_homed(spm, delta_k, kernel_type, gather):
+    """Shared tail of the homed force bodies: potential transfer +
+    fused 3-gradient inverse (or the per-field fallback), then the
+    halo gather of each gradient. gather(field) -> extended field."""
+    if hasattr(spm, "c2r_grad3_local"):
+        potorder, gradorder, _d, deconv = kernel_orders(kernel_type)
+        out = delta_k
+        for _ in range(deconv):
+            out = spm.apply_decic(out)
+        pot_k = spm.apply_pot(out, potorder)
+        locs = spm.c2r_grad3_local(pot_k, gradorder)
+        return [gather(g) for g in locs]
+    fields_ext = []
+    for memb in range(3):
+        fk = _apply_kernel_local(spm, delta_k, kernel_type, "acc",
+                                 memb)
+        fields_ext.append(gather(spm.c2r_local(fk)))
+    return fields_ext
+
+
+def _force_local_homed_carry(spm, x, v, extras, kernel_type, H,
+                             softening_type: str = "none",
+                             pallas=None, pallas_interpret=False):
+    """ORDER-FREE single-species homed force (the shard-local analog of
+    gravity.compute_force_carry): every per-particle column rides the
+    extended-cell sort, the presorted one-pass kernels run without an
+    un-sort index, and the readout values come out aligned with the
+    permuted rows. Particle order within a shard is physically
+    meaningless (the reference's own store order is
+    decomposition-defined, store.c:486-657), so the per-step un-sort
+    payload sort disappears from the multichip hot loop (VERDICT r4
+    next #1).
+
+    Returns (xs, vs, extras_sorted, acc, bad, delta_k). Scalar-mass
+    single species only; the caller wraps x beforehand (or folds the
+    wrap into the same program)."""
+    pm = spm.pm
+    nproc = spm.nproc
+    nloc = pm.Nmesh[0] // nproc
+    r0 = jax.lax.axis_index(spm.axis) * nloc
+    n0, n1, n2 = pm.Nmesh
+    nx_l = nloc + 2 * H
+    nyp, nzp = n1 + 1, n2 + 1
+    shape_local = (nx_l, n1, n2)
+    use_pallas, pallas_interpret = pallas_policy(
+        shape_local, pallas, pallas_interpret)
+    if not use_pallas:
+        raise ValueError("the homed carry needs the fused Pallas "
+                         "kernels (pallas_policy said no)")
+    prepare, paint_from, readout3_from = _homed_kernels(
+        shape_local, spm.axis, interpret=pallas_interpret,
+        presorted=True)
+
+    relx, iy, iz, _fr = _cic_rel(pm, x, r0, H)
+    valid = relx < nx_l
+    bad = jnp.sum(~valid).astype(jnp.int32)
+    relx = jnp.where(valid, relx, nx_l + 1)
+    cell = (relx * nyp + iy) * nzp + iz
+    ops_in = (cell, x[:, 0], x[:, 1], x[:, 2],
+              v[:, 0], v[:, 1], v[:, 2]) + tuple(extras)
+    sorted_ops = jax.lax.sort(ops_in, num_keys=1)
+    xs = jnp.stack(sorted_ops[1:4], axis=-1)
+    vs = jnp.stack(sorted_ops[4:7], axis=-1)
+    extras_s = sorted_ops[7:]
+    # recompute the cell tuple from the sorted positions -- the same
+    # pure function of x, so bit-identical per row (and the recomputed
+    # keys are already sorted)
+    relx2, iy2, iz2, fr = _cic_rel(pm, xs, r0, H)
+    relx2 = jnp.where(relx2 < nx_l, relx2, nx_l + 1)
+    prepared = prepare(relx2, iy2, iz2, fr)
+
+    canvas_ext = paint_from(prepared)
+    canvas = _halo_reduce(canvas_ext, spm.axis, nloc, H, nproc)
+    ntotal = jax.lax.psum(jnp.float32(x.shape[0]), spm.axis)
+    bad = jax.lax.psum(bad, spm.axis)
+    canvas = canvas / (ntotal / pm.Norm)
+
+    delta_k = spm.r2c_local(canvas)
+    delta_k = spm.apply_softening(delta_k, softening_type)
+
+    fields_ext = _grad3_fields_homed(
+        spm, delta_k, kernel_type,
+        lambda g: _halo_gather(g, spm.axis, nloc, H, nproc))
+    acc = readout3_from(prepared, fields_ext[0], fields_ext[1],
+                        fields_ext[2])
+    return xs, vs, extras_s, acc, bad, delta_k
+
+
+def _force_local_homed_pencil_carry(ppm, x, v, extras,
+                                    kernel_type, Hx, Hy,
+                                    softening_type: str = "none",
+                                    pallas=None,
+                                    pallas_interpret=False):
+    """Pencil (2D) variant of _force_local_homed_carry: rows sort by
+    the extended 2D cell; the presorted open_y kernels run without an
+    un-sort. Returns (xs, vs, extras_sorted, acc, bad, delta_k)."""
+    pm = ppm.pm
+    px, py = ppm.px, ppm.py
+    ax0, ax1 = ppm.ax0, ppm.ax1
+    n0, n1, n2 = pm.Nmesh
+    nlx, nly = n0 // px, n1 // py
+    r0x = jax.lax.axis_index(ax0) * nlx
+    r0y = jax.lax.axis_index(ax1) * nly
+    nx_l, ny_l = nlx + 2 * Hx, nly + 2 * Hy
+    nyp, nzp = ny_l + 1, n2 + 1
+    shape_local = (nx_l, ny_l, n2)
+    use_pallas, pallas_interpret = pallas_policy(
+        shape_local, pallas, pallas_interpret)
+    if not use_pallas:
+        raise ValueError("the homed carry needs the fused Pallas "
+                         "kernels (pallas_policy said no)")
+    prepare, paint_from, readout3_from = _homed_kernels_pencil(
+        shape_local, (ax0, ax1), interpret=pallas_interpret,
+        presorted=True)
+
+    relx, rely, iz, _fr = _cic_rel2(pm, x, r0x, r0y, Hx, Hy)
+    valid = (relx < nx_l) & (rely < ny_l)
+    bad = jnp.sum(~valid).astype(jnp.int32)
+    relx = jnp.where(valid, relx, nx_l + 1)
+    rely = jnp.where(valid, rely, 0)
+    cell = (relx * nyp + rely) * nzp + iz
+    ops_in = (cell, x[:, 0], x[:, 1], x[:, 2],
+              v[:, 0], v[:, 1], v[:, 2]) + tuple(extras)
+    sorted_ops = jax.lax.sort(ops_in, num_keys=1)
+    xs = jnp.stack(sorted_ops[1:4], axis=-1)
+    vs = jnp.stack(sorted_ops[4:7], axis=-1)
+    extras_s = sorted_ops[7:]
+    relx2, rely2, iz2, fr = _cic_rel2(pm, xs, r0x, r0y, Hx, Hy)
+    valid2 = (relx2 < nx_l) & (rely2 < ny_l)
+    relx2 = jnp.where(valid2, relx2, nx_l + 1)
+    rely2 = jnp.where(valid2, rely2, 0)
+    prepared = prepare(relx2, rely2, iz2, fr)
+
+    canvas_ext = paint_from(prepared)
+    c = _halo_reduce(canvas_ext, ax0, nlx, Hx, px, dim=0)
+    c = _halo_reduce(c, ax1, nly, Hy, py, dim=1)
+    ntotal = jax.lax.psum(jnp.float32(x.shape[0]), (ax0, ax1))
+    bad = jax.lax.psum(bad, (ax0, ax1))
+    canvas = c / (ntotal / pm.Norm)
+
+    delta_k = ppm.r2c_local(canvas)
+    delta_k = ppm.apply_softening(delta_k, softening_type)
+
+    def gather2(g):
+        f = _halo_gather(g, ax1, nly, Hy, py, dim=1)
+        return _halo_gather(f, ax0, nlx, Hx, px, dim=0)
+
+    fields_ext = _grad3_fields_homed(ppm, delta_k, kernel_type,
+                                     gather2)
+    acc = readout3_from(prepared, fields_ext[0], fields_ext[1],
+                        fields_ext[2])
+    return xs, vs, extras_s, acc, bad, delta_k
 
 
 # ---- v3 "pencil-homed" force: 2D halo exchange on the true pencil ------

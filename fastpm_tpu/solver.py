@@ -186,6 +186,11 @@ class Solver:
 
         self._jitted_force = {}
         self._stale_state = {}
+        # measured halo widths, reused across steps (no per-step
+        # displacement fetch; VERDICT r4 next #1) + the deferred
+        # overflow check state (_settle_halo)
+        self._halo_cache = {}
+        self._halo_pending = None
 
     # ---- species management (solver.c:248-280) ----
 
@@ -279,7 +284,24 @@ class Solver:
         - int H: x-slab homing (1D mesh, or a 2D mesh whose stores are
           x-major: the slab engine over the flattened device ring);
         - None: the v1 full-canvas path (uneven splits, non-CIC
-          painter, or halo memory exceeding the full canvas)."""
+          painter, or halo memory exceeding the full canvas).
+
+        The measured halo width is CACHED and reused across steps (no
+        per-step displacement fetch): each homed force returns its own
+        global overflow count, checked one step deferred by
+        _settle_halo, which rolls back + re-measures on the rare
+        overflow. The ladder pick adds one plane of slack over the
+        measurement so a rung lasts many steps."""
+        key = ("halo", pm.cache_key,
+               tuple(p.home_blocks for p in stores),
+               tuple(int(p.x.shape[0]) for p in stores))
+        if key in self._halo_cache:
+            return self._halo_cache[key]
+        H = self._measure_halo(pm, stores)
+        self._halo_cache[key] = H
+        return H
+
+    def _measure_halo(self, pm: PM, stores):
         from .parallel.psolver import (required_halo_planes,
                                        required_halo_planes_pencil,
                                        halo_ladder)
@@ -302,10 +324,13 @@ class Solver:
                         pm, self.mesh, p.x, axes=names)
                     hx, hy = max(hx, rx), max(hy, ry)
                 nlx, nly = n0 // px, n1 // py
-                Hx = next((h for h in halo_ladder(nlx, n0) if h >= hx),
-                          None)
-                Hy = next((h for h in halo_ladder(nly, n1) if h >= hy),
-                          None)
+                # +1 plane of slack: displacements grow slowly, so the
+                # rung survives many steps before the deferred
+                # overflow check forces a re-measure
+                Hx = next((h for h in halo_ladder(nlx, n0)
+                           if h >= hx + 1), None)
+                Hy = next((h for h in halo_ladder(nly, n1)
+                           if h >= hy + 1), None)
                 if Hx is not None and Hy is not None:
                     return ("pencil", Hx, Hy)
             if blocked:
@@ -320,7 +345,7 @@ class Solver:
             hreq = max(hreq, required_halo_planes(pm, self.mesh, p.x))
         nloc = pm.Nmesh[0] // nproc
         for h in halo_ladder(nloc, pm.Nmesh[0]):
-            if h >= hreq:
+            if h >= hreq + 1:    # +1 plane of slack (see _pick_halo)
                 return h
         return None              # halo memory beats full canvas: v1
 
@@ -423,12 +448,31 @@ class Solver:
             self._jitted_force[key] = cached
         return cached
 
+    def _carry_spec(self, p: Store):
+        """Static (name, ncol, dtype) schema of the extra columns that
+        ride the order-free carry sort (everything but x/v/acc)."""
+        spec = []
+        for name in gravity._carry_fields():
+            a = getattr(p, name)
+            if a is None:
+                continue
+            spec.append((name, 0 if a.ndim == 1 else a.shape[1],
+                         a.dtype))
+        return tuple(spec)
+
     def _sharded_force(self, pm: PM, stores):
+        """Run the SPMD force. Returns (new_stores, delta_k, bad):
+        bad is the DEVICE scalar global overflow count of the homed
+        halo (None on the v1 path) -- the caller checks it one step
+        deferred (_settle_halo) so the hot loop has no host sync."""
         from jax.sharding import PartitionSpec
         from .parallel.pfft import make_engine, SlabPM, PencilPM
         from .parallel.psolver import (_force_local_multi,
                                        _force_local_homed_multi,
                                        _force_local_homed_pencil_multi,
+                                       _force_local_homed_carry,
+                                       _force_local_homed_pencil_carry,
+                                       pallas_policy,
                                        particle_spec, deltak_spec)
 
         cfg = self.config
@@ -436,7 +480,31 @@ class Solver:
         pencil = isinstance(H, tuple)
         has_col = tuple(p.mass is not None for p in stores)
         M0s = tuple(float(p.M0) for p in stores)
-        key = (pm.cache_key, H, has_col, M0s)
+
+        # order-free carry eligibility (the homed analog of
+        # gravity.carry_eligible): single scalar-mass species, no
+        # pot/tidal, homed layout, fused Pallas kernels engaged
+        carry = False
+        espec = ()
+        if (cfg.order_free and H is not None and len(stores) == 1
+                and stores[0].mass is None
+                and stores[0].v is not None
+                and not cfg.compute_potential and not cfg.compute_tidal):
+            names = tuple(self.mesh.axis_names)
+            nproc = int(np.prod([self.mesh.shape[a] for a in names]))
+            n0, n1, n2 = pm.Nmesh
+            if pencil:
+                _, Hx, Hy = H
+                px = self.mesh.shape[names[0]]
+                py = self.mesh.shape[names[1]]
+                shape_local = (n0 // px + 2 * Hx, n1 // py + 2 * Hy, n2)
+            else:
+                shape_local = (n0 // nproc + 2 * H, n1, n2)
+            carry = pallas_policy(shape_local)[0]
+            espec = self._carry_spec(stores[0])
+
+        key = (pm.cache_key, H, has_col, M0s, carry,
+               tuple((nm, k, str(dt)) for nm, k, dt in espec))
         fn = self._sharded_force_cache.get(key)
         if fn is None:
             names = tuple(self.mesh.axis_names)
@@ -453,13 +521,55 @@ class Solver:
             softening = cfg.softening_type
             pot, tid = cfg.compute_potential, cfg.compute_tidal
             pspec = particle_spec(self.mesh)
+            # numpy, NOT jnp (builders may construct inside a trace)
+            L = np.asarray(pm.BoxSize, dtype=np.float32)
 
             def assemble_masses(mass_cols):
                 it = iter(mass_cols)
                 return tuple(next(it) if h else M0
                              for h, M0 in zip(has_col, M0s))
 
-            if pencil:
+            if carry:
+                if pencil:
+                    _, Hx, Hy = H
+
+                    def carry_body(x, v, flat):
+                        return _force_local_homed_pencil_carry(
+                            spm, x, v, flat, kernel_type, Hx, Hy,
+                            softening)
+                else:
+                    def carry_body(x, v, flat):
+                        return _force_local_homed_carry(
+                            spm, x, v, flat, kernel_type, H,
+                            softening)
+
+                def local(x, v, extras):
+                    # wrap INSIDE the program (the decompose analog,
+                    # solver.c:571-592): no per-step eager dispatch --
+                    # the wrapped positions come back as the sorted x
+                    x = x - jnp.floor(x / L) * L
+                    flat = []
+                    for a, (nm, k, dt) in zip(extras, espec):
+                        aa = (a.astype(jnp.uint8)
+                              if a.dtype == jnp.bool_ else a)
+                        if k == 0:
+                            flat.append(aa)
+                        else:
+                            flat.extend(aa[:, j] for j in range(k))
+                    xs, vs, extras_s, acc, bad, dk = carry_body(
+                        x, v, tuple(flat))
+                    outs = []
+                    i = 0
+                    for nm, k, dt in espec:
+                        if k == 0:
+                            outs.append(extras_s[i].astype(dt))
+                            i += 1
+                        else:
+                            outs.append(jnp.stack(
+                                extras_s[i:i + k], axis=-1).astype(dt))
+                            i += k
+                    return xs, vs, tuple(outs), acc, bad, dk
+            elif pencil:
                 _, Hx, Hy = H
 
                 def local(xs, mass_cols):
@@ -474,17 +584,11 @@ class Solver:
             else:
                 def local(xs, mass_cols):
                     outs, dk = _force_local_multi(
-                        spm, painter, xs, assemble_masses(mass_cols),
+                        spm, painter, xs,
+                        assemble_masses(mass_cols),
                         kernel_type, softening, pot, tid)
                     return outs, jnp.int32(0), dk
 
-            n = len(stores)
-            nmass = sum(has_col)
-            out_one = dict(acc=pspec)
-            if pot:
-                out_one["potential"] = pspec
-            if tid:
-                out_one["tidal"] = pspec
             # check_vma is only disabled where the body can contain
             # pallas_call outputs (the fused homed kernels on TPU),
             # which the vma checker cannot track yet; everywhere else
@@ -498,35 +602,60 @@ class Solver:
             may_use_pallas = (H is not None
                               and (plat not in ("cpu", "gpu")
                                    or env_pallas in ("on", "interpret")))
-            fn = jax.jit(jax.shard_map(
-                local, mesh=self.mesh,
-                in_specs=((pspec,) * n, (pspec,) * nmass),
-                out_specs=([dict(out_one) for _ in range(n)],
-                           PartitionSpec(), deltak_spec(spm)),
-                check_vma=not may_use_pallas))
+            if carry:
+                fn = jax.jit(jax.shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=(pspec, pspec, (pspec,) * len(espec)),
+                    out_specs=(pspec, pspec, (pspec,) * len(espec),
+                               pspec, PartitionSpec(),
+                               deltak_spec(spm)),
+                    check_vma=not may_use_pallas))
+            else:
+                n = len(stores)
+                nmass = sum(has_col)
+                out_one = dict(acc=pspec)
+                if pot:
+                    out_one["potential"] = pspec
+                if tid:
+                    out_one["tidal"] = pspec
+                fn = jax.jit(jax.shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=((pspec,) * n, (pspec,) * nmass),
+                    out_specs=([dict(out_one) for _ in range(n)],
+                               PartitionSpec(), deltak_spec(spm)),
+                    check_vma=not may_use_pallas))
             self._sharded_force_cache[key] = fn
-        xs = tuple(p.x for p in stores)
-        mass_cols = tuple(p.mass for p in stores if p.mass is not None)
-        outs, bad, delta_k = fn(xs, mass_cols)
-        if H is not None and int(bad) != 0:
-            # overflow contract (store.c:507-509): the measured halo no
-            # longer covers every particle -- should be unreachable since
-            # H is picked from the same positions
-            raise RuntimeError(
-                f"{int(bad)} particles beyond the +-{H}-plane halo")
-        new_stores = []
-        for p, out in zip(stores, outs):
-            updates = dict(acc=out["acc"])
-            if cfg.compute_potential and p.potential is not None:
-                updates["potential"] = out["potential"]
-            if cfg.compute_tidal and p.tidal is not None:
-                updates["tidal"] = out["tidal"]
-            new_stores.append(p.replace(**updates))
+
+        if carry:
+            p0 = stores[0]
+            extras_in = tuple(getattr(p0, nm) for nm, k, dt in espec)
+            xs, vs, extras_out, acc, bad, delta_k = fn(p0.x, p0.v,
+                                                       extras_in)
+            updates = dict(x=xs, v=vs, acc=acc)
+            for (nm, k, dt), arr in zip(espec, extras_out):
+                updates[nm] = arr
+            new_stores = [p0.replace(**updates)]
+        else:
+            # decompose analog: periodic wrap (solver.c:571-592); the
+            # wrapped positions persist in the returned stores
+            stores = [p.wrap(pm.BoxSize) for p in stores]
+            xs = tuple(p.x for p in stores)
+            mass_cols = tuple(p.mass for p in stores
+                              if p.mass is not None)
+            outs, bad, delta_k = fn(xs, mass_cols)
+            new_stores = []
+            for p, out in zip(stores, outs):
+                updates = dict(acc=out["acc"])
+                if cfg.compute_potential and p.potential is not None:
+                    updates["potential"] = out["potential"]
+                if cfg.compute_tidal and p.tidal is not None:
+                    updates["tidal"] = out["tidal"]
+                new_stores.append(p.replace(**updates))
         # the pencil layout pads kz to a multiple of Py; drop the pad so
         # downstream consumers see the standard (Nx, Ny, Nz/2+1) array
         if delta_k.shape[2] != pm.kshape[2]:
             delta_k = delta_k[:, :, :pm.kshape[2]]
-        return new_stores, delta_k
+        return new_stores, delta_k, (bad if H is not None else None)
 
     # ---- neutrino linear response (gravity.c:457-529) ----
 
@@ -609,11 +738,22 @@ class Solver:
             # trivial 1-device mesh uses the global path too -- its
             # fused Pallas paint/readout beats the per-component
             # shard_map body when there is nothing to exchange.
-            # decompose: periodic wrap (solver.c:571-592)
-            for name in names:
-                self.species[name] = self.species[name].wrap(pm.BoxSize)
+            # settle the PREVIOUS homed force's deferred overflow
+            # check before consuming its results further
+            self._settle_halo()
             stores = [self.species[n] for n in names]
-            new_stores, delta_k = self._sharded_force(pm, stores)
+            pre = {n: self.species[n] for n in names}
+            new_stores, delta_k, bad = self._sharded_force(pm, stores)
+            if bad is not None:
+                # deferred overflow contract (store.c:507-509 made
+                # rollback-capable): keep the pre-force store refs +
+                # the device-side global count; checked before the
+                # next force / any interpolation event, with rollback
+                # + halo re-measure + replay on the rare overflow --
+                # the hot loop itself has ZERO per-step host fetches
+                self._halo_pending = dict(
+                    bad=bad, stores=pre, trans=trans, states=states,
+                    iend=iend, post=[])
             delta_k_pre = delta_k if self.pgd is not None else None
             delta_k_decic = None
         elif delta_transfer is None:
@@ -673,6 +813,39 @@ class Solver:
         self.event_handlers.emit(
             ev.EVENT_FORCE, ev.STAGE_AFTER, solver=self, pm=pm,
             a_f=trans.a_f, a_n=a_n, N=N, delta_k=delta_k_decic)
+
+    def _settle_halo(self) -> None:
+        """Deferred homed-halo overflow check. The homed force's global
+        bad count stays ON DEVICE during the hot loop; it is fetched
+        here -- one step later (the device is already done with that
+        program, so the fetch does not stall dispatch) or right before
+        any interpolation event (so snapshots/lightcones never consume
+        an unverified state). On the rare overflow (displacements grew
+        past the cached halo rung): roll the species back to the
+        pre-force refs, drop the cached halo widths, re-measure from
+        the very positions that overflowed, and replay the force plus
+        the kicks/drifts applied since. The only side effect of the
+        discarded pass is re-emitted FORCE events (the per-step P(k)
+        file is rewritten in place)."""
+        pending = self._halo_pending
+        if pending is None:
+            return
+        self._halo_pending = None
+        if int(pending["bad"]) == 0:
+            return
+        print("fastpm-tpu: halo overflow (%d beyond): re-measuring "
+              "and replaying the force at a_f=%g"
+              % (int(pending["bad"]), pending["trans"].a_f))
+        for n, p in pending["stores"].items():
+            self.species[n] = p
+        self._halo_cache.clear()
+        self.do_force(pending["trans"], pending["states"],
+                      pending["iend"])
+        for action, trans, states, iend in pending["post"]:
+            if action == "kick":
+                self.do_kick(trans, states, iend)
+            else:
+                self.do_drift(trans, states, iend)
 
     def _kdk_jit(self, key, builder):
         fn = self._jitted_force.get(key)
@@ -767,6 +940,9 @@ class Solver:
             if abs(kick.ai - p.a_v) > 1e-12 or abs(kick.ac - p.a_x) > 1e-12:
                 raise RuntimeError("kick is inconsistent with state")
             self.species[name] = self.kick_one(p, kick, trans.a_f)
+        if self._halo_pending is not None:
+            self._halo_pending["post"].append(
+                ("kick", trans, states, iend))
 
     def do_drift(self, trans: Transition, states: StateTable,
                  iend: int) -> None:
@@ -784,8 +960,14 @@ class Solver:
             if abs(drift.ai - p.a_x) > 1e-12 or abs(drift.ac - p.a_v) > 1e-12:
                 raise RuntimeError("drift is inconsistent with state")
             self.species[name] = self.drift_one(p, drift, trans.a_f)
+        if self._halo_pending is not None:
+            self._halo_pending["post"].append(
+                ("drift", trans, states, iend))
 
     def _do_interpolation(self, drift, kick, a1, a2, whence):
+        # snapshots/lightcones must never consume an unverified homed
+        # force result: settle the deferred overflow check first
+        self._settle_halo()
         self.event_handlers.emit(
             ev.EVENT_INTERPOLATION, ev.STAGE_BEFORE, solver=self,
             drift=drift, kick=kick, a1=a1, a2=a2, whence=whence)

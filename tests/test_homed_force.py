@@ -685,3 +685,102 @@ def test_pencil_fused_grad3_mm(mesh42, monkeypatch):
     assert int(bad) == 0
     np.testing.assert_allclose(np.asarray(acc),
                                np.asarray(ref_store.acc), atol=2e-5)
+
+
+# ---- order-free homed carry (VERDICT r4 next #1) -----------------------
+
+
+def test_homed_carry_matches_multi(mesh8):
+    """The order-free homed carry (_force_local_homed_carry: every
+    column rides the extended-cell sort, presorted kernels, no
+    un-sort) returns the same {id -> (x, v, acc)} map as the
+    order-preserving homed body -- rows permuted per shard."""
+    from fastpm_tpu.parallel.psolver import (
+        _force_local_homed_multi, _force_local_homed_carry)
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)
+    x = jittered_lattice(nc, box, jitter_cells=2.0, seed=7)
+    v = 0.01 * jittered_lattice(nc, box, 1.0, seed=8)
+    ids = jnp.arange(x.shape[0], dtype=jnp.uint32)
+    H = 3
+    spm = SlabPM(pm, mesh8, axis="x")
+    spec = particle_spec(mesh8)
+
+    def local_ref(xx):
+        outs, bad, _dk = _force_local_homed_multi(
+            spm, (xx,), (1.0,), "1_4", H, pallas=True,
+            pallas_interpret=True)
+        return outs[0]["acc"], bad
+
+    def local_carry(xx, vv, ii):
+        xs, vs, extras, acc, bad, _dk = _force_local_homed_carry(
+            spm, xx, vv, (ii,), "1_4", H, pallas=True,
+            pallas_interpret=True)
+        return xs, vs, extras[0], acc, bad
+
+    ref_fn = jax.jit(jax.shard_map(
+        local_ref, mesh=mesh8, in_specs=spec,
+        out_specs=(spec, P()), check_vma=False))
+    carry_fn = jax.jit(jax.shard_map(
+        local_carry, mesh=mesh8, in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, P()), check_vma=False))
+
+    acc_ref, bad0 = ref_fn(x)
+    xs, vs, ids_s, acc, bad = carry_fn(x, v, ids)
+    assert int(bad0) == 0 and int(bad) == 0
+    ids_s = np.asarray(ids_s)
+    o = np.argsort(ids_s, kind="stable")
+    np.testing.assert_array_equal(ids_s[o], np.asarray(ids))
+    # x/v rows are pure permutations (bit-exact moves)
+    np.testing.assert_array_equal(np.asarray(xs)[o], np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(vs)[o], np.asarray(v))
+    np.testing.assert_allclose(np.asarray(acc)[o], np.asarray(acc_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pencil_homed_carry_matches_multi(mesh42):
+    """Pencil (2D) variant of the order-free carry equivalence."""
+    from fastpm_tpu.parallel.psolver import (
+        _force_local_homed_pencil_multi, _force_local_homed_pencil_carry)
+    from fastpm_tpu.parallel.pfft import PencilPM
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)
+    x0 = jittered_lattice(nc, box, jitter_cells=1.8, seed=31)
+    x, _ids = pencil_blocked(x0, nc, 4, 2)
+    v = 0.01 * jittered_lattice(nc, box, 1.0, seed=32)
+    ids = jnp.arange(x.shape[0], dtype=jnp.uint32)
+    Hx, Hy = 3, 3
+    ppm = PencilPM(pm, mesh42, axes=("x", "y"))
+    spec = particle_spec(mesh42)
+
+    def local_ref(xx):
+        outs, bad, _dk = _force_local_homed_pencil_multi(
+            ppm, (xx,), (1.0,), "1_4", Hx, Hy, pallas=True,
+            pallas_interpret=True)
+        return outs[0]["acc"], bad
+
+    def local_carry(xx, vv, ii):
+        xs, vs, extras, acc, bad, _dk = _force_local_homed_pencil_carry(
+            ppm, xx, vv, (ii,), "1_4", Hx, Hy, pallas=True,
+            pallas_interpret=True)
+        return xs, vs, extras[0], acc, bad
+
+    ref_fn = jax.jit(jax.shard_map(
+        local_ref, mesh=mesh42, in_specs=spec,
+        out_specs=(spec, P()), check_vma=False))
+    carry_fn = jax.jit(jax.shard_map(
+        local_carry, mesh=mesh42, in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, P()), check_vma=False))
+
+    acc_ref, bad0 = ref_fn(x)
+    xs, vs, ids_s, acc, bad = carry_fn(x, v, ids)
+    assert int(bad0) == 0 and int(bad) == 0
+    ids_s = np.asarray(ids_s)
+    o = np.argsort(ids_s, kind="stable")
+    np.testing.assert_array_equal(ids_s[o], np.asarray(ids))
+    np.testing.assert_array_equal(np.asarray(xs)[o], np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(vs)[o], np.asarray(v))
+    np.testing.assert_allclose(np.asarray(acc)[o], np.asarray(acc_ref),
+                               rtol=1e-5, atol=1e-6)
