@@ -257,6 +257,124 @@ def compute_force_carry(pm: PM, painter: Painter, store: Store,
     return p0.replace(**updates), delta_k, prepared["ranges"]
 
 
+def compute_delta_k_carry(pm: PM, painter: Painter, store: Store,
+                          softening_type: str = "none"):
+    """First half of the order-free fused force, split where a
+    transfer needs a host round trip between the density and the
+    kernels (the neutrino linear-response table, gravity.c:431-455):
+    carry-sort + paint + r2c + softening. Returns (store_sorted,
+    delta_k). The caller computes its 1D table from delta_k (one
+    small fetch) and finishes with compute_force_presorted -- which
+    re-derives the prepare from the ALREADY sorted rows, so no second
+    sort is paid. Caller checks carry_eligible."""
+    from .ops.paint_pallas import (make_prepare_carry_fn,
+                                   make_paint_from8_fn)
+    prepare = _fused_cache(
+        pm, "prepare_carry",
+        lambda pm: make_prepare_carry_fn(pm, base_only=True))
+    paint_from = _fused_cache(pm, "paint_from8", make_paint_from8_fn)
+    p0 = store
+    cols, spec = [], []
+    for name in _carry_fields():
+        a = getattr(p0, name)
+        if a is None:
+            continue
+        dt = a.dtype
+        if dt == jnp.bool_:
+            a = a.astype(jnp.uint8)
+        if a.ndim == 1:
+            cols.append(a)
+            spec.append((name, 0, dt))
+        else:
+            for j in range(a.shape[1]):
+                cols.append(a[:, j])
+            spec.append((name, a.shape[1], dt))
+    prepared, xs, vs, extras_s = prepare(p0.x, p0.v, tuple(cols))
+    canvas = paint_from(prepared)
+    mean_mass_per_cell = jnp.float32(p0.M0) * p0.np_local / pm.Norm
+    delta_k = pm.r2c(canvas * jnp.float32(p0.M0) / mean_mass_per_cell)
+    delta_k = kernels.apply_softening(pm, delta_k, softening_type)
+    updates = dict(x=xs, v=vs)
+    i = 0
+    for name, k, dt in spec:
+        if k == 0:
+            updates[name] = extras_s[i].astype(dt)
+            i += 1
+        else:
+            updates[name] = jnp.stack(
+                extras_s[i:i + k], axis=-1).astype(dt)
+            i += k
+    return p0.replace(**updates), delta_k
+
+
+def compute_force_presorted(pm: PM, painter: Painter, store: Store,
+                            delta_k, kernel_type: str = "1_4"):
+    """Second half of the split fused force: gradients + readout on an
+    ALREADY cell-sorted store (compute_delta_k_carry output). The
+    presorted prepare recomputes cells/weights/ranges elementwise from
+    the sorted rows -- no sort. Returns the store with acc filled."""
+    from .ops.paint_pallas import make_prepare_fn
+    from .ops.readout_pallas import make_readout3_from8_fn
+    prepare_ps = _fused_cache(
+        pm, "prepare_presorted",
+        lambda pm: make_prepare_fn(pm, base_only=True, presorted=True))
+    readout3_from = _fused_cache(pm, "readout3_from8",
+                                 make_readout3_from8_fn)
+    prepared = prepare_ps(store.x)
+    pot_k = kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
+                                          "potential")
+    f0, f1, f2 = pm.c2r_grad3(pot_k,
+                              kernels.kernel_orders(kernel_type)[1],
+                              zext=True, wrap=True)
+    acc = readout3_from(prepared, f0, f1, f2)
+    return store.replace(acc=acc)
+
+
+def compute_delta_k(pm: PM, painter: Painter, stores: Sequence[Store],
+                    softening_type: str = "none"):
+    """Generic first half (any species mix / painter): paint + r2c +
+    softening. Pairs with compute_force_from_delta_k."""
+    delta_k = paint_delta_k(pm, painter, stores)
+    return kernels.apply_softening(pm, delta_k, softening_type)
+
+
+def compute_force_from_delta_k(pm: PM, painter: Painter,
+                               stores: Sequence[Store], delta_k,
+                               kernel_type: str = "1_4",
+                               compute_potential: bool = False,
+                               compute_tidal: bool = False):
+    """Generic second half: kernel transfers + inverse FFTs + readout
+    at the stores' positions (order preserved; XLA gather path)."""
+    pot_k = kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
+                                          "potential")
+    gradorder = kernels.kernel_orders(kernel_type)[1]
+    acc_fields = list(pm.c2r_grad3(pot_k, gradorder))
+    pot_field = None
+    if compute_potential:
+        fk = kernels.apply_kernel_transfer(pm, delta_k, kernel_type,
+                                           "potential")
+        pot_field = pm.c2r(fk)
+    tidal_fields = None
+    if compute_tidal:
+        tidal_fields = [
+            pm.c2r(kernels.apply_kernel_transfer(
+                pm, delta_k, kernel_type, "tidal", m))
+            for m in range(6)]
+    out = []
+    for p in stores:
+        acc = painter.readout3(acc_fields[0], acc_fields[1],
+                               acc_fields[2], p.x)
+        updates = dict(acc=acc)
+        if compute_potential and p.potential is not None:
+            updates["potential"] = painter.readout(pot_field, p.x)
+        if compute_tidal and p.tidal is not None:
+            updates["tidal"] = jnp.stack(
+                [painter.readout(f, p.x) for f in tidal_fields],
+                axis=-1)
+        out.append(p.replace(**updates))
+    return out
+
+
 def compute_force_stale(pm: PM, painter: Painter, store: Store,
                         ranges, maxm: int,
                         kernel_type: str = "1_4",

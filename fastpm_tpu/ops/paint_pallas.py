@@ -379,7 +379,8 @@ def ranges_lane_major(prepared):
 
 def make_prepare_fn(pm: PM, C: int | None = None,
                     pad_to: int = DEFAULT_KD,
-                    base_only: bool = False):
+                    base_only: bool = False,
+                    presorted: bool = False):
     """Shared sorted-bundle builder for the paint and readout kernels:
     ONE sort by padded cell (carrying fx, fy, fz and the original index)
     and ONE per-(window, corner) range table serve both, halving the
@@ -408,9 +409,17 @@ def make_prepare_fn(pm: PM, C: int | None = None,
         n = pos.shape[0]
         cell, frac = base_cell_frac(pos, inv_cell, nx, ny, nz,
                                     nyp, nzp)
-        iota = jnp.arange(n, dtype=jnp.int32)
-        cell_s, fx, fy, fz, orig = jax.lax.sort(
-            (cell, frac[:, 0], frac[:, 1], frac[:, 2], iota), num_keys=1)
+        if presorted:
+            # rows already cell-sorted (order-free split paths): skip
+            # the sort; values come back aligned with the given rows
+            cell_s, fx, fy, fz = (cell, frac[:, 0], frac[:, 1],
+                                  frac[:, 2])
+            orig = None
+        else:
+            iota = jnp.arange(n, dtype=jnp.int32)
+            cell_s, fx, fy, fz, orig = jax.lax.sort(
+                (cell, frac[:, 0], frac[:, 1], frac[:, 2], iota),
+                num_keys=1)
         w8_s = w8_from_frac(fx, fy, fz)
 
         n_padded = ((n + min_pad + pad_to - 1) // pad_to) * pad_to

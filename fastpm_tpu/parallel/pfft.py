@@ -285,6 +285,17 @@ class SlabPM:
         idx = jax.lax.axis_index(self.axis)
         return jax.lax.dynamic_slice(t, (idx * nloc,), (nloc,))
 
+    def apply_fk_interp(self, dk, logk, vals):
+        """Shard-local mirror of transfers.apply_fk_interp (the
+        jittable neutrino linear-response transfer): fac(|k|) = 1 +
+        interp(log|k|; logk, vals), DC mode kept at 1."""
+        kk = sum(self.broadcast_table_local("kk", d) for d in range(3))
+        k = jnp.sqrt(kk)
+        lq = jnp.log(jnp.where(k > 0, k, 1.0))
+        fac = 1.0 + jnp.interp(lq, logk, vals)
+        fac = jnp.where(kk > 0, fac, 1.0)
+        return dk * fac.astype(self.pm.dtype)
+
     def apply_softening(self, dk, softening_type: str):
         """Shard-local mirror of kernels.apply_softening
         (apply_softening_transfer, gravity.c:243-270)."""
@@ -525,6 +536,9 @@ class PencilPM:
     apply_pot = SlabPM.apply_pot
     apply_grad = SlabPM.apply_grad
     apply_softening = SlabPM.apply_softening
+    # padded kz modes: kk maps to 0 there -> fac = 1, and the modes
+    # themselves are zero, so the interp transfer is pad-safe
+    apply_fk_interp = SlabPM.apply_fk_interp
 
     def custom_table_local(self, values, d: int):
         """Pencil-layout counterpart of SlabPM.custom_table_local; the

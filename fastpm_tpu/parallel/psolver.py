@@ -730,6 +730,234 @@ def _force_local_homed_pencil_carry(ppm, x, v, extras,
     return xs, vs, extras_s, acc, bad, delta_k
 
 
+# ---- split (pre/post) bodies: transfers needing a host round trip ------
+#
+# The neutrino linear response multiplies delta_k by a 1D table that
+# depends on THIS step's measured P_cdm(k) (gravity.c:431-455): the
+# force must split into two programs around one small host fetch. pre =
+# density half (sort/paint/reduce/r2c/soften), post = kernels half
+# (presorted prepare + fk-interp transfer + gradients + readout). The
+# non-carry fallback is the v1 full-canvas split (_force_local_multi
+# split in the solver's LRA branch).
+
+
+def _force_local_homed_carry_pre(spm, x, v, extras, H,
+                                 softening_type: str = "none",
+                                 pallas=None, pallas_interpret=False):
+    """Density half of the order-free homed force. Returns
+    (xs, vs, extras_sorted, bad, delta_k shard)."""
+    pm = spm.pm
+    nproc = spm.nproc
+    nloc = pm.Nmesh[0] // nproc
+    r0 = jax.lax.axis_index(spm.axis) * nloc
+    n0, n1, n2 = pm.Nmesh
+    nx_l = nloc + 2 * H
+    nyp, nzp = n1 + 1, n2 + 1
+    shape_local = (nx_l, n1, n2)
+    use_pallas, pallas_interpret = pallas_policy(
+        shape_local, pallas, pallas_interpret)
+    if not use_pallas:
+        raise ValueError("the homed carry needs the fused Pallas "
+                         "kernels (pallas_policy said no)")
+    prepare, paint_from, _ro = _homed_kernels(
+        shape_local, spm.axis, interpret=pallas_interpret,
+        presorted=True)
+
+    relx, iy, iz, _fr = _cic_rel(pm, x, r0, H)
+    valid = relx < nx_l
+    bad = jnp.sum(~valid).astype(jnp.int32)
+    relx = jnp.where(valid, relx, nx_l + 1)
+    cell = (relx * nyp + iy) * nzp + iz
+    ops_in = (cell, x[:, 0], x[:, 1], x[:, 2],
+              v[:, 0], v[:, 1], v[:, 2]) + tuple(extras)
+    sorted_ops = jax.lax.sort(ops_in, num_keys=1)
+    xs = jnp.stack(sorted_ops[1:4], axis=-1)
+    vs = jnp.stack(sorted_ops[4:7], axis=-1)
+    extras_s = sorted_ops[7:]
+    relx2, iy2, iz2, fr = _cic_rel(pm, xs, r0, H)
+    relx2 = jnp.where(relx2 < nx_l, relx2, nx_l + 1)
+    prepared = prepare(relx2, iy2, iz2, fr)
+
+    canvas_ext = paint_from(prepared)
+    canvas = _halo_reduce(canvas_ext, spm.axis, nloc, H, nproc)
+    ntotal = jax.lax.psum(jnp.float32(x.shape[0]), spm.axis)
+    bad = jax.lax.psum(bad, spm.axis)
+    canvas = canvas / (ntotal / pm.Norm)
+    delta_k = spm.r2c_local(canvas)
+    delta_k = spm.apply_softening(delta_k, softening_type)
+    return xs, vs, extras_s, bad, delta_k
+
+
+def _force_local_homed_carry_post(spm, xs, delta_k, kernel_type, H,
+                                  logk, vals, pallas=None,
+                                  pallas_interpret=False):
+    """Kernels half: fk-interp transfer (the LRA table as data) +
+    gradients + halo gather + presorted readout. Returns
+    (acc, delta_k with the transfer applied)."""
+    pm = spm.pm
+    nproc = spm.nproc
+    nloc = pm.Nmesh[0] // nproc
+    r0 = jax.lax.axis_index(spm.axis) * nloc
+    n0, n1, n2 = pm.Nmesh
+    nx_l = nloc + 2 * H
+    shape_local = (nx_l, n1, n2)
+    use_pallas, pallas_interpret = pallas_policy(
+        shape_local, pallas, pallas_interpret)
+    if not use_pallas:
+        raise ValueError("the homed carry needs the fused Pallas "
+                         "kernels (pallas_policy said no)")
+    prepare, _pf, readout3_from = _homed_kernels(
+        shape_local, spm.axis, interpret=pallas_interpret,
+        presorted=True)
+    relx2, iy2, iz2, fr = _cic_rel(pm, xs, r0, H)
+    relx2 = jnp.where(relx2 < nx_l, relx2, nx_l + 1)
+    prepared = prepare(relx2, iy2, iz2, fr)
+
+    delta_k = spm.apply_fk_interp(delta_k, logk, vals)
+    fields_ext = _grad3_fields_homed(
+        spm, delta_k, kernel_type,
+        lambda g: _halo_gather(g, spm.axis, nloc, H, nproc))
+    acc = readout3_from(prepared, fields_ext[0], fields_ext[1],
+                        fields_ext[2])
+    return acc, delta_k
+
+
+def _force_local_homed_pencil_carry_pre(ppm, x, v, extras, Hx, Hy,
+                                        softening_type: str = "none",
+                                        pallas=None,
+                                        pallas_interpret=False):
+    """Pencil density half of the order-free carry split."""
+    pm = ppm.pm
+    px, py = ppm.px, ppm.py
+    ax0, ax1 = ppm.ax0, ppm.ax1
+    n0, n1, n2 = pm.Nmesh
+    nlx, nly = n0 // px, n1 // py
+    r0x = jax.lax.axis_index(ax0) * nlx
+    r0y = jax.lax.axis_index(ax1) * nly
+    nx_l, ny_l = nlx + 2 * Hx, nly + 2 * Hy
+    nyp, nzp = ny_l + 1, n2 + 1
+    shape_local = (nx_l, ny_l, n2)
+    use_pallas, pallas_interpret = pallas_policy(
+        shape_local, pallas, pallas_interpret)
+    if not use_pallas:
+        raise ValueError("the homed carry needs the fused Pallas "
+                         "kernels (pallas_policy said no)")
+    prepare, paint_from, _ro = _homed_kernels_pencil(
+        shape_local, (ax0, ax1), interpret=pallas_interpret,
+        presorted=True)
+
+    relx, rely, iz, _fr = _cic_rel2(pm, x, r0x, r0y, Hx, Hy)
+    valid = (relx < nx_l) & (rely < ny_l)
+    bad = jnp.sum(~valid).astype(jnp.int32)
+    relx = jnp.where(valid, relx, nx_l + 1)
+    rely = jnp.where(valid, rely, 0)
+    cell = (relx * nyp + rely) * nzp + iz
+    ops_in = (cell, x[:, 0], x[:, 1], x[:, 2],
+              v[:, 0], v[:, 1], v[:, 2]) + tuple(extras)
+    sorted_ops = jax.lax.sort(ops_in, num_keys=1)
+    xs = jnp.stack(sorted_ops[1:4], axis=-1)
+    vs = jnp.stack(sorted_ops[4:7], axis=-1)
+    extras_s = sorted_ops[7:]
+    relx2, rely2, iz2, fr = _cic_rel2(pm, xs, r0x, r0y, Hx, Hy)
+    valid2 = (relx2 < nx_l) & (rely2 < ny_l)
+    relx2 = jnp.where(valid2, relx2, nx_l + 1)
+    rely2 = jnp.where(valid2, rely2, 0)
+    prepared = prepare(relx2, rely2, iz2, fr)
+
+    canvas_ext = paint_from(prepared)
+    c = _halo_reduce(canvas_ext, ax0, nlx, Hx, px, dim=0)
+    c = _halo_reduce(c, ax1, nly, Hy, py, dim=1)
+    ntotal = jax.lax.psum(jnp.float32(x.shape[0]), (ax0, ax1))
+    bad = jax.lax.psum(bad, (ax0, ax1))
+    canvas = c / (ntotal / pm.Norm)
+    delta_k = ppm.r2c_local(canvas)
+    delta_k = ppm.apply_softening(delta_k, softening_type)
+    return xs, vs, extras_s, bad, delta_k
+
+
+def _force_local_homed_pencil_carry_post(ppm, xs, delta_k,
+                                         kernel_type, Hx, Hy,
+                                         logk, vals, pallas=None,
+                                         pallas_interpret=False):
+    """Pencil kernels half of the order-free carry split."""
+    pm = ppm.pm
+    px, py = ppm.px, ppm.py
+    ax0, ax1 = ppm.ax0, ppm.ax1
+    n0, n1, n2 = pm.Nmesh
+    nlx, nly = n0 // px, n1 // py
+    r0x = jax.lax.axis_index(ax0) * nlx
+    r0y = jax.lax.axis_index(ax1) * nly
+    nx_l, ny_l = nlx + 2 * Hx, nly + 2 * Hy
+    shape_local = (nx_l, ny_l, n2)
+    use_pallas, pallas_interpret = pallas_policy(
+        shape_local, pallas, pallas_interpret)
+    if not use_pallas:
+        raise ValueError("the homed carry needs the fused Pallas "
+                         "kernels (pallas_policy said no)")
+    prepare, _pf, readout3_from = _homed_kernels_pencil(
+        shape_local, (ax0, ax1), interpret=pallas_interpret,
+        presorted=True)
+    relx2, rely2, iz2, fr = _cic_rel2(pm, xs, r0x, r0y, Hx, Hy)
+    valid2 = (relx2 < nx_l) & (rely2 < ny_l)
+    relx2 = jnp.where(valid2, relx2, nx_l + 1)
+    rely2 = jnp.where(valid2, rely2, 0)
+    prepared = prepare(relx2, rely2, iz2, fr)
+
+    delta_k = ppm.apply_fk_interp(delta_k, logk, vals)
+
+    def gather2(g):
+        f = _halo_gather(g, ax1, nly, Hy, py, dim=1)
+        return _halo_gather(f, ax0, nlx, Hx, px, dim=0)
+
+    fields_ext = _grad3_fields_homed(ppm, delta_k, kernel_type,
+                                     gather2)
+    acc = readout3_from(prepared, fields_ext[0], fields_ext[1],
+                        fields_ext[2])
+    return acc, delta_k
+
+
+def _force_local_multi_pre(spm, painter, xs, masses,
+                           softening_type: str = "none"):
+    """v1 density half (any species mix): paint + reduce + r2c +
+    soften. Returns delta_k shard."""
+    pm = spm.pm
+    canvas, ntotal = _paint_delta_k_local(spm, painter, xs, masses)
+    canvas = canvas / (ntotal / pm.Norm)
+    delta_k = spm.r2c_local(canvas)
+    return spm.apply_softening(delta_k, softening_type)
+
+
+def _force_local_multi_post(spm, painter, xs, delta_k, kernel_type,
+                            logk, vals,
+                            compute_potential: bool = False,
+                            compute_tidal: bool = False):
+    """v1 kernels half: fk-interp transfer + kernels + c2r + gather +
+    readout for every species. Returns ([dict...], delta_k)."""
+    delta_k = spm.apply_fk_interp(delta_k, logk, vals)
+    fields = [("acc", d) for d in range(3)]
+    if compute_potential:
+        fields.append(("potential", 0))
+    if compute_tidal:
+        fields += [("tidal", m) for m in range(6)]
+    fulls = []
+    for name, memb in fields:
+        fk = _apply_kernel_local(spm, delta_k, kernel_type, name, memb)
+        local = spm.c2r_local(fk)
+        fulls.append(spm.gather_canvas(local))
+    outs = []
+    for x in xs:
+        vals_r = [painter.readout(f, x) for f in fulls]
+        d = dict(acc=jnp.stack(vals_r[:3], axis=-1))
+        i = 3
+        if compute_potential:
+            d["potential"] = vals_r[i]
+            i += 1
+        if compute_tidal:
+            d["tidal"] = jnp.stack(vals_r[i:i + 6], axis=-1)
+        outs.append(d)
+    return outs, delta_k
+
+
 # ---- v3 "pencil-homed" force: 2D halo exchange on the true pencil ------
 #
 # The 2D analog of the homed slab (the reference's production layout,

@@ -672,12 +672,14 @@ class Solver:
             time_transfer=1.0 / (1 + transfer_redshift),
             t_init=t_init)
 
-    def _apply_lra_transfer(self, pm, delta_k, a_f):
-        """Measure P_cdm from delta_k, update the neutrino response, and
-        apply 1 + f_nu delta_nu/delta_cdm (lra_neutrinos,
-        gravity.c:431-455)."""
+    def _lra_table(self, pm, delta_k, a_f):
+        """Measure P_cdm from delta_k (one small bin fetch), update the
+        neutrino response history, and return the per-step 1D transfer
+        table (logk, vals) as DEVICE arrays: the jitted kernels half
+        applies fac = 1 + interp(log|k|; logk, vals) -- the
+        lra_neutrinos transfer of gravity.c:431-455, 494-522 with the
+        table riding in as data so the program compiles once."""
         from .powerspectrum import measure_power
-        from . import transfers as _tr
         ps = measure_power(pm, delta_k)
         delta_cdm = np.sqrt(np.maximum(ps.p, 0.0))
         good = ps.Nmodes > 0
@@ -685,16 +687,277 @@ class Solver:
         nu_prefac, ratio = self.lra.update_from_power(
             k, delta_cdm[good], a_f)
         logk = np.log(np.where(k > 0, k, 1e-10))
+        vals = np.asarray(nu_prefac) * np.asarray(ratio)
+        return (jnp.asarray(logk, dtype=jnp.float32),
+                jnp.asarray(vals, dtype=jnp.float32))
 
-        def nufac(kq):
-            kq = np.asarray(kq, dtype=np.float64)
-            lq = np.log(np.where(kq > 0, kq, np.exp(logk[0])))
-            lq = np.clip(lq, logk[0], logk[-1])
-            d = np.interp(lq, logk, ratio)
-            out = 1.0 + nu_prefac * d
-            return np.where(kq <= 0, 1.0, out)
+    def _jitted_lra_force(self, pm: PM, stores):
+        """Cached two-program split of the single-device force around
+        the LRA host round trip: pre = wrap + density (order-free
+        carry where eligible), post = fk-interp transfer + kernels +
+        readout + decic. Stamps stripped at the boundary like
+        _jitted_global_force."""
+        cfg = self.config
+        with_pgd = self.pgd is not None
+        painter = Painter(pm, cfg.painter_type, cfg.painter_support)
+        carry = (cfg.order_free and gravity.carry_eligible(
+            pm, painter, stores, cfg.compute_potential,
+            cfg.compute_tidal))
+        key = ("lra", pm.cache_key, carry)
+        cached = self._jitted_force.get(key)
+        if cached is None:
+            L = pm.BoxSize
 
-        return _tr.apply_any(pm, delta_k, nufac, host_tables=True)
+            @jax.jit
+            def jit_pre(stores):
+                stores = [p.wrap(L) for p in stores]
+                if carry:
+                    ns, dk = gravity.compute_delta_k_carry(
+                        pm, painter, stores[0], cfg.softening_type)
+                    return [ns], dk
+                dk = gravity.compute_delta_k(pm, painter, stores,
+                                             cfg.softening_type)
+                return stores, dk
+
+            @jax.jit
+            def jit_post(stores, dk, logk, vals):
+                dk = transfers.apply_fk_interp(pm, dk, logk, vals)
+                if carry:
+                    new_stores = [gravity.compute_force_presorted(
+                        pm, painter, stores[0], dk, cfg.kernel_type)]
+                else:
+                    new_stores = gravity.compute_force_from_delta_k(
+                        pm, painter, stores, dk, cfg.kernel_type,
+                        cfg.compute_potential, cfg.compute_tidal)
+                return (new_stores, transfers.apply_decic(pm, dk),
+                        dk if with_pgd else None)
+
+            cached = (jit_pre, jit_post)
+            self._jitted_force[key] = cached
+        return cached
+
+    def _sharded_lra_force(self, pm: PM, stores, a_f):
+        """SPMD force with the neutrino linear response: the same
+        split as _jitted_lra_force, shard-mapped. The homed order-free
+        carry serves the eligible single-species case; any other mix
+        takes the v1 full-canvas split. The P(k) fetch that feeds the
+        LRA table is the step's one (unavoidable) host round trip, so
+        the halo overflow count is checked inline here (no deferred
+        pending; a replay would double-update the LRA history)."""
+        from jax.sharding import PartitionSpec
+        from .parallel.pfft import make_engine, SlabPM, PencilPM
+        from .parallel.psolver import (
+            _force_local_multi_pre, _force_local_multi_post,
+            _force_local_homed_carry_pre, _force_local_homed_carry_post,
+            _force_local_homed_pencil_carry_pre,
+            _force_local_homed_pencil_carry_post,
+            pallas_policy, particle_spec, deltak_spec)
+
+        cfg = self.config
+        while True:
+            H = self._pick_halo(pm, stores)
+            pencil = isinstance(H, tuple)
+            has_col = tuple(p.mass is not None for p in stores)
+            M0s = tuple(float(p.M0) for p in stores)
+            names = tuple(self.mesh.axis_names)
+            nproc = int(np.prod([self.mesh.shape[a] for a in names]))
+            n0, n1, n2 = pm.Nmesh
+
+            carry = False
+            espec = ()
+            if (cfg.order_free and H is not None and len(stores) == 1
+                    and stores[0].mass is None
+                    and stores[0].v is not None
+                    and not cfg.compute_potential
+                    and not cfg.compute_tidal):
+                if pencil:
+                    _, Hx, Hy = H
+                    px = self.mesh.shape[names[0]]
+                    py = self.mesh.shape[names[1]]
+                    shape_local = (n0 // px + 2 * Hx,
+                                   n1 // py + 2 * Hy, n2)
+                else:
+                    shape_local = (n0 // nproc + 2 * H, n1, n2)
+                carry = pallas_policy(shape_local)[0]
+                espec = self._carry_spec(stores[0])
+            if not carry:
+                H = None        # generic mix: v1 full-canvas split
+
+            key = ("lra", pm.cache_key, H, has_col, M0s, carry,
+                   tuple((nm, k, str(dt)) for nm, k, dt in espec))
+            fns = self._sharded_force_cache.get(key)
+            if fns is None:
+                if carry and pencil:
+                    spm = PencilPM(pm, self.mesh, axes=names)
+                elif carry:
+                    spm = SlabPM(pm, self.mesh,
+                                 axis=(names[0] if len(names) == 1
+                                       else names))
+                else:
+                    spm = make_engine(pm, self.mesh)
+                painter = Painter(pm, cfg.painter_type,
+                                  cfg.painter_support)
+                kernel_type = cfg.kernel_type
+                softening = cfg.softening_type
+                pot, tid = cfg.compute_potential, cfg.compute_tidal
+                pspec = particle_spec(self.mesh)
+                L = np.asarray(pm.BoxSize, dtype=np.float32)
+                try:
+                    plat = jax.devices()[0].platform.lower()
+                except Exception:
+                    plat = "cpu"
+                env_pallas = os.environ.get("FASTPM_TPU_PALLAS",
+                                            "").lower()
+                may_use_pallas = (carry
+                                  and (plat not in ("cpu", "gpu")
+                                       or env_pallas in ("on",
+                                                         "interpret")))
+
+                def flat_extras(extras):
+                    flat = []
+                    for a, (nm, k, dt) in zip(extras, espec):
+                        aa = (a.astype(jnp.uint8)
+                              if a.dtype == jnp.bool_ else a)
+                        if k == 0:
+                            flat.append(aa)
+                        else:
+                            flat.extend(aa[:, j] for j in range(k))
+                    return tuple(flat)
+
+                def unflat_extras(extras_s):
+                    outs, i = [], 0
+                    for nm, k, dt in espec:
+                        if k == 0:
+                            outs.append(extras_s[i].astype(dt))
+                            i += 1
+                        else:
+                            outs.append(jnp.stack(
+                                extras_s[i:i + k],
+                                axis=-1).astype(dt))
+                            i += k
+                    return tuple(outs)
+
+                if carry:
+                    if pencil:
+                        _, Hx, Hy = H
+
+                        def pre_body(x, v, flat):
+                            return _force_local_homed_pencil_carry_pre(
+                                spm, x, v, flat, Hx, Hy, softening)
+
+                        def post_body(xs, dk, logk, vals):
+                            return \
+                                _force_local_homed_pencil_carry_post(
+                                    spm, xs, dk, kernel_type, Hx, Hy,
+                                    logk, vals)
+                    else:
+                        def pre_body(x, v, flat):
+                            return _force_local_homed_carry_pre(
+                                spm, x, v, flat, H, softening)
+
+                        def post_body(xs, dk, logk, vals):
+                            return _force_local_homed_carry_post(
+                                spm, xs, dk, kernel_type, H,
+                                logk, vals)
+
+                    def pre_local(x, v, extras):
+                        x = x - jnp.floor(x / L) * L
+                        xs, vs, extras_s, bad, dk = pre_body(
+                            x, v, flat_extras(extras))
+                        return (xs, vs, unflat_extras(extras_s),
+                                bad, dk)
+
+                    pre = jax.jit(jax.shard_map(
+                        pre_local, mesh=self.mesh,
+                        in_specs=(pspec, pspec, (pspec,) * len(espec)),
+                        out_specs=(pspec, pspec,
+                                   (pspec,) * len(espec),
+                                   PartitionSpec(), deltak_spec(spm)),
+                        check_vma=not may_use_pallas))
+                    post = jax.jit(jax.shard_map(
+                        post_body, mesh=self.mesh,
+                        in_specs=(pspec, deltak_spec(spm),
+                                  PartitionSpec(), PartitionSpec()),
+                        out_specs=(pspec, deltak_spec(spm)),
+                        check_vma=not may_use_pallas))
+                else:
+                    def assemble_masses(mass_cols):
+                        it = iter(mass_cols)
+                        return tuple(next(it) if h else M0
+                                     for h, M0 in zip(has_col, M0s))
+
+                    def pre_local(xs, mass_cols):
+                        return _force_local_multi_pre(
+                            spm, painter, xs,
+                            assemble_masses(mass_cols), softening)
+
+                    def post_local(xs, dk, logk, vals):
+                        return _force_local_multi_post(
+                            spm, painter, xs, dk, kernel_type,
+                            logk, vals, pot, tid)
+
+                    n = len(stores)
+                    nmass = sum(has_col)
+                    out_one = dict(acc=pspec)
+                    if pot:
+                        out_one["potential"] = pspec
+                    if tid:
+                        out_one["tidal"] = pspec
+                    pre = jax.jit(jax.shard_map(
+                        pre_local, mesh=self.mesh,
+                        in_specs=((pspec,) * n, (pspec,) * nmass),
+                        out_specs=deltak_spec(spm)))
+                    post = jax.jit(jax.shard_map(
+                        post_local, mesh=self.mesh,
+                        in_specs=((pspec,) * n, deltak_spec(spm),
+                                  PartitionSpec(), PartitionSpec()),
+                        out_specs=([dict(out_one) for _ in range(n)],
+                                   deltak_spec(spm))))
+                fns = (pre, post)
+                self._sharded_force_cache[key] = fns
+
+            pre, post = fns
+            if carry:
+                extras_in = tuple(getattr(stores[0], nm)
+                                  for nm, k, dt in espec)
+                xs, vs, extras_out, bad, dk = pre(
+                    stores[0].x, stores[0].v, extras_in)
+                if int(bad) != 0:
+                    # overflow: drop the stale rung, re-measure from
+                    # the same positions, re-run the density half
+                    self._halo_cache.clear()
+                    continue
+                dk_m = dk
+                if dk_m.shape[2] != pm.kshape[2]:
+                    dk_m = dk_m[:, :, :pm.kshape[2]]
+                logk, vals = self._lra_table(pm, dk_m, a_f)
+                acc, dk2 = post(xs, dk, logk, vals)
+                updates = dict(x=xs, v=vs, acc=acc)
+                for (nm, k, dt), arr in zip(espec, extras_out):
+                    updates[nm] = arr
+                new_stores = [stores[0].replace(**updates)]
+            else:
+                wrapped = [p.wrap(pm.BoxSize) for p in stores]
+                xs = tuple(p.x for p in wrapped)
+                mass_cols = tuple(p.mass for p in wrapped
+                                  if p.mass is not None)
+                dk = pre(xs, mass_cols)
+                dk_m = dk
+                if dk_m.shape[2] != pm.kshape[2]:
+                    dk_m = dk_m[:, :, :pm.kshape[2]]
+                logk, vals = self._lra_table(pm, dk_m, a_f)
+                outs, dk2 = post(xs, dk, logk, vals)
+                new_stores = []
+                for p, out in zip(wrapped, outs):
+                    updates = dict(acc=out["acc"])
+                    if cfg.compute_potential and p.potential is not None:
+                        updates["potential"] = out["potential"]
+                    if cfg.compute_tidal and p.tidal is not None:
+                        updates["tidal"] = out["tidal"]
+                    new_stores.append(p.replace(**updates))
+            if dk2.shape[2] != pm.kshape[2]:
+                dk2 = dk2[:, :, :pm.kshape[2]]
+            return new_stores, dk2
 
     # ---- factors (cached per step endpoints) ----
 
@@ -723,14 +986,12 @@ class Solver:
 
         names = list(self.iter_species())
 
-        delta_transfer = None
-        if self.cosmology.ncdm_linearresponse and self.lra is not None:
-            def delta_transfer(pm_, dk):
-                return self._apply_lra_transfer(pm_, dk, trans.a_f)
+        lra_on = (self.cosmology.ncdm_linearresponse
+                  and self.lra is not None)
 
         ndev = 1 if self.mesh is None else int(
             np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
-        if self.mesh is not None and ndev > 1 and delta_transfer is None:
+        if self.mesh is not None and ndev > 1 and not lra_on:
             # SPMD path: shard-mapped slab/pencil force (homed halo
             # exchange when displacements allow, full-canvas v1
             # otherwise). The neutrino linear response needs a host
@@ -756,24 +1017,34 @@ class Solver:
                     iend=iend, post=[])
             delta_k_pre = delta_k if self.pgd is not None else None
             delta_k_decic = None
-        elif delta_transfer is None:
+        elif not lra_on:
             # global single-program path, jitted as ONE XLA program
             # (wrap + force + decic): eager dispatch costs one host
             # round trip per op, catastrophic over a remote tunnel
             stores = [self.species[n] for n in names]
             fn = self._jitted_global_force(pm)
             new_stores, delta_k_decic, delta_k_pre = fn(stores)
-        else:
-            for name in names:
-                self.species[name] = self.species[name].wrap(pm.BoxSize)
+        elif self.mesh is not None and ndev > 1:
+            # SPMD split force around the LRA host round trip
+            # (gravity.c:431-455 as a two-program shard_map)
+            self._settle_halo()
             stores = [self.species[n] for n in names]
-            new_stores, delta_k = compute_force(
-                pm, painter, stores, cfg.kernel_type, cfg.softening_type,
-                compute_potential=cfg.compute_potential,
-                compute_tidal=cfg.compute_tidal,
-                delta_transfer=delta_transfer)
-            delta_k_pre = delta_k
+            new_stores, delta_k = self._sharded_lra_force(
+                pm, stores, trans.a_f)
+            delta_k_pre = delta_k if self.pgd is not None else None
             delta_k_decic = None
+        else:
+            # global split force: two jitted programs around the one
+            # small host fetch that builds the per-step LRA table
+            stores = [self.species[n] for n in names]
+            pre_fn, post_fn = self._jitted_lra_force(pm, stores)
+            stripped = [p.replace(a_x=0.0, a_v=0.0) for p in stores]
+            mids, dk_soft = pre_fn(stripped)
+            logk, vals = self._lra_table(pm, dk_soft, trans.a_f)
+            new_stripped, delta_k_decic, delta_k_pre = post_fn(
+                mids, dk_soft, logk, vals)
+            new_stores = [ns.replace(a_x=o.a_x, a_v=o.a_v)
+                          for ns, o in zip(new_stripped, stores)]
         for n, s in zip(names, new_stores):
             self.species[n] = s
         if self.config.check_values:

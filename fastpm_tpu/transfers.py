@@ -123,6 +123,23 @@ def apply_any(pm: PM, dk, fkfunc, host_tables: bool = False):
     return dk * jnp.asarray(fkfunc(k), dtype=pm.dtype)
 
 
+def apply_fk_interp(pm: PM, dk, logk, vals):
+    """Multiply by fac(|k|) = 1 + interp(log|k|; logk, vals), the
+    jittable form of the neutrino linear-response transfer
+    1 + f_nu delta_nu/delta_cdm (lra_neutrinos, gravity.c:431-455,
+    494-522): (logk, vals) are 1D DEVICE arrays fed as dynamic
+    arguments, so the program compiles once and the per-step table
+    rides in as data. The DC mode keeps fac = 1 (matching the host
+    nufac's kq <= 0 guard); out-of-range |k| clamps to the table edges
+    (jnp.interp semantics == the host np.interp + clip)."""
+    kk = sum(pm.broadcast_table("kk", d) for d in range(3))
+    k = jnp.sqrt(kk)
+    lq = jnp.log(jnp.where(k > 0, k, 1.0))
+    fac = 1.0 + jnp.interp(lq, logk, vals)
+    fac = jnp.where(kk > 0, fac, 1.0)
+    return dk * fac.astype(pm.dtype)
+
+
 def apply_c2r_weight(pm: PM, dk):
     """Weight each mode by its hermitian multiplicity (transfer.c:250-277)."""
     return dk * pm.hermitian_weights

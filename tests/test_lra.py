@@ -140,3 +140,46 @@ def test_state_save_load(tmp_path):
     # makes this agree only at the documented ~2% level
     np.testing.assert_allclose(tab2.delta_nu_last, tab.delta_nu_last,
                                rtol=0.02)
+
+
+def test_lra_sharded_matches_global():
+    """The LRA force runs jitted + shard-mapped over a device mesh
+    (the split pre/post programs around the per-step table fetch,
+    VERDICT r4 next #5): an 8-device run must match the single-device
+    LRA evolution."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from fastpm_tpu.powerspectrum import FuncK
+    from fastpm_tpu import ic
+    from fastpm_tpu.solver import Solver, SolverConfig, CDM
+
+    cfg = SolverConfig(nc=16, boxsize=64.0, time_step=[0.2, 0.5, 1.0],
+                       force_mode="fastpm", pm_nc_factor=1,
+                       need_rand=False)
+    pk = FuncK.from_file("/root/repo/tests/fixtures/powerspec.txt")
+
+    def run(mesh):
+        s = Solver(cfg, COSMO, mesh=mesh)
+        s.setup_linear_response(transfer_redshift=4.0)
+        dk, _ = ic.linear_field(s.lptpm, COSMO, pk, seed=9, aout=1.0)
+        s.setup_lpt(dk, 0.2)
+        s.evolve()
+        p = s.species[CDM]
+        ids = np.asarray(p.id)
+        o = np.argsort(ids, kind="stable")
+        return (np.asarray(p.x)[o], np.asarray(p.v)[o], ids[o], s)
+
+    xg, vg, idg, sg = run(None)
+    mesh8 = Mesh(np.array(jax.devices()[:8]), ("x",))
+    xs, vs, ids, ss = run(mesh8)
+    assert (idg == ids).all()
+    dx = np.abs(xs - xg)
+    dx = np.minimum(dx, 64.0 - dx)
+    assert dx.max() < 2e-3
+    assert np.abs(vs - vg).max() < 2e-4
+    # both carried the same neutrino history
+    np.testing.assert_allclose(np.asarray(ss.lra.scalefact),
+                               np.asarray(sg.lra.scalefact), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ss.lra.delta_tot),
+                               np.asarray(sg.lra.delta_tot), rtol=1e-4)
