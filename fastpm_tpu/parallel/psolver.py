@@ -730,6 +730,204 @@ def _force_local_homed_pencil_carry(ppm, x, v, extras,
     return xs, vs, extras_s, acc, bad, delta_k
 
 
+# ---- v4 "rehomed" slab force: sort-based particle migration -------------
+#
+# The store.c:486-657 + permute.c analog, TPU-first: instead of growing
+# the halo width H with the global max displacement (which makes the
+# ghost volume rival the interior at late times, MEMSCALE 2048^3), each
+# force step ENDS by migrating boundary-crossers to their owner slab:
+#
+# - per-device rows are a fixed-capacity buffer (R = cap + 2B rows) with
+#   an explicit alive flag; dead rows sort to the end of the carry sort
+#   (their cell key is forced past the last window) and weigh zero in
+#   the paint/readout,
+# - after the force's OWN cell sort, this step's movers are CONTIGUOUS:
+#   left-movers are the sorted prefix (relx < H), right-movers the
+#   valid suffix (relx >= H + nloc) -- three searchsorted scalars give
+#   the block bounds, so migration is two static-size slices + two
+#   neighbor ppermutes of a bitcast-packed (B, ncols) matrix; no extra
+#   sort, no scatter, no nonzero,
+# - the output drops the sent movers by ONE dynamic-start slice
+#   (dynamic_slice(sorted, n_left, cap)) and appends the two arrival
+#   buffers -- the next force's sort folds them in.
+#
+# With migration every force, the halo requirement stays at the CIC
+# support + one step's drift (H <= 4 regardless of epoch); overflow of
+# any contract (halo, bucket B, capacity cap, hop > 1) is counted into
+# the returned bad. Requires H <= nloc (movers belong to the immediate
+# neighbor).
+
+
+def _pack_cols_f32(cols):
+    """Stack mixed-dtype 1D columns as one (n, ncols) f32 matrix
+    (bitcast transport for the migration ppermute)."""
+    return jnp.stack(
+        [jax.lax.bitcast_convert_type(
+            c if c.dtype.itemsize == 4 else c.astype(jnp.float32),
+            jnp.float32) for c in cols], axis=1)
+
+
+def _force_local_homed_rehome(spm, x, v, alive, extras, kernel_type,
+                              H: int, B: int,
+                              softening_type: str = "none",
+                              pallas=None, pallas_interpret=False):
+    """Order-free homed force WITH end-of-step migration (see module
+    comment above). Rows: R = cap + 2B per device; at most cap may be
+    alive. Returns (xs, vs, alive_out, extras_sorted, acc, bad,
+    delta_k) -- all (R,) rows, migrated; bad > 0 means a contract
+    (halo / bucket / capacity) overflowed and the result is invalid."""
+    pm = spm.pm
+    nproc = spm.nproc
+    nloc = pm.Nmesh[0] // nproc
+    if H > nloc:
+        raise ValueError("rehoming requires H <= nloc")
+    r0 = jax.lax.axis_index(spm.axis) * nloc
+    n0, n1, n2 = pm.Nmesh
+    nx_l = nloc + 2 * H
+    nyp, nzp = n1 + 1, n2 + 1
+    shape_local = (nx_l, n1, n2)
+    R = x.shape[0]
+    cap = R - 2 * B
+    use_pallas, pallas_interpret = pallas_policy(
+        shape_local, pallas, pallas_interpret)
+    if not use_pallas:
+        raise ValueError("the rehomed carry needs the fused Pallas "
+                         "kernels (pallas_policy said no)")
+    prepare, paint_from, readout3_from = _homed_kernels(
+        shape_local, spm.axis, interpret=pallas_interpret,
+        presorted=True)
+
+    def masked_rel(xq, alive_b):
+        relx, iy, iz, fr = _cic_rel(pm, xq, r0, H)
+        ok = alive_b & (relx < nx_l)
+        relx = jnp.where(ok, relx, nx_l + 1)
+        iy = jnp.where(ok, iy, 0)
+        iz = jnp.where(ok, iz, 0)
+        return relx, iy, iz, fr, ok
+
+    alive_b = alive > 0
+    relx, iy, iz, _fr, ok = masked_rel(x, alive_b)
+    # halo overflow: ALIVE rows beyond the extended slab
+    bad = jnp.sum(alive_b & jnp.logical_not(ok)).astype(jnp.int32)
+    cell = (relx * nyp + iy) * nzp + iz
+    ops_in = (cell, x[:, 0], x[:, 1], x[:, 2],
+              v[:, 0], v[:, 1], v[:, 2],
+              alive.astype(jnp.uint8) if alive.dtype == jnp.bool_
+              else alive) + tuple(extras)
+    sorted_ops = jax.lax.sort(ops_in, num_keys=1)
+    cell_s = sorted_ops[0]
+    xs = jnp.stack(sorted_ops[1:4], axis=-1)
+    vs = jnp.stack(sorted_ops[4:7], axis=-1)
+    alive_s = sorted_ops[7]
+    extras_s = sorted_ops[8:]
+    relx2, iy2, iz2, fr2, _ok2 = masked_rel(xs, alive_s > 0)
+    prepared = prepare(relx2, iy2, iz2, fr2)
+
+    canvas_ext = paint_from(prepared)
+    canvas = _halo_reduce(canvas_ext, spm.axis, nloc, H, nproc)
+    ntotal = jax.lax.psum(
+        jnp.sum((alive_s > 0).astype(jnp.float32)), spm.axis)
+    canvas = canvas / (ntotal / pm.Norm)
+    delta_k = spm.r2c_local(canvas)
+    delta_k = spm.apply_softening(delta_k, softening_type)
+    fields_ext = _grad3_fields_homed(
+        spm, delta_k, kernel_type,
+        lambda g: _halo_gather(g, spm.axis, nloc, H, nproc))
+    acc = readout3_from(prepared, fields_ext[0], fields_ext[1],
+                        fields_ext[2])
+
+    # ---- migration on the fresh sort ----
+    bounds = jnp.searchsorted(
+        cell_s, jnp.asarray([H * nyp * nzp,
+                             (H + nloc) * nyp * nzp,
+                             (nx_l + 1) * nyp * nzp],
+                            dtype=jnp.int32)).astype(jnp.int32)
+    n_l, n_r0, E = bounds[0], bounds[1], bounds[2]
+    n_stay = n_r0 - n_l
+    n_right = E - n_r0
+    # contract checks fold into bad (any nonzero invalidates the step)
+    bad = bad + jnp.where(n_l > B, n_l - B, 0)
+    bad = bad + jnp.where(n_right > B, n_right - B, 0)
+    bad = bad + jnp.where(n_stay > cap, n_stay - cap, 0)
+    # the keep slice's dynamic start clamps at 2B
+    bad = bad + jnp.where(n_l > 2 * B, n_l, 0)
+
+    # column set riding the migration: x(3) v(3) acc(3) extras, plus
+    # the EXPLICIT alive flag. Transport is pure data movement (bitcast
+    # pack + ppermute + slices); masked-out rows are marked dead via
+    # the alive column ONLY -- never by multiplying values (TPU f32
+    # multiplies flush subnormals, which would corrupt bitcast integer
+    # lanes like the ids).
+    aliveu = alive_s.astype(jnp.uint32)
+    cols_mv = ([xs[:, j] for j in range(3)]
+               + [vs[:, j] for j in range(3)]
+               + [acc[:, j] for j in range(3)]
+               + list(extras_s))
+    dtypes = [jnp.float32] * 9 + [e.dtype for e in extras_s]
+    iota_b = jnp.arange(B, dtype=jnp.int32)
+
+    # left buffer rows [0, B): alive iff row < n_l (all rows < n_l are
+    # alive movers by the sort order)
+    l_alive = jnp.where(iota_b < n_l, aliveu[:B], 0)
+    leftbuf = jnp.concatenate(
+        [_pack_cols_f32([c[:B] for c in cols_mv]),
+         jax.lax.bitcast_convert_type(l_alive, jnp.float32)[:, None]],
+        axis=1)
+    # right buffer rows [E-B, E): alive iff global index in [n_r0, E)
+    start = jnp.maximum(E - B, 0)
+    ridx = start + iota_b
+    right_ok = (ridx >= n_r0) & (ridx < E)
+    r_alive = jnp.where(
+        right_ok, jax.lax.dynamic_slice(aliveu, (start,), (B,)), 0)
+    rightbuf = jnp.concatenate(
+        [_pack_cols_f32([jax.lax.dynamic_slice(c, (start,), (B,))
+                         for c in cols_mv]),
+         jax.lax.bitcast_convert_type(r_alive, jnp.float32)[:, None]],
+        axis=1)
+
+    to_left, to_right = _ring_perms(nproc)
+    recv_from_right = jax.lax.ppermute(leftbuf, spm.axis, to_left)
+    recv_from_left = jax.lax.ppermute(rightbuf, spm.axis, to_right)
+
+    # keep: stayers slide to the front (ONE dynamic-start static-size
+    # slice per column); rows past n_stay are marked dead
+    ks = jnp.minimum(n_l, 2 * B)
+    keep_alive = jnp.where(
+        jnp.arange(cap, dtype=jnp.int32) < n_stay,
+        jax.lax.dynamic_slice(aliveu, (ks,), (cap,)), 0)
+
+    def merge_col(c_sorted, recv_l_col, recv_r_col):
+        k = jax.lax.dynamic_slice(c_sorted, (ks,), (cap,))
+        return jnp.concatenate([k, recv_l_col, recv_r_col])
+
+    cols_o = []
+    for j, dt in enumerate(dtypes):
+        rl = recv_from_left[:, j]
+        rr = recv_from_right[:, j]
+        if dt != jnp.float32:
+            rl = jax.lax.bitcast_convert_type(rl, dt) \
+                if jnp.dtype(dt).itemsize == 4 \
+                else jax.lax.bitcast_convert_type(
+                    rl, jnp.float32).astype(dt)
+            rr = jax.lax.bitcast_convert_type(rr, dt) \
+                if jnp.dtype(dt).itemsize == 4 \
+                else jax.lax.bitcast_convert_type(
+                    rr, jnp.float32).astype(dt)
+        cols_o.append(merge_col(cols_mv[j], rl, rr))
+    alive_o = jnp.concatenate(
+        [keep_alive,
+         jax.lax.bitcast_convert_type(recv_from_left[:, -1],
+                                      jnp.uint32),
+         jax.lax.bitcast_convert_type(recv_from_right[:, -1],
+                                      jnp.uint32)]).astype(alive.dtype)
+    xs_o = jnp.stack(cols_o[0:3], axis=-1)
+    vs_o = jnp.stack(cols_o[3:6], axis=-1)
+    acc_o = jnp.stack(cols_o[6:9], axis=-1)
+    extras_o = tuple(cols_o[9:])
+    bad = jax.lax.psum(bad, spm.axis)
+    return xs_o, vs_o, alive_o, extras_o, acc_o, bad, delta_k
+
+
 # ---- split (pre/post) bodies: transfers needing a host round trip ------
 #
 # The neutrino linear response multiplies delta_k by a 1D table that

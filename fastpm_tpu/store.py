@@ -52,6 +52,12 @@ class Store:
     pgdc: Optional[jnp.ndarray] = None
     mass: Optional[jnp.ndarray] = None
     aemit: Optional[jnp.ndarray] = None
+    # rehomed (migrating) stores: fixed-capacity per-device rows with
+    # an explicit liveness flag (u8 0/1); dead rows are padding that
+    # weighs zero in the force and is dropped at IO/compaction
+    # (parallel/psolver._force_local_homed_rehome). None = dense store
+    # (every row is a particle).
+    alive: Optional[jnp.ndarray] = None
 
     # metadata (static leaves)
     a_x: float = dataclasses.field(default=0.0, metadata=dict(static=True))
@@ -106,6 +112,22 @@ class Store:
 
     def replace(self, **kwargs) -> "Store":
         return dataclasses.replace(self, **kwargs)
+
+    def compact(self) -> "Store":
+        """Drop the dead rows of a rehomed store (fetches the alive
+        mask once; an IO/observer-boundary operation, not for the hot
+        loop). Dense stores (alive is None) return self."""
+        if self.alive is None:
+            return self
+        m = np.asarray(self.alive) > 0
+        updates = dict(alive=None)
+        for f in dataclasses.fields(self):
+            if f.metadata.get("static") or f.name == "alive":
+                continue
+            col = getattr(self, f.name)
+            if col is not None:
+                updates[f.name] = jnp.asarray(np.asarray(col)[m])
+        return dataclasses.replace(self, **updates)
 
     def summary(self, column: str):
         """Per-component (min, std, mean, max) in float64 on host

@@ -784,3 +784,115 @@ def test_pencil_homed_carry_matches_multi(mesh42):
     np.testing.assert_array_equal(np.asarray(vs)[o], np.asarray(v))
     np.testing.assert_allclose(np.asarray(acc)[o], np.asarray(acc_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---- v4 rehomed force: sort-based particle migration (VERDICT r4 #3) ----
+
+
+def _padded_layout(x, v, ids, P, cap, B):
+    """Arrange index-sharded particles into the rehomed fixed-capacity
+    layout: device d owns R = cap + 2B rows, the first n/P alive."""
+    n = x.shape[0]
+    per = n // P
+    R = cap + 2 * B
+    X = np.zeros((P * R, 3), np.float32)
+    V = np.zeros((P * R, 3), np.float32)
+    I = np.full((P * R,), 2 ** 31 - 1, np.uint32)
+    A = np.zeros((P * R,), np.uint8)
+    for d in range(P):
+        X[d * R:d * R + per] = np.asarray(x)[d * per:(d + 1) * per]
+        V[d * R:d * R + per] = np.asarray(v)[d * per:(d + 1) * per]
+        I[d * R:d * R + per] = np.asarray(ids)[d * per:(d + 1) * per]
+        A[d * R:d * R + per] = 1
+    return (jnp.asarray(X), jnp.asarray(V), jnp.asarray(I),
+            jnp.asarray(A))
+
+
+def _rehome_step_fn(pm, mesh, H, B):
+    from fastpm_tpu.parallel.psolver import _force_local_homed_rehome
+    spm = SlabPM(pm, mesh, axis="x")
+    spec = particle_spec(mesh)
+
+    def local(xx, vv, aa, ii):
+        xs, vs, alive, extras, acc, bad, _dk = \
+            _force_local_homed_rehome(
+                spm, xx, vv, aa, (ii,), "1_4", H, B,
+                pallas=True, pallas_interpret=True)
+        return xs, vs, alive, extras[0], acc, bad
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(spec,) * 4,
+        out_specs=(spec, spec, spec, spec, spec, P()),
+        check_vma=False))
+
+
+def test_rehome_force_matches_global_and_homes(mesh8):
+    """The rehomed force (migration riding the carry sort) must (a)
+    reproduce the global force on the alive rows, (b) leave every
+    alive particle ON its owner slab afterwards (required halo ==
+    support), and (c) keep working across steps with drift -- H stays
+    small regardless of accumulated displacement."""
+    nc = 32
+    box = 64.0
+    pm = PM(nc, box)          # nloc = 4 planes on 8 devices
+    P_ = 8
+    H, B = 3, 2048
+    per = nc ** 3 // P_
+    cap = per + 2048
+    R = cap + 2 * B
+    x = jittered_lattice(nc, box, jitter_cells=2.5, seed=11)
+    v = 0.01 * jittered_lattice(nc, box, 1.0, seed=12)
+    ids = jnp.arange(nc ** 3, dtype=jnp.uint32)
+
+    painter = Painter(pm, "cic", 2)
+    (ref_store,), _ = compute_force(pm, painter, [Store(x=x, M0=1.0)],
+                                    "1_4")
+    ref_acc = np.asarray(ref_store.acc)
+
+    X, V, I, A = _padded_layout(x, v, ids, P_, cap, B)
+    step = _rehome_step_fn(pm, mesh8, H, B)
+    Xo, Vo, Ao, Io, ACCo, bad = step(X, V, A, I)
+    assert int(bad) == 0
+
+    m = np.asarray(Ao) > 0
+    assert m.sum() == nc ** 3          # particles conserved
+    ids_o = np.asarray(Io)[m]
+    o = np.argsort(ids_o, kind="stable")
+    np.testing.assert_array_equal(ids_o[o], np.asarray(ids))
+    # (a) forces match the global computation
+    np.testing.assert_allclose(np.asarray(ACCo)[m][o], ref_acc,
+                               atol=1e-5)
+    # rows are pure permutations of the inputs
+    np.testing.assert_array_equal(np.asarray(Xo)[m][o], np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(Vo)[m][o], np.asarray(v))
+
+    # (b) after migration every alive particle is on its owner slab
+    nloc = nc // P_
+    cell = box / nc
+    Xn = np.asarray(Xo)
+    for d in range(P_):
+        md = m[d * R:(d + 1) * R]
+        bx = np.floor(Xn[d * R:(d + 1) * R][md][:, 0] / cell) % nc
+        assert ((bx >= d * nloc) & (bx < (d + 1) * nloc)).all(), d
+
+    # (c) drift particles ~1.7 planes and step again: migration keeps
+    # H = 3 sufficient regardless of the accumulated displacement
+    shift = jnp.asarray([1.7 * cell, -0.9 * cell, 0.4 * cell],
+                        jnp.float32)
+    X2 = jnp.where(jnp.asarray(m)[:, None], Xo + shift, Xo)
+    (ref2,), _ = compute_force(
+        pm, painter,
+        [Store(x=(x + shift) % box, M0=1.0)], "1_4")
+    Xo2, Vo2, Ao2, Io2, ACC2, bad2 = step(X2, Vo, Ao, Io)
+    assert int(bad2) == 0
+    m2 = np.asarray(Ao2) > 0
+    assert m2.sum() == nc ** 3
+    ids2 = np.asarray(Io2)[m2]
+    o2 = np.argsort(ids2, kind="stable")
+    np.testing.assert_allclose(np.asarray(ACC2)[m2][o2],
+                               np.asarray(ref2.acc), atol=1e-5)
+    for d in range(P_):
+        md = m2[d * R:(d + 1) * R]
+        bx = np.floor(np.asarray(Xo2)[d * R:(d + 1) * R][md][:, 0]
+                      / cell) % nc
+        assert ((bx >= d * nloc) & (bx < (d + 1) * nloc)).all(), d
