@@ -149,10 +149,23 @@ def write_snapshot(path: str, c: Cosmology, species: Dict[str, Store],
 
 def write_halo_catalog(path: str, dataset: str, cat, c: Cosmology,
                        aout: float, nc: int, boxsize: float,
-                       M0: float = 1.0):
+                       M0: float = 1.0, sort_by_length: bool = True):
     """Write a FOF/RFOF halo catalog dataset (run_fof, src/fastpm.c:1265;
     column map io.c:405-423: Length i4, Position f4, Velocity f4,
-    MinID i8, Rdisp/Vdisp/RVdisp f4, InitialPosition f4)."""
+    MinID i8, Rdisp/Vdisp/RVdisp f4, InitialPosition f4).
+
+    The reference writes catalogs sorted by DESCENDING Length
+    (fastpm_sort_snapshot with FastPMSnapshotSortByLength radix
+    ``-length``, io.c:90-108, invoked at src/fastpm.c:1495,1516 and by
+    the offline fof/rfof tools). The mpsort radix leaves equal-Length
+    ties rank-order-dependent; here ties break ascending by MinID for
+    a deterministic on-disk order."""
+    length = np.asarray(cat.length)
+    if sort_by_length and length.size:
+        order = np.lexsort((np.asarray(cat.minid),
+                            -length.astype(np.int64)))
+    else:
+        order = slice(None)
     bf = BigFile(path, create=True)
     if not bf.has_block("Header"):
         write_snapshot_header(bf, c, aout, nc, boxsize, {})
@@ -160,18 +173,25 @@ def write_halo_catalog(path: str, dataset: str, cat, c: Cosmology,
     root.attrs.set("M0", float(M0), "f8")
     root.attrs.set("a.x", float(aout), "f8")
     root.attrs.set("a.v", float(aout), "f8")
-    bf.create_block(f"{dataset}/Length", cat.length.astype(np.int32))
-    bf.create_block(f"{dataset}/Position", cat.x.astype(np.float32))
-    bf.create_block(f"{dataset}/Velocity", cat.v.astype(np.float32))
-    bf.create_block(f"{dataset}/MinID", cat.minid.astype(np.int64))
-    bf.create_block(f"{dataset}/Rdisp", cat.rdisp.astype(np.float32))
-    bf.create_block(f"{dataset}/Vdisp", cat.vdisp.astype(np.float32))
-    bf.create_block(f"{dataset}/RVdisp", cat.rvdisp.astype(np.float32))
+    bf.create_block(f"{dataset}/Length", length[order].astype(np.int32))
+    bf.create_block(f"{dataset}/Position",
+                    np.asarray(cat.x)[order].astype(np.float32))
+    bf.create_block(f"{dataset}/Velocity",
+                    np.asarray(cat.v)[order].astype(np.float32))
+    bf.create_block(f"{dataset}/MinID",
+                    np.asarray(cat.minid)[order].astype(np.int64))
+    bf.create_block(f"{dataset}/Rdisp",
+                    np.asarray(cat.rdisp)[order].astype(np.float32))
+    bf.create_block(f"{dataset}/Vdisp",
+                    np.asarray(cat.vdisp)[order].astype(np.float32))
+    bf.create_block(f"{dataset}/RVdisp",
+                    np.asarray(cat.rvdisp)[order].astype(np.float32))
     if cat.q is not None:
         bf.create_block(f"{dataset}/InitialPosition",
-                        cat.q.astype(np.float32))
+                        np.asarray(cat.q)[order].astype(np.float32))
     if cat.aemit is not None:
-        bf.create_block(f"{dataset}/Aemit", cat.aemit.astype(np.float32))
+        bf.create_block(f"{dataset}/Aemit",
+                        np.asarray(cat.aemit)[order].astype(np.float32))
 
 
 def read_snapshot_header(path: str) -> Dict:

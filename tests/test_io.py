@@ -168,3 +168,45 @@ def test_auto_nfile_and_chunked_checksum(tmp_path):
         assert np.array_equal(back, data)
     finally:
         bfm.CHUNK_ROWS = old
+
+
+def test_halo_catalog_written_length_sorted(tmp_path):
+    """Halo catalogs go to disk sorted by DESCENDING Length
+    (fastpm_sort_snapshot + FastPMSnapshotSortByLength, io.c:90-108,
+    src/fastpm.c:1495), ties broken ascending by MinID; every column
+    rides the same permutation."""
+    import jax.numpy as jnp
+    from fastpm_tpu.fof import find_halos
+    from fastpm_tpu.io.snapshots import write_halo_catalog
+    from fastpm_tpu.store import Store
+
+    rng = np.random.RandomState(0)
+    L = 100.0
+    # three clusters with lengths 30 / 50 / 40, scattered so the
+    # finder's native (minid) order differs from the Length order
+    pos = np.concatenate([
+        10 + 0.1 * rng.standard_normal((30, 3)),
+        50 + 0.1 * rng.standard_normal((50, 3)),
+        80 + 0.1 * rng.standard_normal((40, 3))])
+    st = Store(x=jnp.asarray(pos, jnp.float32),
+               v=jnp.zeros((len(pos), 3), jnp.float32),
+               id=jnp.arange(len(pos), dtype=jnp.uint32), M0=1.0)
+    cat, _ = find_halos(st, 1.0, L, nmin=20)
+    assert cat.nhalo == 3
+
+    c = Cosmology(h=0.7, Omega_m=0.3, T_cmb=0.0, growth_mode="lcdm")
+    path = str(tmp_path / "halos")
+    write_halo_catalog(path, "LL-0.200", cat, c, 1.0, 32, L)
+
+    bf = BigFile(path)
+    length = bf.open_block("LL-0.200/Length").read_all()
+    minid = bf.open_block("LL-0.200/MinID").read_all()
+    x = bf.open_block("LL-0.200/Position").read_all().reshape(-1, 3)
+    np.testing.assert_array_equal(length, [50, 40, 30])
+    # the permutation moved whole rows: each written (Length, MinID,
+    # Position) row matches the in-memory catalog at the same MinID
+    for i in range(3):
+        j = int(np.where(np.asarray(cat.minid) == minid[i])[0][0])
+        assert length[i] == int(cat.length[j])
+        np.testing.assert_allclose(x[i], np.asarray(cat.x[j]),
+                                   rtol=1e-6)
