@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Per-phase breakdown of the HOMED force on a 1-device mesh, real
-chip: prepare+paint, halo_reduce, r2c_local, transfer+c2r_local,
-halo_gather, readout. Pinpoints where the 27x vs the fused path goes
-(bench_homed.py measured 18.4 s/step vs 0.67 s)."""
+"""Per-phase breakdown of the PRODUCTION homed carry force on a
+1-device mesh, real chip: cell sort, presorted prepare, paint_from8,
+halo_reduce, r2c_local, fused grad3 inverse, halo_gather x3,
+readout3_from8. Pinpoints where the homed body's delta vs the fused
+single-device step (bench.py) lives -- the phases mirror
+parallel/psolver._force_local_homed_carry line by line."""
 
 import json
 import os
@@ -31,6 +33,7 @@ def main():
     from fastpm_tpu.benchlib import example_particles
     from fastpm_tpu.parallel.pfft import SlabPM
     from fastpm_tpu.parallel import psolver as ps
+    from fastpm_tpu.kernels import kernel_orders
 
     nc = int(os.environ.get("BENCH_NC", "256"))
     b = int(os.environ.get("BENCH_B", "2"))
@@ -41,89 +44,105 @@ def main():
     pm = PM(nc * b, box)
     mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
     spm = SlabPM(pm, mesh, axis="x")
-    x0, _v0 = example_particles(nc, box, seed=0)
+    x0, v0 = example_particles(nc, box, seed=0)
     nproc, nloc = 1, pm.Nmesh[0]
     nx_l = nloc + 2 * H
-    shape_local = (nx_l, pm.Nmesh[1], pm.Nmesh[2])
-    use_pallas = ps._use_pallas_homed(shape_local)
-    print(f"# homed phases nc={nc} B={b} H={H} shape_local={shape_local}"
-          f" use_pallas={use_pallas}")
+    n0, n1, n2 = pm.Nmesh
+    nyp, nzp = n1 + 1, n2 + 1
+    shape_local = (nx_l, n1, n2)
+    print(f"# homed carry phases nc={nc} B={b} H={H} "
+          f"shape_local={shape_local} "
+          f"use_pallas={ps._use_pallas_homed(shape_local)}")
 
     ssum = jax.jit(lambda a: sum(jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
                                  for leaf in jax.tree.leaves(a)))
 
-    def sm(f, out_specs=P()):
+    def sm(f):
         return jax.jit(jax.shard_map(
-            f, mesh=mesh, in_specs=P(), out_specs=out_specs,
+            f, mesh=mesh, in_specs=P(), out_specs=P(),
             check_vma=False))
 
-    rows = []
+    rows = {}
 
     def add(name, dt):
-        rows.append((name, dt))
+        rows[name] = dt
         print(json.dumps({"phase": name, "ms": round(dt * 1e3, 2)}),
               flush=True)
 
     prepare, paint_from, readout3_from = ps._homed_kernels(
-        shape_local, "x")
+        shape_local, "x", presorted=True)
 
-    def f_prepare(x):
+    def f_sort(x, v):
         r0 = jax.lax.axis_index("x") * nloc
-        relx, iy, iz, frac = ps._cic_rel(pm, x, r0, H)
-        return prepare(relx, iy, iz, frac)
+        relx, iy, iz, _fr = ps._cic_rel(pm, x, r0, H)
+        relx = jnp.where(relx < nx_l, relx, nx_l + 1)
+        cell = (relx * nyp + iy) * nzp + iz
+        ops = jax.lax.sort((cell, x[:, 0], x[:, 1], x[:, 2],
+                            v[:, 0], v[:, 1], v[:, 2]), num_keys=1)
+        return (jnp.stack(ops[1:4], axis=-1),
+                jnp.stack(ops[4:7], axis=-1))
 
-    add("prepare(sort)", timeit(sm(f_prepare), ssum, reps, x0))
-    prepared = sm(f_prepare)(x0)
+    js = sm(f_sort)
+    add("cell_sort(7col)", timeit(js, ssum, reps, x0, v0))
+    xs, vs = js(x0, v0)
 
-    def f_paint(prep):
-        return paint_from({**prep, "n": int(x0.shape[0])}, 1.0)
+    def f_prepare(xs):
+        r0 = jax.lax.axis_index("x") * nloc
+        relx2, iy2, iz2, fr = ps._cic_rel(pm, xs, r0, H)
+        relx2 = jnp.where(relx2 < nx_l, relx2, nx_l + 1)
+        return prepare(relx2, iy2, iz2, fr)
 
-    jp = sm(f_paint)
-    add("paint_from4_homed", timeit(jp, ssum, reps, prepared))
-    canvas_ext = jp(prepared)
+    jp = sm(f_prepare)
+    add("prepare_presorted", timeit(jp, ssum, reps, xs))
+    prepared = jp(xs)
 
-    def f_reduce(c):
-        return ps._halo_reduce(c, "x", nloc, H, nproc)
+    jpaint = sm(paint_from)
+    add("paint_from8", timeit(jpaint, ssum, reps, prepared))
+    canvas_ext = jpaint(prepared)
 
-    jr = sm(f_reduce)
+    jr = sm(lambda c: ps._halo_reduce(c, "x", nloc, H, nproc))
     add("halo_reduce", timeit(jr, ssum, reps, canvas_ext))
-    canvas = jr(canvas_ext)
+    canvas = jr(canvas_ext) / (nc ** 3 / pm.Norm)
 
     jr2c = sm(lambda c: spm.r2c_local(c))
     add("r2c_local", timeit(jr2c, lambda k: jnp.sum(jnp.real(k)), reps,
                             canvas))
     delta_k = jr2c(canvas)
 
-    def f_tr(k):
-        return ps._apply_kernel_local(spm, k, "1_4", "acc", 0)
+    potorder, gradorder, _d, deconv = kernel_orders("1_4")
 
-    jtr = sm(f_tr)
-    add("transfer_local", timeit(jtr, lambda k: jnp.sum(jnp.real(k)),
-                                 reps, delta_k))
-    fk = jtr(delta_k)
+    def f_grad3(dk):
+        out = dk
+        for _ in range(deconv):
+            out = spm.apply_decic(out)
+        pot_k = spm.apply_pot(out, potorder)
+        return tuple(spm.c2r_grad3_local(pot_k, gradorder))
 
-    jc2r = sm(lambda k: spm.c2r_local(k))
-    add("c2r_local(x3)", timeit(jc2r, ssum, reps, fk))
-    f_loc = jc2r(fk)
+    jg3 = sm(f_grad3)
+    add("grad3_fused_inverse", timeit(jg3, ssum, reps, delta_k))
+    locs = jg3(delta_k)
 
-    def f_gather(fl):
-        return ps._halo_gather(fl, "x", nloc, H, nproc)
+    def f_gather3(locs):
+        return tuple(ps._halo_gather(g, "x", nloc, H, nproc)
+                     for g in locs)
 
-    jg = sm(f_gather)
-    add("halo_gather(x3)", timeit(jg, ssum, reps, f_loc))
-    f_ext = jg(f_loc)
+    jg = sm(f_gather3)
+    add("halo_gather(x3)", timeit(jg, ssum, reps, locs))
+    f_ext = jg(locs)
 
-    def f_ro(prep, a, b_, c):
-        return readout3_from({**prep, "n": int(x0.shape[0])}, a, b_, c)
+    def f_ro(prep, fe):
+        # "n" is a static int inside the one-program force; restore it
+        # after the jit boundary turned it into an array
+        prep = dict(prep)
+        prep["n"] = int(x0.shape[0])
+        return readout3_from(prep, fe[0], fe[1], fe[2])
 
     jro = sm(f_ro)
-    add("readout3_from4_homed", timeit(jro, ssum, reps, prepared,
-                                       f_ext, f_ext, f_ext))
+    add("readout3_from8", timeit(jro, ssum, reps, prepared, f_ext))
 
-    tot = sum(dt for _n, dt in rows) \
-        + 2 * sum(dt for n_, dt in rows
-                  if n_.startswith(("transfer", "c2r", "halo_gather")))
-    print(f"# step estimate (x3 grads): {tot*1e3:.0f} ms")
+    tot = sum(rows.values())
+    print(f"# phase sum: {tot*1e3:.0f} ms "
+          f"(bench_homed carry step for comparison)")
 
 
 if __name__ == "__main__":

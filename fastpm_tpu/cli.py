@@ -180,12 +180,44 @@ class SnapshotChecker:
     """Interpolation-event handler writing snapshots at each aout
     (check_snapshots, src/fastpm.c:1144-1209)."""
 
-    def __init__(self, solver: Solver, p: Params, log: Log):
+    def __init__(self, solver: Solver, p: Params, log: Log,
+                 n_writers: int = 0):
         self.solver = solver
         self.p = p
         self.log = log
         self.aout = sorted(p.aout or [])
         self.iout = 0
+        self.n_writers = n_writers  # CLI -W: concurrent writer threads
+        # the particle-snapshot write runs on this background thread so
+        # evolve() continues stepping while the O(N) column fetch +
+        # file IO drain (io.c:349-360 writer-throttling analog; the
+        # snapshot stores are fresh interpolated copies, so the solver
+        # is free to keep mutating its own species meanwhile)
+        self._io_pool = None
+        self._io_futures = []
+
+    def _submit_io(self, fn):
+        if self._io_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._io_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="snapshot-io")
+        self._check_io()
+        self._io_futures.append(self._io_pool.submit(fn))
+
+    def _check_io(self):
+        done = [f for f in self._io_futures if f.done()]
+        for f in done:
+            self._io_futures.remove(f)
+            f.result()  # re-raise background write failures
+
+    def flush(self):
+        """Join all in-flight snapshot writes (end of run)."""
+        for f in list(self._io_futures):
+            f.result()
+        self._io_futures = []
+        if self._io_pool is not None:
+            self._io_pool.shutdown(wait=True)
+            self._io_pool = None
 
     def __call__(self, event):
         log = self.log
@@ -228,23 +260,32 @@ class SnapshotChecker:
         if p.write_snapshot:
             path = "%s_%0.04f" % (p.write_snapshot, aout)
             log.info("Writing a snapshot header to %s", path)
-            rsd = write_snapshot(path, s.cosmology, snapshot,
-                                 p.nc, p.boxsize,
-                                 param_text=p.source,
-                                 sort_by_id=p.sort_snapshot,
-                                 particle_fraction=p.particle_fraction)
-            log.info("RSD factor %e", rsd)
-            n = snapshot["cdm"].np_local
-            log.info("Writing %d objects.", n)
             if s.lra is not None and s.lra.init_done:
                 # persist the neutrino linear-response state with every
                 # snapshot so LRA runs restart exactly
                 # (ncdm_lr_save_neutrinos; io.c:591-596,
-                # neutrinos_lra.c:329-473)
+                # neutrinos_lra.c:329-473). Written NOW (the history
+                # grows as evolve() continues) -- only the particle
+                # columns ride the background thread.
                 from .io.bigfile import BigFile
                 s.lra.save(BigFile(path, create=True))
                 log.info("Saved neutrino linear-response state "
                          "(%d history entries)", len(s.lra.scalefact))
+
+            def do_write(path=path, snapshot=snapshot):
+                rsd = write_snapshot(path, s.cosmology, snapshot,
+                                     p.nc, p.boxsize,
+                                     param_text=p.source,
+                                     sort_by_id=p.sort_snapshot,
+                                     particle_fraction=p.particle_fraction,
+                                     n_writers=self.n_writers)
+                log.info("RSD factor %e", rsd)
+                log.info("Writing %d objects.",
+                         snapshot["cdm"].np_local)
+
+            # off the critical path: evolve() keeps stepping while the
+            # fetch+write drains; run_fastpm flushes at the end
+            self._submit_io(do_write)
         if p.write_fof:
             from .fof import find_halos
             from .io.snapshots import write_halo_catalog
@@ -801,7 +842,8 @@ def make_device_mesh(nprocy: int = 0, log=None):
 
 
 def run_fastpm(p: Params, log=None, restart: str = None,
-               memory_bound_mb: int = 0, nprocy: int = 0) -> Solver:
+               memory_bound_mb: int = 0, nprocy: int = 0,
+               n_writers: int = 0) -> Solver:
     """The full run (src/fastpm.c:run_fastpm)."""
     if log is None:
         log = Log()
@@ -845,7 +887,7 @@ def run_fastpm(p: Params, log=None, restart: str = None,
     solver.event_handlers.on(ev.EVENT_TRANSITION, ev.STAGE_BEFORE,
                              print_transition)
 
-    checker = SnapshotChecker(solver, p, log)
+    checker = SnapshotChecker(solver, p, log, n_writers=n_writers)
     solver.event_handlers.on(ev.EVENT_INTERPOLATION, ev.STAGE_BEFORE, checker)
 
     if p.lc_write_usmesh:
@@ -884,6 +926,7 @@ def run_fastpm(p: Params, log=None, restart: str = None,
         solver.setup_lpt(dk, a0)
         prepare_ncdm(solver, p, a0, log)
     solver.evolve(cfg.time_step)
+    checker.flush()   # join in-flight background snapshot writes
     # teardown report (run_fastpm end, src/fastpm.c:388-396)
     monitor._old_device_peak = -1   # force a final line
     monitor.report(log)
@@ -996,7 +1039,8 @@ def main(argv=None):
     with ctx:
         run_fastpm(p, restart=ns.restart,
                    memory_bound_mb=ns.memory_bound_mb,
-                   nprocy=1 if ns.fftw else ns.nprocy)
+                   nprocy=1 if ns.fftw else ns.nprocy,
+                   n_writers=ns.W)
     return 0
 
 

@@ -101,37 +101,77 @@ def _dataset_attrs(block, p: Store):
 
 def write_species(bf: BigFile, dataset: str, p: Store,
                   Nfile: Optional[int] = None,
-                  sort_by_id: bool = True, keep_mask=None):
-    """Write a species store as dataset columns (fastpm_store_write)."""
-    cols = {}
+                  sort_by_id: bool = True, keep_mask=None,
+                  n_writers: int = 0):
+    """Write a species store as dataset columns (fastpm_store_write).
+
+    The device->host fetches and the disk writes OVERLAP (the io.c
+    Nwriters-throttled aggregated-IO analog, io.c:349-360): every
+    device column's host copy is started asynchronously up front
+    (copy_to_host_async), and each column's permute+serialize+write
+    runs on a writer pool while the next column's fetch completes.
+    n_writers bounds the concurrent writer threads (the CLI's -W;
+    0 = auto: one per column up to 8)."""
+    devcols = []
     for attr, name, dtype in COLUMN_BLOCKS:
         v = getattr(p, attr)
         if v is None:
             continue
-        arr = np.asarray(v)
-        if keep_mask is not None:
-            arr = arr[np.asarray(keep_mask)]
-        cols[name] = (arr, dtype)
-
-    if sort_by_id and "ID" in cols:
-        order = np.argsort(cols["ID"][0], kind="stable")
-        cols = {k: (v[order], d) for k, (v, d) in cols.items()}
+        # fire the async D2H copy now; np.asarray below completes it
+        if hasattr(v, "copy_to_host_async"):
+            try:
+                v.copy_to_host_async()
+            except Exception:
+                pass
+        devcols.append((attr, name, dtype, v))
 
     root = bf.create_block(dataset)
     _dataset_attrs(root, p)
-    for name, (arr, dtype) in cols.items():
+
+    keep = np.asarray(keep_mask) if keep_mask is not None else None
+    order = None
+    if sort_by_id:
+        for _attr, name, _dt, v in devcols:
+            if name == "ID":
+                ids = np.asarray(v)
+                if keep is not None:
+                    ids = ids[keep]
+                order = np.argsort(ids, kind="stable")
+                break
+
+    if n_writers <= 0:
+        n_writers = min(8, max(1, len(devcols)))
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_one(name, dtype, arr):
+        if keep is not None:
+            arr = arr[keep]
+        if order is not None:
+            arr = arr[order]
         bf.create_block(f"{dataset}/{name}",
                         arr.astype(np.dtype(dtype)), Nfile=Nfile)
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        futs = []
+        for _attr, name, dtype, v in devcols:
+            # the fetch completes on the main thread (ordered, rides
+            # the async copies already in flight); permute + astype +
+            # file IO overlap on the pool
+            futs.append(ex.submit(write_one, name, dtype,
+                                  np.asarray(v)))
+        for f in futs:
+            f.result()
 
 
 def write_snapshot(path: str, c: Cosmology, species: Dict[str, Store],
                    nc: int, boxsize: float,
                    param_text: str = "", Nfile: Optional[int] = None,
                    sort_by_id: bool = True,
-                   particle_fraction: float = 1.0) -> float:
+                   particle_fraction: float = 1.0,
+                   n_writers: int = 0) -> float:
     """Full snapshot write. Species stores must already be in snapshot
     units (peculiar km/s velocity; see Solver.set_snapshot). Returns the
-    RSD factor."""
+    RSD factor. n_writers: concurrent writer threads (CLI -W; 0=auto)."""
     bf = BigFile(path, create=True)
     cdm = species["cdm"]
     rsd = write_snapshot_header(bf, c, cdm.a_x, nc, boxsize, species)
@@ -143,7 +183,8 @@ def write_snapshot(path: str, c: Cosmology, species: Dict[str, Store],
             # reference keeps on rand <= fraction (store.c:977)
             keep = np.asarray(p.rand) <= particle_fraction
         write_species(bf, SPECIES_DATASET[name], p, Nfile=Nfile,
-                      sort_by_id=sort_by_id, keep_mask=keep)
+                      sort_by_id=sort_by_id, keep_mask=keep,
+                      n_writers=n_writers)
     return rsd
 
 
