@@ -28,10 +28,9 @@ def run_one(nc: int, b: int, nsteps: int, mmfft: bool = False,
     from fastpm_tpu.mesh import PM
     from fastpm_tpu.benchlib import make_step_fn, example_particles
 
-    if mmfft:
-        os.environ["FASTPM_TPU_FFT"] = "mm"
-    else:
-        os.environ.pop("FASTPM_TPU_FFT", None)
+    # 'auto' now resolves to mm on TPU (mesh._use_mm_fft); the xla
+    # variant must pin explicitly
+    os.environ["FASTPM_TPU_FFT"] = "mm" if mmfft else "xla"
     box = 1.0 * nc
     pm = PM(nc * b, box)
     x, v = example_particles(nc, box, seed=0)

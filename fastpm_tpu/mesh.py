@@ -227,13 +227,26 @@ class PM:
 
     @cached_property
     def _use_mm_fft(self) -> bool:
-        """FASTPM_TPU_FFT=mm routes the FFTs through the matmul
-        (Cooley-Tukey einsum) kernels in ops/fftmm.py -- the MXU beats
-        XLA's TPU FFT rate (BENCH_NOTES roofline). Falls back to
-        jnp.fft when a mesh side has no small-factor split."""
+        """FASTPM_TPU_FFT routes the FFTs: 'mm' = the matmul
+        (Cooley-Tukey einsum) kernels in ops/fftmm.py, 'xla' = jnp.fft,
+        'auto' (default) = mm on TPU-family backends (the MXU beats
+        XLA's TPU FFT rate, BENCH_NOTES roofline; max rel err 5e-6 on
+        the force-shaped spectrum with the 3-pass bf16 split) and xla
+        elsewhere. mm falls back to jnp.fft when a mesh side has no
+        small-factor split."""
         import os
-        if os.environ.get("FASTPM_TPU_FFT", "xla") != "mm":
+        mode = os.environ.get("FASTPM_TPU_FFT", "auto")
+        if mode == "xla":
             return False
+        if mode not in ("mm", "auto"):
+            return False
+        if mode == "auto":
+            try:
+                plat = jax.devices()[0].platform.lower()
+            except Exception:
+                return False
+            if plat in ("cpu", "gpu"):
+                return False
         from .ops.fftmm import mm_supported
         return mm_supported(self.Nmesh)
 
