@@ -99,6 +99,15 @@ class SolverConfig:
     # NaN/Inf scan of the force output after every force step
     # (pm_check_values, gravity.c:350-383); off by default for speed
     check_values: bool = False
+    # sort-based particle re-homing (store.c:486-657 / permute.c
+    # analog): each slab-homed carry force ends by migrating boundary
+    # crossers to their owner device, so the halo width stays at the
+    # CIC support + one step's drift regardless of epoch (VERDICT r4
+    # next #3). Opt-in: requires the slab carry path (single
+    # scalar-mass species, 1D mesh, fused Pallas kernels).
+    rehome: bool = dataclasses.field(
+        default_factory=lambda: bool(int(
+            os.environ.get("FASTPM_TPU_REHOME", "0"))))
 
     def __post_init__(self):
         if self.force_mode == "zola":
@@ -301,6 +310,75 @@ class Solver:
         self._halo_cache[key] = H
         return H
 
+    def _to_rehomed(self, p: Store, pm: PM, margin: float = 1.10):
+        """Convert a dense store to the rehomed fixed-capacity layout:
+        device d owns R = cap + 2B contiguous rows holding exactly the
+        particles whose CURRENT position lands on its x-slab (the
+        initial fastpm_store_decompose, store.c:486-657; afterwards the
+        per-step migration inside _force_local_homed_rehome keeps the
+        ownership invariant). One-time O(N) host pass."""
+        names = tuple(self.mesh.axis_names)
+        nproc = int(np.prod([self.mesh.shape[a] for a in names]))
+        n0 = pm.Nmesh[0]
+        nloc = n0 // nproc
+        L = float(pm.BoxSize[0])
+        x = np.asarray(p.x)
+        bx = np.floor((x[:, 0] - np.floor(x[:, 0] / L) * L)
+                      * n0 / L).astype(np.int64) % n0
+        owner = bx // nloc
+        counts = np.bincount(owner, minlength=nproc)
+        per = int(counts.max())
+        B = int(np.ceil(max(2048, per / 32) / 256.0) * 256)
+        cap = int(np.ceil((per * margin + B) / 256.0) * 256)
+        R = cap + 2 * B
+        order = np.argsort(owner, kind="stable")
+        starts = np.zeros(nproc, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        dst_rows = np.arange(len(x), dtype=np.int64)
+        dst = np.empty(len(x), np.int64)
+        # row within the owner block + the block base
+        dst[order] = (dst_rows - starts[owner[order]]
+                      + owner[order] * R)
+        updates = {}
+        for f in dataclasses.fields(Store):
+            if f.metadata.get("static") or f.name == "alive":
+                continue
+            col = getattr(p, f.name)
+            if col is None:
+                continue
+            a = np.asarray(col)
+            out = np.zeros((nproc * R,) + a.shape[1:], a.dtype)
+            out[dst] = a
+            updates[f.name] = jnp.asarray(out)
+        alive = np.zeros(nproc * R, np.uint8)
+        alive[dst] = 1
+        newp = p.replace(alive=jnp.asarray(alive),
+                         rehome_bucket=B, **updates)
+        return _shard_store(newp, self.mesh)
+
+    def _measure_halo_rehomed(self, pm: PM, p: Store) -> int:
+        """Measured halo requirement of a rehomed store: planes any
+        ALIVE particle strays outside its owner device's slab (dead
+        rows hold stale positions and are masked)."""
+        names = tuple(self.mesh.axis_names)
+        nproc = int(np.prod([self.mesh.shape[a] for a in names]))
+        n0 = pm.Nmesh[0]
+        nloc = n0 // nproc
+        R = p.x.shape[0] // nproc
+
+        @jax.jit
+        def req(x, alive):
+            dev = jnp.arange(x.shape[0], dtype=jnp.int32) // R
+            b = jnp.remainder(
+                jnp.floor(x[:, 0] * jnp.float32(pm.InvCellSize[0])
+                          ).astype(jnp.int32), n0)
+            rel = jnp.remainder(b - dev * nloc, n0)
+            inside = (rel < nloc) | (alive == 0)
+            d = jnp.minimum(rel - (nloc - 1), n0 - rel)
+            return jnp.max(jnp.where(inside, 0, d))
+
+        return int(req(p.wrap(pm.BoxSize).x, p.alive))
+
     def _measure_halo(self, pm: PM, stores):
         from .parallel.psolver import (required_halo_planes,
                                        required_halo_planes_pencil,
@@ -309,6 +387,19 @@ class Solver:
             return None                      # homed paint is CIC-only
         names = tuple(self.mesh.axis_names)
         nproc = int(np.prod([self.mesh.shape[a] for a in names]))
+
+        if len(stores) == 1 and stores[0].alive is not None:
+            # rehomed layout: every alive particle sits on its owner
+            # slab +- the drift since the last migration; H must also
+            # stay migration-legal (H <= nloc)
+            if pm.Nmesh[0] % nproc or pm.Nmesh[1] % nproc:
+                return None
+            nloc = pm.Nmesh[0] // nproc
+            hreq = max(1, self._measure_halo_rehomed(pm, stores[0]))
+            for h in halo_ladder(nloc, pm.Nmesh[0]):
+                if h >= hreq + 1 and h <= nloc:
+                    return h
+            return None
 
         if len(names) == 2:
             px, py = self.mesh.shape[names[0]], self.mesh.shape[names[1]]
@@ -476,8 +567,44 @@ class Solver:
                                        particle_spec, deltak_spec)
 
         cfg = self.config
+        from .parallel.psolver import _force_local_homed_rehome
+
+        # sort-based re-homing (opt-in): convert the dense store to the
+        # fixed-capacity positional layout ONCE; afterwards each force
+        # migrates boundary crossers so H stays at the support
+        names_all = tuple(self.mesh.axis_names)
+        nproc_all = int(np.prod([self.mesh.shape[a]
+                                 for a in names_all]))
+        rehome_ok = (cfg.rehome and cfg.order_free and len(stores) == 1
+                     and stores[0].mass is None
+                     and stores[0].v is not None
+                     and stores[0].home_blocks is None
+                     and not cfg.compute_potential
+                     and not cfg.compute_tidal
+                     and pm.Nmesh[0] % nproc_all == 0
+                     and pm.Nmesh[1] % nproc_all == 0)
+        if rehome_ok:
+            nloc_all = pm.Nmesh[0] // nproc_all
+            shape_probe = (nloc_all + 2 * 4, pm.Nmesh[1], pm.Nmesh[2])
+            if not pallas_policy(shape_probe)[0] or nloc_all < 4:
+                rehome_ok = False
+        if rehome_ok and stores[0].alive is None:
+            stores = [self._to_rehomed(stores[0], pm)]
+        if not rehome_ok and stores[0].alive is not None:
+            # layout no longer usable (mesh/feature change): fall back
+            stores = [_shard_store(stores[0].compact(), self.mesh)]
+
         H = self._pick_halo(pm, stores)
         pencil = isinstance(H, tuple)
+        rehome = (rehome_ok and stores[0].alive is not None
+                  and isinstance(H, int)
+                  and H <= pm.Nmesh[0] // nproc_all)
+        if stores[0].alive is not None and not rehome:
+            # the rehomed layout demands the rehome body; anything else
+            # (v1 fallback, halo too wide) runs on the dense store
+            stores = [_shard_store(stores[0].compact(), self.mesh)]
+            H = self._pick_halo(pm, stores)
+            pencil = isinstance(H, tuple)
         has_col = tuple(p.mass is not None for p in stores)
         M0s = tuple(float(p.M0) for p in stores)
 
@@ -501,9 +628,16 @@ class Solver:
             else:
                 shape_local = (n0 // nproc + 2 * H, n1, n2)
             carry = pallas_policy(shape_local)[0]
-            espec = self._carry_spec(stores[0])
+            espec = tuple(e for e in self._carry_spec(stores[0])
+                          if e[0] != "alive")
+        if stores[0].alive is not None and not (rehome and carry):
+            raise RuntimeError(
+                "rehomed store reached a non-rehome force body "
+                "(pallas_policy disagreed with the conversion probe)")
+        rehome = rehome and carry
+        B_re = stores[0].rehome_bucket if rehome else None
 
-        key = (pm.cache_key, H, has_col, M0s, carry,
+        key = (pm.cache_key, H, has_col, M0s, carry, B_re,
                tuple((nm, k, str(dt)) for nm, k, dt in espec))
         fn = self._sharded_force_cache.get(key)
         if fn is None:
@@ -529,7 +663,37 @@ class Solver:
                 return tuple(next(it) if h else M0
                              for h, M0 in zip(has_col, M0s))
 
-            if carry:
+            if rehome:
+                B = B_re
+
+                def local(x, v, alive, extras):
+                    # wrap inside the program; migration at the end of
+                    # the force keeps ownership positional
+                    x = x - jnp.floor(x / L) * L
+                    flat = []
+                    for a, (nm, k, dt) in zip(extras, espec):
+                        aa = (a.astype(jnp.uint8)
+                              if a.dtype == jnp.bool_ else a)
+                        if k == 0:
+                            flat.append(aa)
+                        else:
+                            flat.extend(aa[:, j] for j in range(k))
+                    xs, vs, alive_o, extras_s, acc, bad, dk = \
+                        _force_local_homed_rehome(
+                            spm, x, v, alive, tuple(flat),
+                            kernel_type, H, B, softening)
+                    outs = []
+                    i = 0
+                    for nm, k, dt in espec:
+                        if k == 0:
+                            outs.append(extras_s[i].astype(dt))
+                            i += 1
+                        else:
+                            outs.append(jnp.stack(
+                                extras_s[i:i + k], axis=-1).astype(dt))
+                            i += k
+                    return xs, vs, alive_o, tuple(outs), acc, bad, dk
+            elif carry:
                 if pencil:
                     _, Hx, Hy = H
 
@@ -602,7 +766,17 @@ class Solver:
             may_use_pallas = (H is not None
                               and (plat not in ("cpu", "gpu")
                                    or env_pallas in ("on", "interpret")))
-            if carry:
+            if rehome:
+                fn = jax.jit(jax.shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=(pspec, pspec, pspec,
+                              (pspec,) * len(espec)),
+                    out_specs=(pspec, pspec, pspec,
+                               (pspec,) * len(espec),
+                               pspec, PartitionSpec(),
+                               deltak_spec(spm)),
+                    check_vma=not may_use_pallas))
+            elif carry:
                 fn = jax.jit(jax.shard_map(
                     local, mesh=self.mesh,
                     in_specs=(pspec, pspec, (pspec,) * len(espec)),
@@ -626,7 +800,16 @@ class Solver:
                     check_vma=not may_use_pallas))
             self._sharded_force_cache[key] = fn
 
-        if carry:
+        if rehome:
+            p0 = stores[0]
+            extras_in = tuple(getattr(p0, nm) for nm, k, dt in espec)
+            xs, vs, alive_o, extras_out, acc, bad, delta_k = fn(
+                p0.x, p0.v, p0.alive, extras_in)
+            updates = dict(x=xs, v=vs, acc=acc, alive=alive_o)
+            for (nm, k, dt), arr in zip(espec, extras_out):
+                updates[nm] = arr
+            new_stores = [p0.replace(**updates)]
+        elif carry:
             p0 = stores[0]
             extras_in = tuple(getattr(p0, nm) for nm, k, dt in espec)
             xs, vs, extras_out, acc, bad, delta_k = fn(p0.x, p0.v,
@@ -1108,7 +1291,12 @@ class Solver:
               "and replaying the force at a_f=%g"
               % (int(pending["bad"]), pending["trans"].a_f))
         for n, p in pending["stores"].items():
-            self.species[n] = p
+            # a rehomed layout rolls back to DENSE: any of its three
+            # contracts (halo, bucket B, capacity) may be what
+            # overflowed, and reconversion re-sizes all of them
+            self.species[n] = (
+                _shard_store(p.compact(), self.mesh)
+                if p.alive is not None else p)
         self._halo_cache.clear()
         self.do_force(pending["trans"], pending["states"],
                       pending["iend"])
@@ -1308,7 +1496,7 @@ class Solver:
         """Interpolate a species to aout and convert units:
         internal velocity -> peculiar km/s, potential -> dimensionless
         (fastpm_set_species_snapshot)."""
-        po = p
+        po = p.compact() if p.alive is not None else p
         if drift is not None:
             po = self.drift_one(po, drift, aout)   # uses OLD velocity
         if kick is not None:
@@ -1334,7 +1522,8 @@ def _shard_store(store: Store, mesh) -> Store:
     sh = NamedSharding(mesh, particle_spec(mesh))
     updates = {}
     for name in ("x", "v", "acc", "dx1", "dx2", "dv1", "id", "rand",
-                 "mask", "potential", "tidal", "pgdc", "mass", "aemit"):
+                 "mask", "potential", "tidal", "pgdc", "mass", "aemit",
+                 "alive"):
         col = getattr(store, name)
         if col is not None:
             updates[name] = jax.device_put(col, sh)

@@ -58,6 +58,10 @@ class Store:
     # (parallel/psolver._force_local_homed_rehome). None = dense store
     # (every row is a particle).
     alive: Optional[jnp.ndarray] = None
+    # static B of the rehomed layout: each device owns R = cap + 2B
+    # rows (cap = R - 2B); None for dense stores
+    rehome_bucket: Optional[int] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     # metadata (static leaves)
     a_x: float = dataclasses.field(default=0.0, metadata=dict(static=True))
@@ -120,7 +124,7 @@ class Store:
         if self.alive is None:
             return self
         m = np.asarray(self.alive) > 0
-        updates = dict(alive=None)
+        updates = dict(alive=None, rehome_bucket=None)
         for f in dataclasses.fields(self):
             if f.metadata.get("static") or f.name == "alive":
                 continue

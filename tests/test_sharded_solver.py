@@ -89,3 +89,60 @@ def test_sharded_wide_path_two_species_softening_potential():
                                    np.asarray(a.tidal),
                                    rtol=2e-3, atol=1e-5, err_msg=name)
     assert len(sharded._sharded_force_cache) >= 1
+
+
+@pytest.mark.slow
+def test_rehome_solver_matches_dense_sharded(monkeypatch):
+    """SolverConfig.rehome: the production slab carry force with
+    end-of-step particle migration must reproduce the dense sharded
+    evolution exactly (the migration is a pure permutation), keep the
+    halo width at the support regardless of displacement, and conserve
+    particles. Runs the REAL Pallas kernel programs under the
+    interpreter (pallas_policy env)."""
+    monkeypatch.setenv("FASTPM_TPU_PALLAS", "interpret")
+    cfg = SolverConfig(nc=32, boxsize=64.0,
+                       time_step=[0.3, 0.65, 1.0],
+                       force_mode="fastpm", pm_nc_factor=1,
+                       need_rand=False)
+    pk = FuncK.from_file("/root/repo/tests/fixtures/powerspec.txt")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+
+    def run(rehome):
+        import dataclasses
+        c = dataclasses.replace(cfg, rehome=rehome)
+        s = Solver(c, COSMO, mesh=mesh)
+        dk, _ = ic.linear_field(s.lptpm, COSMO, pk, seed=9, aout=1.0)
+        s.setup_lpt(dk, 0.3)
+        s.evolve()
+        return s
+
+    dense = run(False)
+    re = run(True)
+
+    p = re.species["cdm"]
+    assert p.alive is not None          # the rehome path engaged
+    assert p.rehome_bucket is not None
+    pc = p.compact()
+    q = dense.species["cdm"]
+    assert pc.np_local == q.np_local    # particles conserved
+    o_r = np.argsort(np.asarray(pc.id), kind="stable")
+    o_d = np.argsort(np.asarray(q.id), kind="stable")
+    np.testing.assert_array_equal(np.asarray(pc.id)[o_r],
+                                  np.asarray(q.id)[o_d])
+    # same physics up to f32 paint-association rounding (the two paths
+    # run identical kernels but at different halo widths H, so the
+    # deposit/reduce orders differ; measured max|dx| = 1.5e-5)
+    np.testing.assert_allclose(np.asarray(pc.x)[o_r],
+                               np.asarray(q.x)[o_d], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pc.v)[o_r],
+                               np.asarray(q.v)[o_d], atol=2e-5)
+
+    # the halo rung stays at the ladder floor (support-bounded): every
+    # cached width obeys H <= nloc and the final measured requirement
+    # on the migrated store is at most one step's drift
+    nloc = cfg.nc // 8
+    for k, h in [(k, v) for k, v in re._halo_cache.items()
+                 if isinstance(v, int)]:
+        assert h <= nloc
+    hreq = re._measure_halo_rehomed(re.find_pm(1.0), p)
+    assert hreq <= 2, hreq
