@@ -61,7 +61,10 @@ def run_one(nc: int, b: int, nsteps: int, mmfft: bool = False,
 
     subr = int(os.environ.get("BENCH_SUBR", "0")) or None
     K = int(os.environ.get("BENCH_K", "512"))
-    step = make_step_fn(pm, donate=False, subr=subr, K=K)
+    # BENCH_DONATE=1: donate x/v into the step (saves 2 full particle
+    # buffers of HBM -- the 384^3 B2 rung needs it on a 16G v5e)
+    donate = bool(int(os.environ.get("BENCH_DONATE", "0")))
+    step = make_step_fn(pm, donate=donate, subr=subr, K=K)
     x1, v1, acc = step(x, v, coeffs)
     _ = float(jnp.sum(x1))
 

@@ -770,6 +770,8 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
@@ -778,7 +780,7 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
                 pltpu.VMEM((2, 3, 1, KD), jnp.float32),
                 pltpu.VMEM((3, 1, KD), jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2, 3)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((1,)),
@@ -789,7 +791,7 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
                        jax.ShapeDtypeStruct((3, 1, n_padded),
                                             jnp.float32,
                                             vma=frozenset(vma))),
-            input_output_aliases={3: 0},
+            input_output_aliases={5: 0},
             interpret=interpret,
         )
 
@@ -818,11 +820,10 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
         if cw9 is None:
             from .paint_pallas import pack_cw9
             cw9 = pack_cw9(prepared["cell_2d"], prepared["w8T"])
-        canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
-                              pad_canvas(cz)])
         val_init = jnp.zeros((3, 1, n_padded), jnp.float32)
         vals = build_call(n_padded)(
-            ranges1, cw9, canvases, val_init)[:, 0, :n]
+            ranges1, cw9, pad_canvas(cx), pad_canvas(cy),
+            pad_canvas(cz), val_init)[:, 0, :n]
         if prepared.get("orig") is None:
             return jnp.stack([vals[0], vals[1], vals[2]], axis=-1)
         return jnp.stack(jax.lax.sort(
@@ -834,7 +835,9 @@ def make_readout3_from8_homed_fn(shape, K: int = 512,
 
 def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
                      cw9_hbm,        # (9, 1, Npad) f32 packed cell+w8
-                     canvases_hbm,   # ANY (3, W*CLh + RX + HR, 128)
+                     c0_hbm,         # ANY (W*CLh + RX + HR, 128) comp 0
+                     c1_hbm,         # ANY same, comp 1
+                     c2_hbm,         # ANY same, comp 2
                      val_io,         # ANY (3, 1, Npad) f32
                      out_ref,        # aliased with val_io
                      canvas_scratch,  # VMEM (2, 2, 3, CLh+HR, 128)
@@ -842,7 +845,7 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
                      val_scratch,    # VMEM (2, 3, 1, KD) f32
                      carry_scratch,  # VMEM (3, 1, KD) f32
                      carry_id,      # SMEM (1,) i32 carried chunk (-1)
-                     csem,          # DMA sems (2, 2) canvas slot x block
+                     csem,          # DMA sems (2, 2, 3) slot x block x comp
                      sems,          # DMA sems (2,): packed chunk
                      wsems,         # DMA sems (2,)
                      fsem,          # DMA sems (1,) carry flush
@@ -876,27 +879,33 @@ def _readout_kernel8(ranges_ref,     # SMEM (1, 2, 128) i32 lane w%128
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     SUB = KD // K
 
-    def canvas_copy(slot, wi, b):
-        return pltpu.make_async_copy(
-            canvases_hbm.at[:, pl.ds(pl.multiple_of(wi * CLh + b * RX,
-                                                    8), CLh + HR)],
-            canvas_scratch.at[slot, b], csem.at[slot, b])
+    def canvas_copies(slot, wi, b):
+        # three per-component copies (the components stay SEPARATE
+        # operands: stacking them in HBM cost a full extra canvas set
+        # of temps at 768^3+, the 384^3 B2 OOM)
+        start = pl.ds(pl.multiple_of(wi * CLh + b * RX, 8), CLh + HR)
+        return [pltpu.make_async_copy(
+                    ch.at[start], canvas_scratch.at[slot, b, comp],
+                    csem.at[slot, b, comp])
+                for comp, ch in enumerate((c0_hbm, c1_hbm, c2_hbm))]
 
     @pl.when(w == 0)
     def _init_carry():
         carry_id[0] = -1
-        canvas_copy(0, 0, 0).start()
-        canvas_copy(0, 0, 1).start()
+        for cp in canvas_copies(0, 0, 0) + canvas_copies(0, 0, 1):
+            cp.start()
 
     cslot = jax.lax.rem(w, 2)
 
     @pl.when(w + 1 < nw)
     def _prefetch_canvas():
-        canvas_copy(jax.lax.rem(w + 1, 2), w + 1, 0).start()
-        canvas_copy(jax.lax.rem(w + 1, 2), w + 1, 1).start()
+        nslot = jax.lax.rem(w + 1, 2)
+        for cp in (canvas_copies(nslot, w + 1, 0)
+                   + canvas_copies(nslot, w + 1, 1)):
+            cp.start()
 
-    canvas_copy(cslot, w, 0).wait()
-    canvas_copy(cslot, w, 1).wait()
+    for cp in canvas_copies(cslot, w, 0) + canvas_copies(cslot, w, 1):
+        cp.wait()
 
     def flush_carry():
         cid = carry_id[0]
@@ -1245,6 +1254,8 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, KD: int | None = None,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
@@ -1253,14 +1264,14 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, KD: int | None = None,
                 pltpu.VMEM((2, 3, 1, KD), jnp.float32),
                 pltpu.VMEM((3, 1, KD), jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2, 3)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((1,)),
             ],
             out_shape=jax.ShapeDtypeStruct((3, 1, n_padded),
                                            jnp.float32),
-            input_output_aliases={3: 0},
+            input_output_aliases={5: 0},
             interpret=interpret,
         )
 
@@ -1295,11 +1306,10 @@ def make_readout3_from8_fn(pm: PM, K: int = 512, KD: int | None = None,
         if cw9 is None:
             from .paint_pallas import pack_cw9
             cw9 = pack_cw9(prepared["cell_2d"], prepared["w8T"])
-        canvases = jnp.stack([pad_canvas(cx), pad_canvas(cy),
-                              pad_canvas(cz)])
         val_init = jnp.zeros((3, 1, n_padded), jnp.float32)
         vals = build_call(n_padded)(
-            ranges1, cw9, canvases, val_init)[:, 0, :n]
+            ranges1, cw9, pad_canvas(cx), pad_canvas(cy),
+            pad_canvas(cz), val_init)[:, 0, :n]
         if prepared.get("orig") is None:
             return jnp.stack([vals[0], vals[1], vals[2]], axis=-1)
         return jnp.stack(jax.lax.sort(
