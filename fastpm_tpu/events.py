@@ -62,6 +62,13 @@ class EventHandlers:
                 fn(ev)
         return ev
 
+    def has(self, type: str, stage: str) -> bool:
+        """True if any handler listens on (type, stage). The solver
+        uses this to skip producing event payloads nobody consumes
+        (e.g. the deCIC'd delta_k of FORCE/AFTER)."""
+        return any(t == type and s == stage
+                   for (t, s, _f) in self._handlers)
+
     def remove(self, fn: Callable) -> None:
         self._handlers = [(t, s, f) for (t, s, f) in self._handlers
                           if f is not fn]

@@ -440,17 +440,23 @@ class Solver:
                 return h
         return None              # halo memory beats full canvas: v1
 
-    def _jitted_global_force(self, pm: PM):
+    def _jitted_global_force(self, pm: PM, want_dk: bool = True):
         """Cached jit of the single-device force (gravity.compute_force
         with this config's static options). The a_x/a_v stamps are
         STATIC pytree metadata that change every step -- strip them at
         the jit boundary so the program compiles once per mesh. The
         periodic wrap (the decompose analog) and the deCIC compensation
         of the event delta_k run INSIDE the program: each eager op is a
-        host round trip on a tunneled device."""
+        host round trip on a tunneled device.
+
+        want_dk=False (no FORCE/AFTER handler listens): the deCIC
+        transfer and the delta_k output are dropped from the program
+        entirely -- XLA dead-code-eliminates the packed complex field's
+        output copy, so a handler-less production step pays exactly
+        the bench step's work."""
         cfg = self.config
         with_pgd = self.pgd is not None
-        key = ("global", pm.cache_key)
+        key = ("global", pm.cache_key, want_dk)
         cached = self._jitted_force.get(key)
         if cached is None:
             painter = Painter(pm, cfg.painter_type, cfg.painter_support)
@@ -477,7 +483,8 @@ class Solver:
                         compute_potential=cfg.compute_potential,
                         compute_tidal=cfg.compute_tidal)
                     ranges = None
-                dk_decic = transfers.apply_decic(pm, dk)
+                dk_decic = (transfers.apply_decic(pm, dk)
+                            if want_dk else None)
                 return (new_stores, dk_decic,
                         dk if with_pgd else None, ranges)
 
@@ -489,7 +496,8 @@ class Solver:
                 ns, dk, nbad = gravity.compute_force_stale(
                     pm, painter, stores[0], ranges, maxm,
                     cfg.kernel_type, cfg.softening_type)
-                dk_decic = transfers.apply_decic(pm, dk)
+                dk_decic = (transfers.apply_decic(pm, dk)
+                            if want_dk else None)
                 return ([ns], dk_decic,
                         dk if with_pgd else None, nbad)
 
@@ -1169,6 +1177,12 @@ class Solver:
 
         names = list(self.iter_species())
 
+        # whether anyone consumes the FORCE/AFTER delta_k: when no
+        # handler listens (library use, benches), the deCIC transfer
+        # and the delta_k output drop out of the force program
+        want_dk = self.event_handlers.has(ev.EVENT_FORCE,
+                                          ev.STAGE_AFTER)
+
         lra_on = (self.cosmology.ncdm_linearresponse
                   and self.lra is not None)
 
@@ -1205,7 +1219,7 @@ class Solver:
             # (wrap + force + decic): eager dispatch costs one host
             # round trip per op, catastrophic over a remote tunnel
             stores = [self.species[n] for n in names]
-            fn = self._jitted_global_force(pm)
+            fn = self._jitted_global_force(pm, want_dk=want_dk)
             new_stores, delta_k_decic, delta_k_pre = fn(stores)
         elif self.mesh is not None and ndev > 1:
             # SPMD split force around the LRA host round trip
@@ -1260,8 +1274,9 @@ class Solver:
             self.species[CDM] = p.replace(pgdc=pgdc)
 
         # compensate the CIC window so the event sees a de-aliased
-        # spectrum (solver.c:466-471)
-        if delta_k_decic is None:
+        # spectrum (solver.c:466-471); skipped outright when no
+        # FORCE/AFTER handler consumes it
+        if delta_k_decic is None and want_dk:
             delta_k_decic = transfers.apply_decic(pm, delta_k)
 
         self.event_handlers.emit(
