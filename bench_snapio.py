@@ -36,7 +36,7 @@ particle_fraction = 1.0
 force_mode = "fastpm"
 pm_nc_factor = {b}
 lpt_nc_factor = 1
-np_alloc_factor = 4.0
+np_alloc_factor = 1.2
 """
     if snapshots:
         body += f'write_snapshot = "{outdir}/fastpm"\n'

