@@ -56,13 +56,18 @@ def run_once(lua_path, n_writers, timings):
         timings.append(time.perf_counter() - t0)
         return out
 
+    # cli binds write_snapshot at import (from .io.snapshots import
+    # write_snapshot): patch BOTH names or the background-thread write
+    # wall never registers
     snapio.write_snapshot = timed
+    cli.write_snapshot = timed
     try:
         t0 = time.perf_counter()
         cli.main(["-W", str(n_writers), lua_path])
         return time.perf_counter() - t0
     finally:
         snapio.write_snapshot = orig
+        cli.write_snapshot = orig
 
 
 def du(path):

@@ -13,6 +13,7 @@ import io
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .mesh import PM
@@ -181,6 +182,57 @@ class PowerSpectrum:
         return plin / nm
 
 
+_MEASURE_CACHE: dict = {}
+
+
+def _measure_bins_fn(pm: PM):
+    """Cached jitted shell-binning program for one PM: the whole
+    device side of measure_power runs as ONE dispatch + one small
+    fetch (a dozen eager ops each cost a host round trip on a
+    tunneled TPU; the per-step P(k) event was paying them all)."""
+    key = pm.cache_key
+    fn = _MEASURE_CACHE.get(key)
+    if fn is not None:
+        return fn
+    nbins = pm.Nmesh[0] // 2
+    k0 = 2 * math.pi / pm.BoxSize[0]
+    kk = pm.integer_kk  # (kshape) int32
+
+    @jax.jit
+    def fn(delta1_k, delta2_k):
+        # exact isqrt: float sqrt then correct downward/upward so
+        # bin^2 <= kk < (bin+1)^2
+        bin = jnp.floor(jnp.sqrt(kk.astype(jnp.float32))).astype(
+            jnp.int32)
+        bin = jnp.where((bin + 1) * (bin + 1) <= kk, bin + 1, bin)
+        bin = jnp.where(bin * bin > kk, bin - 1, bin)
+
+        w = pm.hermitian_weights * jnp.ones(pm.kshape, dtype=pm.dtype)
+        # exclude the DC mode
+        w = w.at[0, 0, 0].set(0.0)
+
+        value = (delta1_k.real * delta2_k.real
+                 + delta1_k.imag * delta2_k.imag)
+        k_of_mode = jnp.sqrt(kk.astype(pm.dtype)) * k0
+
+        flat_bin = bin.reshape(-1)
+        in_range = flat_bin < nbins
+        flat_bin = jnp.where(in_range, flat_bin, nbins)  # overflow bin
+        wf = jnp.where(in_range, w.reshape(-1), 0.0)
+
+        Nmodes = jnp.bincount(flat_bin, weights=wf,
+                              length=nbins + 1)[:nbins]
+        psum = jnp.bincount(flat_bin, weights=wf * value.reshape(-1),
+                            length=nbins + 1)[:nbins]
+        ksum = jnp.bincount(flat_bin,
+                            weights=wf * k_of_mode.reshape(-1),
+                            length=nbins + 1)[:nbins]
+        return Nmodes, psum, ksum
+
+    _MEASURE_CACHE[key] = fn
+    return fn
+
+
 def measure_power(pm: PM, delta1_k, delta2_k=None) -> PowerSpectrum:
     """P(k) of one or two overdensity fields (powerspectrum.c:34-124).
 
@@ -193,30 +245,7 @@ def measure_power(pm: PM, delta1_k, delta2_k=None) -> PowerSpectrum:
     nbins = pm.Nmesh[0] // 2
     k0 = 2 * math.pi / pm.BoxSize[0]
 
-    kk = pm.integer_kk  # (kshape) int32
-    # exact isqrt: float sqrt then correct downward/upward
-    bin = jnp.floor(jnp.sqrt(kk.astype(jnp.float32))).astype(jnp.int32)
-    # correct float error: ensure bin^2 <= kk < (bin+1)^2
-    bin = jnp.where((bin + 1) * (bin + 1) <= kk, bin + 1, bin)
-    bin = jnp.where(bin * bin > kk, bin - 1, bin)
-
-    w = pm.hermitian_weights * jnp.ones(pm.kshape, dtype=pm.dtype)
-    # exclude the DC mode
-    w = w.at[0, 0, 0].set(0.0)
-
-    value = (delta1_k.real * delta2_k.real + delta1_k.imag * delta2_k.imag)
-    k_of_mode = jnp.sqrt(kk.astype(pm.dtype)) * k0
-
-    flat_bin = bin.reshape(-1)
-    in_range = flat_bin < nbins
-    flat_bin = jnp.where(in_range, flat_bin, nbins)  # overflow bin
-    wf = jnp.where(in_range, w.reshape(-1), 0.0)
-
-    Nmodes = jnp.bincount(flat_bin, weights=wf, length=nbins + 1)[:nbins]
-    psum = jnp.bincount(flat_bin, weights=wf * value.reshape(-1),
-                        length=nbins + 1)[:nbins]
-    ksum = jnp.bincount(flat_bin, weights=wf * k_of_mode.reshape(-1),
-                        length=nbins + 1)[:nbins]
+    Nmodes, psum, ksum = _measure_bins_fn(pm)(delta1_k, delta2_k)
 
     Nmodes = np.asarray(Nmodes, dtype=np.float64)
     psum = np.asarray(psum, dtype=np.float64)
