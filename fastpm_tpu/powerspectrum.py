@@ -196,10 +196,12 @@ def _measure_bins_fn(pm: PM):
         return fn
     nbins = pm.Nmesh[0] // 2
     k0 = 2 * math.pi / pm.BoxSize[0]
-    kk = pm.integer_kk  # (kshape) int32
 
+    # kk/weights enter as ARGUMENTS, not closure captures: a captured
+    # 512^3-size constant is serialized into the HLO and the tunneled
+    # remote-compile service rejects the request (HTTP 413)
     @jax.jit
-    def fn(delta1_k, delta2_k):
+    def fn(delta1_k, delta2_k, kk, hw):
         # exact isqrt: float sqrt then correct downward/upward so
         # bin^2 <= kk < (bin+1)^2
         bin = jnp.floor(jnp.sqrt(kk.astype(jnp.float32))).astype(
@@ -207,7 +209,7 @@ def _measure_bins_fn(pm: PM):
         bin = jnp.where((bin + 1) * (bin + 1) <= kk, bin + 1, bin)
         bin = jnp.where(bin * bin > kk, bin - 1, bin)
 
-        w = pm.hermitian_weights * jnp.ones(pm.kshape, dtype=pm.dtype)
+        w = hw * jnp.ones(pm.kshape, dtype=pm.dtype)
         # exclude the DC mode
         w = w.at[0, 0, 0].set(0.0)
 
@@ -245,7 +247,8 @@ def measure_power(pm: PM, delta1_k, delta2_k=None) -> PowerSpectrum:
     nbins = pm.Nmesh[0] // 2
     k0 = 2 * math.pi / pm.BoxSize[0]
 
-    Nmodes, psum, ksum = _measure_bins_fn(pm)(delta1_k, delta2_k)
+    Nmodes, psum, ksum = _measure_bins_fn(pm)(
+        delta1_k, delta2_k, pm.integer_kk, pm.hermitian_weights)
 
     Nmodes = np.asarray(Nmodes, dtype=np.float64)
     psum = np.asarray(psum, dtype=np.float64)
