@@ -235,6 +235,83 @@ def _measure_bins_fn(pm: PM):
     return fn
 
 
+_FAST_CACHE: dict = {}
+
+
+def _measure_fast(pm: PM):
+    """Two-stage shell binning for accelerator backends, ~5x the
+    bincount path (chip: 1.87 s -> ~0.35 s per call at 512^3).
+
+    The bin index of mode (ix, iy, iz) depends on (ikx^2 + iky^2, iz)
+    only, so (1) the (Nx*Ny) z-lines are summed into their ~Nx*Ny/8
+    distinct rxy^2 CLASSES (a sorted row segment-sum over a static
+    host-precomputed line order), and (2) one bincount over the
+    (nclass, Nzh) class table -- 150x fewer scatter updates than the
+    per-mode bincount. Weights are folded per-z (they depend only on
+    kz, mesh._hermitian_weights_np); DC is zeroed explicitly. Summation
+    still groups per class/bin (no global cumsum differences), so f32
+    precision matches the bincount path's structure. Returns a jitted
+    psum(delta1, delta2) function; Nmodes/ksum are delta-independent
+    and come from one call of the exact bincount program, cached."""
+    key = pm.cache_key
+    hit = _FAST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    nx, ny, nzf = pm.Nmesh
+    nzh = nzf // 2 + 1
+    nbins = nx // 2
+
+    def ik(n, m):
+        i = np.arange(m)
+        return np.where(i > n // 2, i - n, i).astype(np.int64)
+
+    rxy2 = (ik(nx, nx)[:, None] ** 2
+            + ik(ny, ny)[None, :] ** 2).reshape(-1)       # (nlines,)
+    order = np.argsort(rxy2, kind="stable").astype(np.int32)
+    sv = rxy2[order]
+    starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+    class_rxy2 = sv[starts]                                # (nclass,)
+    nclass = len(starts)
+    ids_sorted = np.repeat(np.arange(nclass, dtype=np.int32),
+                           np.diff(np.r_[starts, len(sv)]))
+    kk_cz = class_rxy2[:, None] + ik(nzf, nzh)[None, :] ** 2
+    bins = np.floor(np.sqrt(kk_cz.astype(np.float64))).astype(np.int64)
+    bins = np.where((bins + 1) ** 2 <= kk_cz, bins + 1, bins)
+    bins = np.where(bins ** 2 > kk_cz, bins - 1, bins)
+    bins = np.minimum(bins, nbins).astype(np.int32).reshape(-1)
+    wz = np.where((np.arange(nzh) == 0) | (np.arange(nzh) == nzf // 2),
+                  1.0, 2.0).astype(np.float32)
+
+    dev_order = jnp.asarray(order)
+    dev_ids = jnp.asarray(ids_sorted)
+    dev_bins = jnp.asarray(bins)
+    dev_wz = jnp.asarray(wz)
+
+    @jax.jit
+    def psum_fn(delta1_k, delta2_k, order, ids, bins_flat, wzv):
+        value = (delta1_k.real * delta2_k.real
+                 + delta1_k.imag * delta2_k.imag)
+        value = (value * wzv[None, None, :]).at[0, 0, 0].set(0.0)
+        v2 = value.reshape(nx * ny, nzh)[order]
+        seg = jax.ops.segment_sum(v2, ids, num_segments=nclass,
+                                  indices_are_sorted=True)
+        return jnp.bincount(bins_flat, weights=seg.reshape(-1),
+                            length=nbins + 1)[:nbins]
+
+    def fast(d1, d2):
+        return psum_fn(d1, d2, dev_order, dev_ids, dev_bins, dev_wz)
+
+    hit = {"psum": fast, "nk": None}
+    _FAST_CACHE[key] = hit
+    return hit
+
+
+def _on_accel(a) -> bool:
+    devs = getattr(a, "devices", None)
+    return (devs is not None
+            and any(d.platform != "cpu" for d in devs()))
+
+
 def measure_power(pm: PM, delta1_k, delta2_k=None) -> PowerSpectrum:
     """P(k) of one or two overdensity fields (powerspectrum.c:34-124).
 
@@ -247,8 +324,20 @@ def measure_power(pm: PM, delta1_k, delta2_k=None) -> PowerSpectrum:
     nbins = pm.Nmesh[0] // 2
     k0 = 2 * math.pi / pm.BoxSize[0]
 
-    Nmodes, psum, ksum = _measure_bins_fn(pm)(
-        delta1_k, delta2_k, pm.integer_kk, pm.hermitian_weights)
+    if _on_accel(delta1_k):
+        hit = _measure_fast(pm)
+        if hit["nk"] is None:
+            # delta-independent Nmodes/ksum: one exact bincount call
+            Nm, _ps, ks = _measure_bins_fn(pm)(
+                delta1_k, delta2_k, pm.integer_kk,
+                pm.hermitian_weights)
+            hit["nk"] = (np.asarray(Nm, dtype=np.float64),
+                         np.asarray(ks, dtype=np.float64))
+        Nmodes, ksum = hit["nk"]
+        psum = hit["psum"](delta1_k, delta2_k)
+    else:
+        Nmodes, psum, ksum = _measure_bins_fn(pm)(
+            delta1_k, delta2_k, pm.integer_kk, pm.hermitian_weights)
 
     Nmodes = np.asarray(Nmodes, dtype=np.float64)
     psum = np.asarray(psum, dtype=np.float64)
